@@ -1,13 +1,21 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries live in graft.queries.* (one NamedQuery per implemented
+  * operator, parity + engine + LLM-pipeline); this object only adapts the
+  * registry to the driver's Map shape. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    graft.queries.Registry.queries("p01_flagship")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Registry.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops (seeded
+    * LSH/MinHash/SimHash internals) → driver records rows-only. */
+  def oracleSql: Map[String, String] = graft.queries.Registry.oracleSql
 }

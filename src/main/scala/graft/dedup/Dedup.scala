@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100 TB training-data pipeline. The scale
+  * rules baked in here:
+  *
+  *   - exact dedup is a hash-keyed shuffle (never a sort of raw text);
+  *   - near-dup never does an all-pairs comparison: MinHash signatures are
+  *     banded (LSH) so candidate generation is a bucket equi-JOIN — the
+  *     only shuffle key is (band, bucket-hash), and only bucket-mates meet;
+  *   - verification (exact Jaccard) runs on the candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup key: sha256 of normalized text (16-hex prefix = 64 bits).
+    * Grouping by a fixed-width hash instead of the raw text keeps shuffle
+    * rows small and uniformly distributed. */
+  def exactKey(text: Column): Column =
+    substring(sha2(lower(trim(text)), 256), 1, 16)
+
+  /** Keep exactly one row (min id) per normalized-text group, via a
+    * window-min rather than dropDuplicates — dropDuplicates keeps an
+    * ARBITRARY row (first seen per partition), which is nondeterministic
+    * under shuffle; min-id is stable. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(exactKey(col(textCol)))
+    df.withColumn("__keep", min(col(idCol)).over(w) === col(idCol))
+      .where(col("__keep")).drop("__keep")
+  }
+
+  /** Character k-shingles (distinct) of the normalized text. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = lower(trim(text))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => norm.substr(i, lit(k))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over the shingle set of xxhash64(seed, shingle). One narrow map,
+    * no shuffle; signature is numHashes longs regardless of doc size. */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles(text, k),
+        s => xxhash64(seed, s))))
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows each; docs sharing ANY band hash become
+    * candidates. With b bands of r rows, P(candidate) = 1-(1-j^r)^b —
+    * b=8,r=4 puts the S-curve threshold near j≈0.6. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+
+  /** Candidate near-dup pairs via banded MinHash. Returns (id_a, id_b)
+    * with id_a < id_b, distinct. The join is an equi-join on
+    * (band, bucket): at 100 TB this shuffles signature rows once and never
+    * compares across buckets. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 5, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, numHashes).as("sig"))
+      .withColumn("bh", explode(bandHashes(col("sig"), bands, r)))
+      .select(col("id"), col("bh.band").as("band"),
+        col("bh.bucket").as("bucket"))
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct k-shingle sets — the verify step applied
+    * to candidate pairs (or, in tests/oracles, to a small all-pairs set). */
+  def jaccard(textA: Column, textB: Column, k: Int = 5): Column = {
+    val (sa, sb) = (shingles(textA, k), shingles(textB, k))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** Near-dup pairs: LSH candidates filtered by exact Jaccard ≥ threshold.
+    * End-to-end: map (signatures) → one shuffle (band join) → narrow
+    * verify. Never all-pairs. */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double, k: Int = 5, numHashes: Int = 32,
+                   bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(docs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("text", "text_a"), "id_a")
+      .join(docs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("text_a"), col("text_b"), k))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 over each
+    * token-hash's bit value; the sign of the sum is the fingerprint bit.
+    * Near-dups differ in few bits (small Hamming distance). Expressed as a
+    * SQL higher-order aggregate (the Scala `shiftright` helper only takes
+    * literal shift amounts; the SQL form shifts by the lambda variable). */
+  def simhashExpr(tokenHashesCol: String): Column = expr(
+    s"""aggregate(
+       |  sequence(0, 63), CAST(0 AS BIGINT),
+       |  (acc, i) -> acc + IF(
+       |    aggregate($tokenHashesCol, 0,
+       |      (s, h) -> s + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__th",
+        transform(graft.text.TextOps.tokens(col(textCol)), t => xxhash64(t)))
+      .withColumn("simhash", simhashExpr("__th"))
+      .drop("__th")
+
+  /** SimHash candidate pairs by the standard 4×16-bit chunk trick: two
+    * 64-bit prints within Hamming distance 3 must agree exactly on at
+    * least one of the 4 chunks, so candidates come from an equi-join on
+    * (chunk index, chunk value) — never all-pairs. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol)
+      .select(col("id"), col("simhash").as("sh"))
+    val chunked = sh.withColumn("chunk", explode(expr(
+        "transform(sequence(0, 3), c -> " +
+          "struct(c AS c, shiftright(sh, c * 16) & 65535 AS v))")))
+      .select(col("id"), col("sh"), col("chunk.c").as("c"),
+        col("chunk.v").as("v"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

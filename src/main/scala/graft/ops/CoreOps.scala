@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.conf.{FieldMapping, MissingFieldPolicy, SourceField}
+import graft.GraftError
+
+/** Pure `DataFrame => DataFrame` stages for the reference's happy path
+  * (SURVEY.md §2 rows 1-3, 6-9, 15). Each stage is declarative so Catalyst
+  * pushes filters/pruning into the scan — unlike the reference, which
+  * exports `select *` over a process boundary and prunes columns in the
+  * driver afterwards (HiveToMysql.java:227, 382-395).
+  */
+object CoreOps {
+
+  /** §2 row 1 — table scan. In this harness tables are parquet files under
+    * a scale-factor dir; on a real cluster this is
+    * `spark.read.table("db.tbl")` against the Hive catalog. */
+  def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** §2 rows 2-3 — partition filter `ds = <value>` on a derived partition
+    * column. On a partitioned table this predicate is pruned at planning
+    * time (PruneFileSourcePartitions); here `ds` is derived from a date
+    * column and the filter still pushes to the scan as a date-range. */
+  def withDs(dateCol: Column, pattern: String = "yyyyMMdd"): Column =
+    date_format(dateCol, pattern)
+
+  def partitionFilter(df: DataFrame, dsCol: Column, ds: String): DataFrame =
+    df.where(dsCol === lit(ds))
+
+  /** §2 rows 6-8 — projection + rename + constant injection, with the
+    * missing-source-column policy applied against the actual schema
+    * (replaces parseDataFile validation, HiveToMysql.java:309-332).
+    * Output column order = mapping file order (deterministic; see
+    * SURVEY.md §1.3 on the reference's hashtable-order quirk).
+    */
+  def project(df: DataFrame, mapping: FieldMapping,
+              conf: Map[String, String],
+              policy: MissingFieldPolicy = MissingFieldPolicy.Fail)
+      : DataFrame = {
+    val (kept, dropped) = mapping.validate(df.columns.toSeq, policy)
+    if (dropped.nonEmpty)
+      System.err.println(
+        s"[graft] WARN dropping unmapped targets: ${dropped.mkString(",")}")
+    val consts = kept.constants(conf).toMap
+    val cols: Seq[Column] = kept.entries.map {
+      case SourceField(t, s) => col(s).as(t)
+      case e                 => lit(consts(e.target)).as(e.target)
+    }
+    if (cols.isEmpty) throw GraftError.Other("mapping selected zero columns")
+    df.select(cols: _*)
+  }
+
+  /** §2 row 9 — NULL sentinel normalization: the literal cell text "NULL"
+    * becomes a real null (HiveToMysql.java:443-446). Applied only to string
+    * columns; codegen-friendly (pure `when` expression). */
+  def normalizeNulls(df: DataFrame, sentinel: String = "NULL"): DataFrame = {
+    val exprs = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        when(col(f.name) === lit(sentinel), lit(null)).otherwise(col(f.name))
+          .as(f.name)
+      else col(f.name)
+    }
+    df.select(exprs.toIndexedSeq: _*)
+  }
+
+  /** §2 row 15 — empty-result policy. `df.isEmpty` runs a LIMIT-1 job
+    * (cheap; does not materialize the result). */
+  def checkNonEmpty(df: DataFrame,
+                    policy: graft.conf.EmptyDataPolicy): DataFrame = {
+    if (policy == graft.conf.EmptyDataPolicy.Fail && df.isEmpty)
+      throw GraftError.NoData("pipeline produced zero rows")
+    df
+  }
+
+  /** Degrade every column to string at the sink edge — the reference loads
+    * everything as varchar (README.md:17). Kept OUT of the main pipeline so
+    * plans stay typed; applied only where varchar-fidelity is wanted. */
+  def allVarchar(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+}

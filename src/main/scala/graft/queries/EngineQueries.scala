@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.CoreOps.scan
+
+/** General analytics capabilities beyond the reference's single-table
+  * pipeline: aggregation, joins (broadcast / semi / anti), windows, rollup,
+  * set ops, scalar function library. These are what make the engine a
+  * usable analytics library at 100 TB, and they are the bench workhorses.
+  *
+  * Determinism-vs-oracle notes (driver hash-compares against DuckDB):
+  *   - double SUMs are order-dependent, so every sum first rounds each
+  *     addend into an exact DECIMAL, sums exactly, then casts the total
+  *     back to double — bit-identical across engines regardless of
+  *     partitioning/order.
+  *   - every ORDER BY ... LIMIT has a total-order tie-break.
+  */
+object EngineQueries {
+
+  private def decSum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(s"decimal(18,$scale)"))
+
+  /** TPC-H Q1-shaped scan+aggregate: the canonical partial/final hash
+    * aggregation. One shuffle on the (tiny-cardinality) group key; all
+    * arithmetic inside WholeStageCodegen. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity"), 2).cast("double").as("sum_qty"),
+        decSum(col("l_extendedprice"), 2).cast("double").as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        (decSum(col("l_quantity"), 2).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped 3-way join + top-k. The two small sides (customer
+    * filtered to one segment; orders filtered by date) would be
+    * shuffle-joined by default at 100 TB — customer gets an explicit
+    * broadcast hint; orders⋈lineitem shuffles on the shared key. Top-10 via
+    * TakeOrderedAndProject (no global sort). */
+  def q3JoinTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = scan(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val ord = scan(spark, sfDir, "orders")
+      .where(col("o_orderdate") < lit("1997-01-01"))
+    val li = scan(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") > lit("1997-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Oracle =
+    """SELECT l_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** ROLLUP over the region→nation→customer dim chain: subtotal rows with
+    * NULL group keys. Both dims broadcast (a few rows each). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = scan(spark, sfDir, "customer")
+    val nat = scan(spark, sfDir, "nation")
+    val reg = scan(spark, sfDir, "region")
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        decSum(col("c_acctbal"), 2).cast("double").as("sum_bal"))
+  }
+
+  private val rollupOracle =
+    """SELECT r_name, n_name, COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** Left-semi + left-anti joins: customers that have at least one order
+    * but none in status 'F'. Semi/anti shuffle only the keys they need and
+    * never duplicate rows — the scalable EXISTS/NOT EXISTS. */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = scan(spark, sfDir, "customer")
+    val ord = scan(spark, sfDir, "orders")
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(ord.where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  private val semiAntiOracle =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT: nations that have customers or suppliers,
+    * intersected with nations (sanity), minus nations in region key 0. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val cn = scan(spark, sfDir, "customer")
+      .select(col("c_nationkey").cast("int").as("k"))
+    val sn = scan(spark, sfDir, "supplier")
+      .select(col("s_nationkey").cast("int").as("k"))
+    val alln = scan(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("int").as("k"))
+    val reg0 = scan(spark, sfDir, "nation")
+      .where(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("int").as("k"))
+    cn.union(sn).intersect(alln).except(reg0)
+  }
+
+  private val setOpsOracle =
+    """SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+      |UNION SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+      |INTERSECT SELECT CAST(n_nationkey AS INTEGER) FROM nation
+      |EXCEPT SELECT CAST(n_nationkey AS INTEGER) FROM nation WHERE n_regionkey = 0""".stripMargin
+
+  /** Ranking window: top-2 orders by totalprice per market segment.
+    * Single shuffle on the partition key; rank pushed down via
+    * WindowGroupLimit in Spark 4 (no full sort of losers). */
+  def windowTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = scan(spark, sfDir, "customer")
+    val ord = scan(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  private val windowTopkOracle =
+    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rk <= 2""".stripMargin
+
+  /** Scalar function library sample over `part`: string ops + regex +
+    * arithmetic, all codegen'd builtins (no UDFs). */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("int").as("name_len"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") % 7).cast("int").as("size_mod"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up"))
+
+  private val scalarFuncsOracle =
+    """SELECT p_partkey,
+      |       upper(p_brand) AS brand_u,
+      |       CAST(length(p_name) AS INTEGER) AS name_len,
+      |       COALESCE(regexp_extract(p_name, '^(\w+)', 1), '') AS first_word,
+      |       concat_ws('|', p_brand, p_type) AS brand_type,
+      |       CAST(p_size % 7 AS INTEGER) AS size_mod,
+      |       round(p_retailprice * 1.1, 2) AS marked_up
+      |FROM part""".stripMargin
+
+  def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e01_q1_agg", q1Agg, Some(q1Oracle)),
+    NamedQuery("e02_q3_join_topk", q3JoinTopk, Some(q3Oracle)),
+    NamedQuery("e03_rollup", rollupAgg, Some(rollupOracle)),
+    NamedQuery("e04_semi_anti", semiAnti, Some(semiAntiOracle)),
+    NamedQuery("e05_set_ops", setOps, Some(setOpsOracle)),
+    NamedQuery("e06_window_topk", windowTopk, Some(windowTopkOracle)),
+    NamedQuery("e07_scalar_funcs", scalarFuncs, Some(scalarFuncsOracle)),
+  )
+}

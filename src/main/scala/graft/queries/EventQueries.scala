@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Event-time analytics over the `events` table (timestamped stream shape).
+  *
+  * The events parquet stores nanosecond timestamps; the session reads them
+  * as long nanos (spark.sql.legacy.parquet.nanosAsLong) and `readEvents`
+  * converts to microsecond timestamps — the oracle side uses epoch_us /
+  * date_trunc on the native ns values, which agree exactly at the
+  * granularities queried (µs and coarser). */
+object EventQueries {
+
+  /** Normalize the ns-or-timestamp `ts` column to a TimestampType. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+  }
+
+  /** Tumbling 1-hour event-time windows (batch view of the streaming op;
+    * identical code path as StreamOps.windowedCounts). */
+  def hourly(spark: SparkSession, sfDir: String): DataFrame =
+    StreamOps.windowedCounts(readEvents(spark, sfDir))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private val hourlyOracle =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |       event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30 min), batch form: lag + running sum —
+    * the oracle twin of the stateful streaming sessionizer. */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame =
+    StreamOps.sessionizeBatch(readEvents(spark, sfDir))
+
+  private val sessionsOracle =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN prev_ts IS NULL THEN 1
+      |              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |                   - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id,
+      |         SUM(new_session) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM y)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |       count(*) AS n_events
+      |FROM z GROUP BY 1, 2""".stripMargin
+
+  /** JSON property extraction + aggregation: props is a JSON string;
+    * extract $.k, aggregate per event_type. */
+  def jsonAgg(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  private val jsonAggOracle =
+    """SELECT event_type,
+      |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Top event minute per user segment — event-time + ranking combined
+    * (user_id % 10 as a segment proxy). */
+  def topMinutes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byMinute = readEvents(spark, sfDir)
+      .groupBy((col("user_id") % 10).cast("int").as("segment"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm")
+          .as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("n").desc, col("minute"))
+    byMinute.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("segment"), col("rk"), col("minute"), col("n"))
+  }
+
+  private val topMinutesOracle =
+    """WITH m AS (
+      |  SELECT CAST(user_id % 10 AS INTEGER) AS segment,
+      |         strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT segment, rk, minute, n FROM (
+      |  SELECT segment, minute, n,
+      |         row_number() OVER (PARTITION BY segment
+      |                            ORDER BY n DESC, minute) AS rk
+      |  FROM m) WHERE rk <= 3""".stripMargin
+
+  def all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),
+    NamedQuery("ev02_sessions", sessions, Some(sessionsOracle)),
+    NamedQuery("ev03_json_agg", jsonAgg, Some(jsonAggOracle)),
+    NamedQuery("ev04_top_minutes", topMinutes, Some(topMinutesOracle)),
+  )
+}

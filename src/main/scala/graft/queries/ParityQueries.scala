@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.conf._
+import graft.ops.{CoreOps, TsvSource}
+
+/** Reference-parity queries: one per SURVEY.md §2 operator (or operator
+  * cluster). Every query has a DuckDB oracle; the non-SQL-expressible
+  * behaviors (exit codes, dry-run, JDBC sink) are covered by ScalaTest
+  * specs instead (see src/test/scala/graft/).
+  *
+  * A fixed partition value `19960102` is used where a ds filter is needed —
+  * it exists at every harness scale factor (1 row at sf0.001, 31 at sf0.01,
+  * 256 at sf0.1).
+  */
+object ParityQueries {
+  private val DS = "19960102"
+
+  /** §2 rows 1-3, 6-7, 9 + row 11's projection half — the reference's whole
+    * happy path as ONE lazy plan: scan → derive ds → partition filter →
+    * mapping (rename + $conf + #literal constants) → varchar degrade →
+    * NULL normalize. The ds equality filter compiles to a pushed date-range
+    * on l_shipdate; only mapped columns are read (ColumnPruning). */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = DumpConf(Map("ds" -> DS, "ds_formater" -> "yyyyMMdd"))
+    val mapping = FieldMapping.parseString(
+      """id=l_orderkey
+        |line_no=l_linenumber
+        |flag=l_returnflag
+        |ds=$ds
+        |version=#2.0""".stripMargin)
+    val li = CoreOps.scan(spark, sfDir, "lineitem")
+      .withColumn("ds", CoreOps.withDs(col("l_shipdate"), conf.dsFormat))
+    val filtered = CoreOps.partitionFilter(li, col("ds"), conf.ds())
+    val projected = CoreOps.project(filtered, mapping, conf.raw)
+    CoreOps.normalizeNulls(CoreOps.allVarchar(projected))
+  }
+
+  private val flagshipOracle =
+    s"""SELECT CAST(l_orderkey AS VARCHAR) AS id,
+       |       CAST(l_linenumber AS VARCHAR) AS line_no,
+       |       l_returnflag AS flag,
+       |       '$DS' AS ds, '2.0' AS version
+       |FROM lineitem WHERE strftime(l_shipdate, '%Y%m%d') = '$DS'""".stripMargin
+
+  /** §2 row 3 standalone — ds_formater semantics: the same date column
+    * rendered under two patterns (the reference's configurable
+    * SimpleDateFormat, HiveToMysql.java:110-115). */
+  def defaultDs(spark: SparkSession, sfDir: String): DataFrame =
+    CoreOps.scan(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("ds_compact"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds_dashed"))
+
+  private val defaultDsOracle =
+    """SELECT o_orderkey,
+      |       strftime(o_orderdate, '%Y%m%d') AS ds_compact,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS ds_dashed
+      |FROM orders""".stripMargin
+
+  /** §2 rows 4, 5, 9, 10 — the TSV transport round-trip: write a
+    * reference-style TSV (header `lineitem.field` prefixes, literal NULL
+    * text) with an injected mid-stream header echo, read it back with
+    * TsvSource (prefix strip + echo filter + width validation), then
+    * NULL-normalize. The oracle is the pre-TSV relation — proving the
+    * transport is lossless. */
+  def tsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CoreOps.scan(spark, sfDir, "lineitem")
+      .where(date_format(col("l_shipdate"), "yyyyMMdd") === DS)
+      .select(
+        col("l_orderkey").cast("string").as("id"),
+        col("l_quantity").cast("decimal(12,2)").cast("string").as("qty"),
+        when(col("l_returnflag") === "N", lit("NULL"))
+          .otherwise(col("l_returnflag")).as("flag"))
+    // a row whose every cell equals the (prefixed) header name = the echo
+    // the hive CLI can re-emit mid-stream (HiveToMysql.java:397-405)
+    val echo = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("lineitem.id", "lineitem.qty", "lineitem.flag")),
+      base.schema)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tsv_" +
+      Integer.toHexString(sfDir.hashCode)
+    TsvSource.write(base.unionAll(echo), dir, "lineitem")
+    val back = TsvSource.read(spark, dir)
+    TsvSource.requireFullWidth(back, Seq("id", "qty", "flag"))
+    CoreOps.normalizeNulls(back)
+  }
+
+  private val tsvRoundtripOracle =
+    s"""SELECT CAST(l_orderkey AS VARCHAR) AS id,
+       |       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty,
+       |       CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS flag
+       |FROM lineitem WHERE strftime(l_shipdate, '%Y%m%d') = '$DS'""".stripMargin
+
+  /** §2 row 8 — missing-source-column policy, DropWarn flavor: the mapped
+    * source field `ghost_col` doesn't exist, so its target is dropped and
+    * the rest of the mapping proceeds (HiveToMysql.java:309-332 warn path;
+    * the Fail/9997 path is spec-tested). */
+  def missingColumnDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val mapping = FieldMapping.parseString(
+      """id=c_custkey
+        |ghost=ghost_col
+        |seg=c_mktsegment""".stripMargin)
+    CoreOps.project(CoreOps.scan(spark, sfDir, "customer"), mapping,
+      Map.empty, MissingFieldPolicy.DropWarn)
+  }
+
+  private val missingColumnDropOracle =
+    "SELECT c_custkey AS id, c_mktsegment AS seg FROM customer"
+
+  /** §2 row 7 — both constant flavors: `$var` resolved from conf, `#lit`
+    * immediate (initMap, HiveToMysql.java:157-165). */
+  def constants(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = DumpConf(Map("ds" -> "20240101", "env" -> "prod"))
+    val mapping = FieldMapping.parseString(
+      """name=r_name
+        |ds=$ds
+        |env=$env
+        |version=#9.9""".stripMargin)
+    CoreOps.project(CoreOps.scan(spark, sfDir, "region"), mapping, conf.raw)
+  }
+
+  private val constantsOracle =
+    """SELECT r_name AS name, '20240101' AS ds, 'prod' AS env, '9.9' AS version
+      |FROM region""".stripMargin
+
+  /** §2 row 9 standalone — the NULL sentinel on a column that actually
+    * contains it (synthesized from o_orderstatus: 'P' → literal text
+    * "NULL" → real null after normalization). */
+  def nullNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = CoreOps.scan(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "P", lit("NULL"))
+          .otherwise(col("o_orderstatus")).as("status"))
+    CoreOps.normalizeNulls(df)
+  }
+
+  private val nullNormalizeOracle =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status
+      |FROM orders""".stripMargin
+
+  /** §2 row 15 — empty-result with EmptyDataPolicy.Ok: a ds that matches
+    * nothing yields an empty (not failed) result. The Fail/9998 path is
+    * spec-tested. */
+  def emptyOk(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = DumpConf(Map("ds" -> "19000101", "error_if_none_data" -> "false"))
+    val li = CoreOps.scan(spark, sfDir, "lineitem")
+      .withColumn("ds", CoreOps.withDs(col("l_shipdate"), conf.dsFormat))
+    val out = CoreOps.partitionFilter(li, col("ds"), conf.ds())
+      .select(col("l_orderkey").as("id"))
+    CoreOps.checkNonEmpty(out, conf.emptyDataPolicy)
+  }
+
+  private val emptyOkOracle =
+    "SELECT l_orderkey AS id FROM lineitem WHERE 1 = 0"
+
+  /** §2 row 11 — the 100-rows-per-INSERT batch math, verified relationally:
+    * rows in deterministic order get statement ids `floor(rn/100)`; the
+    * result is each statement's row count (100s + one remainder). The
+    * actual SQL text shape is asserted by SqlGenSinkSpec. */
+  def sqlgenBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = CoreOps.scan(spark, sfDir, "lineitem")
+      .where(date_format(col("l_shipdate"), "yyyyMM") === "199601")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    rows.withColumn("stmt_id",
+        floor((row_number().over(w) - 1) / 100))
+      .groupBy(col("stmt_id"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val sqlgenBatchesOracle =
+    """SELECT CAST(FLOOR((rn - 1) / 100) AS BIGINT) AS stmt_id,
+      |       count(*) AS n_rows
+      |FROM (
+      |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem WHERE strftime(l_shipdate, '%Y%m') = '199601'
+      |)
+      |GROUP BY 1""".stripMargin
+
+  def all: Seq[NamedQuery] = Seq(
+    NamedQuery("p01_flagship", flagship, Some(flagshipOracle)),
+    NamedQuery("p02_default_ds", defaultDs, Some(defaultDsOracle)),
+    NamedQuery("p03_tsv_roundtrip", tsvRoundtrip, Some(tsvRoundtripOracle)),
+    NamedQuery("p04_missing_col_drop", missingColumnDrop,
+      Some(missingColumnDropOracle)),
+    NamedQuery("p05_constants", constants, Some(constantsOracle)),
+    NamedQuery("p06_null_normalize", nullNormalize, Some(nullNormalizeOracle)),
+    NamedQuery("p07_empty_ok", emptyOk, Some(emptyOkOracle)),
+    NamedQuery("p08_sqlgen_batches", sqlgenBatches, Some(sqlgenBatchesOracle)),
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.CoreOps.scan
+import graft.text.TextOps
+
+/** Text-analysis + deduplication queries over the `documents` table.
+  * Oracle notes: DuckDB regexp_replace needs the 'g' flag (Spark replaces
+  * all matches by default); token lists use list_filter/list_contains to
+  * mirror Spark's higher-order filter/isin exactly. */
+object TextQueries {
+
+  /** Exact-dedup groups: 64-bit hash key, copy count, survivor id. */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "documents")
+      .groupBy(Dedup.exactKey(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  private val dedupGroupsOracle =
+    """SELECT substring(sha256(lower(trim(text))), 1, 16) AS text_hash,
+      |       count(*) AS n_copies, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** The deduplicated table itself (min-id survivor per hash group) —
+    * deterministic, unlike dropDuplicates. */
+  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactDedup(scan(spark, sfDir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  private val dedupKeepOracle =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |         min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS keep
+      |  FROM documents
+      |) WHERE doc_id = keep""".stripMargin
+
+  /** Per-document text statistics: whitespace tokens, BPE-ish subword
+    * count, punctuation, stopwords, quality score — all narrow codegen'd
+    * maps (the 100 TB shape: no shuffle at all). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val en = TextOps.langStopwords.toMap.apply("en")
+    scan(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"),
+      length(col("text")).cast("int").as("n_chars"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+      TextOps.punctCount(col("text")).cast("int").as("n_punct"),
+      TextOps.stopwordCount(col("text"), en).as("n_stop"),
+      TextOps.qualityScore(
+        size(TextOps.tokens(col("text"))),
+        length(col("text")),
+        TextOps.punctCount(col("text")),
+        TextOps.stopwordCount(col("text"), en)).as("quality"))
+  }
+
+  private val textStatsOracle =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                    x -> len(x) > 0)) AS n_tokens,
+      |    length(text) AS n_chars,
+      |    len(regexp_extract_all(lower(trim(text)), '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS n_bpeish,
+      |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+      |    len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                                x -> len(x) > 0),
+      |        x -> list_contains(['the','and','of','to','is','in'], x))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  CAST(n_chars AS INTEGER) AS n_chars,
+      |  CAST(n_bpeish AS INTEGER) AS n_bpeish,
+      |  CAST(n_punct AS INTEGER) AS n_punct,
+      |  CAST(n_stop AS INTEGER) AS n_stop,
+      |  round((
+      |    (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0
+      |          WHEN n_tokens < 10 THEN CAST(n_tokens AS DOUBLE) / 10.0
+      |          ELSE 1000.0 / CAST(n_tokens AS DOUBLE) END)
+      |    + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) <= 0.1
+      |            THEN 1.0 ELSE 0.5 END)
+      |    + (CASE WHEN CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+      |                 BETWEEN 0.01 AND 0.6
+      |            THEN 1.0 ELSE 0.5 END)
+      |  ) / 3.0, 6) AS quality
+      |FROM t""".stripMargin
+
+  /** Heuristic language-ID: stopword-hit argmax with alphabetical
+    * tie-break (deterministic; the `lang` ground-truth column exists but
+    * the heuristic is scored against the oracle replica, not the label). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        TextOps.langId(col("text")).as("lang_pred"))
+
+  private val langIdOracle = {
+    val scores = TextOps.langStopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                 x -> len(x) > 0),
+         |     x -> list_contains($list, x))) AS s_$lang""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, lang, $scores FROM documents)
+       |SELECT doc_id, lang AS lang_label,
+       |  CASE
+       |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_zh THEN 'fr'
+       |    ELSE 'zh' END AS lang_pred
+       |FROM t""".stripMargin
+  }
+
+  /** 64-bit document fingerprints (sha-prefix; the winnowing rolling-hash
+    * variant is spec-tested — not SQL-expressible). */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  private val fingerprintsOracle =
+    """SELECT doc_id, substring(sha256(lower(trim(text))), 1, 16) AS fp
+      |FROM documents""".stripMargin
+
+  /** Exact n-gram Jaccard similarity over a bounded id range (the verify
+    * primitive used on LSH candidates, here oracled all-pairs on a small
+    * slice so DuckDB can afford the quadratic check). */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = scan(spark, sfDir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val a = docs.toDF("id_a", "text_a")
+    val b = docs.toDF("id_b", "text_b")
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(Dedup.jaccard(col("text_a"), col("text_b"), 3), 6))
+      .where(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  private val ngramJaccardOracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(lower(trim(text))) - 2, 1)),
+      |      i -> substring(lower(trim(text)), i, 3))) AS grams
+      |  FROM documents WHERE doc_id < 60)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |             CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+      |             6) AS jaccard
+      |FROM g a, g b
+      |WHERE a.doc_id < b.doc_id
+      |  AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+      |            6) >= 0.2""".stripMargin
+
+  def all: Seq[NamedQuery] = Seq(
+    NamedQuery("t01_dedup_groups", dedupGroups, Some(dedupGroupsOracle)),
+    NamedQuery("t02_dedup_keep", dedupKeep, Some(dedupKeepOracle)),
+    NamedQuery("t03_text_stats", textStats, Some(textStatsOracle)),
+    NamedQuery("t04_lang_id", langId, Some(langIdOracle)),
+    NamedQuery("t05_fingerprints", fingerprints, Some(fingerprintsOracle)),
+    NamedQuery("t06_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+  )
+}

@@ -1,0 +1,133 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *   - brute-force cosine top-k — the exactness baseline. Scales as
+  *     |queries| × |corpus|: fine when the query set is small and
+  *     broadcast; never the 100 TB corpus×corpus path.
+  *   - random-hyperplane LSH buckets — the scale path: each vector maps to
+  *     a small bucket code, candidate generation is an equi-join on the
+  *     code, and cosine runs only within buckets. Multiple independent
+  *     tables trade compute for recall.
+  *
+  * All vector math is double-precision higher-order functions
+  * (zip_with/aggregate) — codegen'd, no UDFs, no driver collect.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> once, at the edge. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product — deterministic order (left to right). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast); rank ties break by candidate id for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
+    * weights in [-1, 1), seeded — reproducible across runs and cluster
+    * sizes (no RNG state on executors). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bit bucket code of a vector under the given hyperplanes — the
+    * classic random-projection LSH for cosine similarity. */
+  def bucketCode(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: join query and corpus on bucket code (per table),
+    * exact cosine within buckets, global top-k per query across tables.
+    * With t tables of p planes, recall rises as 1-(1-(1-θ/π)^p)^t. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              planesPerTable: Int = 8, tables: Int = 4,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val codes = (0 until tables).map { t =>
+      hyperplanes(planesPerTable, dim, seed + t)
+    }
+    def coded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val base = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
+      val tagged = codes.zipWithIndex.map { case (planes, t) =>
+        base.withColumn("table", lit(t))
+          .withColumn("code", bucketCode(col(vec), planes))
+      }
+      tagged.reduce(_ unionAll _)
+    }
+    val q = coded(queries, "query_id", "qv")
+    val c = coded(corpus, "neighbor_id", "cv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("table", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .distinct() // same pair can meet in several tables
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-style coarse quantization as an alternative scale path: assign
+    * every vector to its nearest of `centroids` (tiny, broadcast), probe
+    * only matching cells. Centroids would come from a sample-and-kmeans
+    * step in production; any fixed centroid set works for the plumbing. */
+  def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cents = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__cents", cents)
+      .withColumn("cell", expr(
+        // argmin over centroid distances, sequential fold
+        s"""aggregate(
+           |  sequence(0, ${centroids.length - 1}),
+           |  struct(-1 AS idx, CAST('Infinity' AS DOUBLE) AS best),
+           |  (acc, i) -> IF(
+           |    aggregate(zip_with(v, element_at(CENTS, i + 1),
+           |                       (x, y) -> (x - y) * (x - y)),
+           |              CAST(0 AS DOUBLE), (s, d) -> s + d) < acc.best,
+           |    struct(i AS idx,
+           |           aggregate(zip_with(v, element_at(CENTS, i + 1),
+           |                              (x, y) -> (x - y) * (x - y)),
+           |                     CAST(0 AS DOUBLE), (s, d) -> s + d) AS best),
+           |    acc),
+           |  acc -> acc.idx)""".stripMargin
+          .replace("CENTS", "__cents")))
+      .withColumn("__cents", cents)
+      .drop("__cents")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over an events-shaped stream
+  * (event_id, ts, user_id, event_type, value). The same transforms work on
+  * a batch DataFrame (Spark's unified API), which is how the oracle checks
+  * them; MemoryStream specs exercise the incremental path with watermarks
+  * and state timeouts.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts with a watermark bounding state:
+    * late events beyond `lateness` are dropped, so state is O(windows in
+    * flight), not O(stream). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionUpdate(user_id: Long, session_start: Timestamp,
+                                 n_events: Long, closed: Boolean)
+  private final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Custom sessionization state machine via mapGroupsWithState: a session
+    * closes after `gapMs` of inactivity (processing-time timeout). State
+    * per key is 3 longs — bounded regardless of stream length. */
+  def sessionize(events: Dataset[(Long, Timestamp)], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(user, new Timestamp(s.start), s.n, closed = true)
+          } else {
+            val times = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption
+            val s0 = prev.getOrElse(SessionState(times.min, times.min, 0L))
+            // a gap inside the batch or since last state splits the session
+            val merged =
+              if (prev.isDefined && times.min - s0.last > gapMs)
+                SessionState(times.min, times.max, times.size.toLong)
+              else s0.copy(last = math.max(s0.last, times.max),
+                n = s0.n + times.size)
+            state.update(merged)
+            state.setTimeoutDuration(gapMs)
+            SessionUpdate(user, new Timestamp(merged.start), merged.n,
+              closed = false)
+          }
+      }
+  }
+
+  /** The batch view of the same sessionization (gap-based), used for the
+    * correctness oracle: lag + cumulative-sum session ids. Identical
+    * semantics to what the stateful op converges to on a closed input. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Write helper showing the intended production shape: append-mode
+    * parquet sink with checkpointing (exactly-once file sink). */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", path)
+}

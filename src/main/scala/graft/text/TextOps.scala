@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, built entirely
+  * from codegen'd builtins (no UDFs) so they stay inside WholeStageCodegen
+  * and scale linearly with no shuffle: every op here is a narrow map.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased, trimmed text; empty tokens
+    * dropped (split on leading separators yields ""). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-count proxy: word characters grouped into runs of ≤4
+    * plus single non-space punctuation — a deterministic regex stand-in for
+    * a real tokenizer's token count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(trim(text)),
+      lit("[a-z0-9]{1,4}|[^a-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
+
+  def stopwordCount(text: Column, words: Seq[String]): Column = {
+    val set = words.map(lit): Seq[Column]
+    size(filter(tokens(text), t => t.isin(set: _*)))
+  }
+
+  /** Quality-score heuristic in [0,1]: rewards mid-length docs, sane
+    * punctuation density, and a natural stopword ratio. All arithmetic is
+    * int-ratio → double, deterministic across engines. */
+  def qualityScore(nTokens: Column, nChars: Column, nPunct: Column,
+                   nStop: Column): Column = {
+    val lenScore = when(nTokens.between(10, 1000), lit(1.0))
+      .when(nTokens < 10, nTokens.cast("double") / 10.0)
+      .otherwise(lit(1000.0) / nTokens.cast("double"))
+    val punctRatio = nPunct.cast("double") / greatest(nChars.cast("double"), lit(1.0))
+    val punctScore = when(punctRatio <= 0.1, lit(1.0)).otherwise(lit(0.5))
+    val stopRatio = nStop.cast("double") / greatest(nTokens.cast("double"), lit(1.0))
+    val stopScore = when(stopRatio.between(0.01, 0.6), lit(1.0)).otherwise(lit(0.5))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Tiny per-language stopword tables for the heuristic language-ID.
+    * Deterministic and SQL-expressible so the DuckDB oracle can replicate
+    * the exact scoring. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "los", "y", "es", "en", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "en", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我"),
+  )
+
+  /** Heuristic language-ID: count stopword hits per language, pick the
+    * argmax; ties break alphabetically (the list above is sorted). */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    // argmax with first-wins (alphabetical) tie-break
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+         when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Document fingerprint: 64-bit-equivalent prefix of the sha256 of the
+    * normalized text. Collision-safe enough for dedup keys at 100 TB
+    * (2^64 space) and exactly replicable in any engine with sha256. */
+  def fingerprint(text: Column): Column =
+    substring(sha2(lower(trim(text)), 256), 1, 16)
+
+  /** Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD'03):
+    * k-gram Rabin-Karp hashes, then the min hash of each sliding window —
+    * the standard local fingerprinting for plagiarism-style overlap
+    * detection. Pure Scala (driver/executor-side), used via Dataset.map
+    * in tests; the sha-prefix `fingerprint` above is the SQL-path op. */
+  def winnow(text: String, k: Int = 5, window: Int = 4): Vector[Long] = {
+    val s = text.toLowerCase.trim
+    if (s.length < k) return Vector.empty
+    val B = 1000003L
+    val M = (1L << 61) - 1
+    // rolling k-gram hashes
+    val pow = (1 until k).foldLeft(1L)((a, _) => a * B % M)
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    for (i <- 0 until s.length) {
+      h = (h * B + s.charAt(i)) % M
+      if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * 2) % M
+      if (i >= k - 1) hashes(i - k + 1) = h
+    }
+    // min of each window, deduped on position (standard winnowing)
+    val picks = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+    for (w <- 0 to hashes.length - window) {
+      var (mi, mv) = (w, hashes(w))
+      for (j <- w until w + window)
+        if (hashes(j) <= mv) { mi = j; mv = hashes(j) } // rightmost min
+      picks += ((mi, mv))
+    }
+    picks.toVector.map(_._2)
+  }
+}
