@@ -39,13 +39,26 @@ object Dedup {
       i => norm.substr(i, lit(k))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the shingle set of xxhash64(seed, shingle). One narrow map,
-    * no shuffle; signature is numHashes longs regardless of doc size. */
-  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles(text, k),
-        s => xxhash64(seed, s))))
+  /** MinHash signatures via explode + groupBy-min: one row per (doc,
+    * shingle), the expensive string hash runs ONCE per shingle, then each
+    * of the `numHashes` functions is a cheap fixed-width rehash
+    * xxhash64(h, i) (ANSI-safe — no overflowing multiply). The min
+    * aggregation partial-combines map-side, so the shuffle carries only
+    * numHashes longs per doc — the 100 TB-safe shape (the alternative,
+    * nested array lambdas, recomputes the shingle set per hash function
+    * because Catalyst collapses the projections). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 5, numHashes: Int = 32): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail.toIndexedSeq: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")).toIndexedSeq: _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of
     * numHashes/bands rows each; docs sharing ANY band hash become
@@ -64,8 +77,7 @@ object Dedup {
                         k: Int = 5, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val r = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val sigs = minhashSignatures(df, textCol, idCol, k, numHashes)
       .withColumn("bh", explode(bandHashes(col("sig"), bands, r)))
       .select(col("id"), col("bh.band").as("band"),
         col("bh.bucket").as("bucket"))
@@ -84,20 +96,26 @@ object Dedup {
       size(array_union(sa, sb)).cast("double")
   }
 
+  /** Jaccard from precomputed distinct-gram arrays. Keeping grams as a
+    * column below the join means each doc's shingle set is computed once,
+    * not once per candidate pair. */
+  def jaccardFromGrams(gramsA: Column, gramsB: Column): Column =
+    size(array_intersect(gramsA, gramsB)).cast("double") /
+      size(array_union(gramsA, gramsB)).cast("double")
+
   /** Near-dup pairs: LSH candidates filtered by exact Jaccard ≥ threshold.
-    * End-to-end: map (signatures) → one shuffle (band join) → narrow
-    * verify. Never all-pairs. */
+    * End-to-end: map (signatures) → one shuffle (band join) → verify
+    * against per-doc gram arrays. Never all-pairs. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val grams = df.select(col(idCol).as("id"),
+      shingles(col(textCol), k).as("grams"))
     cands
-      .join(docs.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("text", "text_a"), "id_a")
-      .join(docs.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("text_a"), col("text_b"), k))
+      .join(grams.toDF("id_a", "grams_a"), "id_a")
+      .join(grams.toDF("id_b", "grams_b"), "id_b")
+      .withColumn("jaccard", jaccardFromGrams(col("grams_a"), col("grams_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

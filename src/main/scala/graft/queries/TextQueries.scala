@@ -126,13 +126,14 @@ object TextQueries {
     * primitive used on LSH candidates, here oracled all-pairs on a small
     * slice so DuckDB can afford the quadratic check). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = scan(spark, sfDir, "documents").where(col("doc_id") < 60)
-      .select(col("doc_id"), col("text"))
-    val a = docs.toDF("id_a", "text_a")
-    val b = docs.toDF("id_b", "text_b")
+    // grams computed once per doc BELOW the join (not per pair)
+    val grams = scan(spark, sfDir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+    val a = grams.toDF("id_a", "grams_a")
+    val b = grams.toDF("id_b", "grams_b")
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        round(Dedup.jaccard(col("text_a"), col("text_b"), 3), 6))
+        round(Dedup.jaccardFromGrams(col("grams_a"), col("grams_b")), 6))
       .where(col("jaccard") >= 0.2)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

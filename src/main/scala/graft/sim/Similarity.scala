@@ -70,9 +70,14 @@ object Similarity {
   /** LSH-bucketed ANN: join query and corpus on bucket code (per table),
     * exact cosine within buckets, global top-k per query across tables.
     * With t tables of p planes, recall rises as 1-(1-(1-θ/π)^p)^t. */
+  /** Default 3 planes × 10 tables suits a low-similarity corpus (random
+    * embeddings: top neighbors at cos≈0.2 ⇒ per-plane agreement ≈0.57,
+    * so 3 planes ⇒ ~0.19/table ⇒ ~0.88 recall over 10 tables). For
+    * true near-dup corpora (cos ≥ 0.9) raise planesPerTable to 8-16 to shrink
+    * buckets; recall stays high because per-plane agreement ≈0.9. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              planesPerTable: Int = 8, tables: Int = 4,
+              planesPerTable: Int = 3, tables: Int = 10,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
     val codes = (0 until tables).map { t =>
       hyperplanes(planesPerTable, dim, seed + t)

@@ -29,17 +29,28 @@ object StreamOps {
 
   final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                  n_events: Long, closed: Boolean)
-  private final case class SessionState(start: Long, last: Long, n: Long)
+  // public: Spark's state encoder codegen cannot construct private classes
+  final case class SessionState(start: Long, last: Long, n: Long)
 
   /** Custom sessionization state machine via mapGroupsWithState: a session
-    * closes after `gapMs` of inactivity (processing-time timeout). State
-    * per key is 3 longs — bounded regardless of stream length. */
-  def sessionize(events: Dataset[(Long, Timestamp)], gapMs: Long = 30 * 60 * 1000L)
+    * closes after `gapMs` of inactivity. State per key is 3 longs —
+    * bounded regardless of stream length.
+    *
+    * `timeout` defaults to ProcessingTimeTimeout in production (idle keys
+    * emit a closed-session record and release their state). NOTE: a query
+    * with processing-time timeouts never goes idle — the engine keeps
+    * scheduling batches to fire them — so `processAllAvailable`-style test
+    * harnesses must pass NoTimeout (gap splits still work batch-to-batch;
+    * only the explicit closed=true emission needs the timer). */
+  def sessionize(events: Dataset[(Long, Timestamp)],
+                 gapMs: Long = 30 * 60 * 1000L,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    val useTimer = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
         case (user, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -56,7 +67,7 @@ object StreamOps {
               else s0.copy(last = math.max(s0.last, times.max),
                 n = s0.n + times.size)
             state.update(merged)
-            state.setTimeoutDuration(gapMs)
+            if (useTimer) state.setTimeoutDuration(gapMs)
             SessionUpdate(user, new Timestamp(merged.start), merged.n,
               closed = false)
           }

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextOps
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG "), // dup after normalize
+    (4L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (5L, "completely different content about spark engines and parquet files"),
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps exactly the min-id row per normalized text") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) || pairs.contains((4L, 1L)) ||
+      pairs.contains((1L, 2L))) // near/exact dup caught
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash candidates never do all-pairs: distinct docs in no shared bucket are absent") {
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(!cands.contains((4L, 5L)) && !cands.contains((5L, 4L)))
+  }
+
+  test("jaccard is 1 for identical, 0 for disjoint shingle sets") {
+    val df = Seq(("abcdefgh", "abcdefgh", "zzzzzzzz")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.jaccard(col("a"), col("b")).as("same"),
+      Dedup.jaccard(col("a"), col("c")).as("diff")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: identical texts collide; planted near-dups within hamming 3") {
+    val base = docs.where(col("doc_id") === 1L)
+    val sh = Dedup.withSimhash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L)) // identical normalized text -> same simhash
+    val cands = Dedup.simhashCandidates(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("winnowing fingerprints overlap heavily for near-dup, barely for distinct") {
+    val a = TextOps.winnow("the quick brown fox jumps over the lazy dog")
+    val b = TextOps.winnow("the quick brown fox jumps over the lazy cat")
+    val c = TextOps.winnow("completely different content about spark engines")
+    assert(a.nonEmpty && b.nonEmpty && c.nonEmpty)
+    val ab = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+    val ac = a.toSet.intersect(c.toSet).size.toDouble / a.toSet.union(c.toSet).size
+    assert(ab > 0.5, s"near-dup overlap $ab")
+    assert(ac < 0.1, s"distinct overlap $ac")
+  }
+}

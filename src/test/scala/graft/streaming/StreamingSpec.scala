@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark aggregate by event-time hour (incremental)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(df, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts(0), "click", 1.0), (2L, ts(30), "click", 2.0),
+        (3L, ts(45), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits growing session then a new one after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((7L, ts(0)), (7L, ts(5)))
+      q.processAllAvailable()
+      mem.addData((7L, ts(45))) // 40 min gap > 10 min -> new session
+      q.processAllAvailable()
+      val updates = spark.table("sessions_out")
+        .select("user_id", "n_events").as[(Long, Long)].collect()
+      assert(updates.contains((7L, 2L))) // first session had 2 events
+      assert(updates.contains((7L, 1L))) // post-gap session restarted at 1
+    } finally q.stop()
+  }
+
+  test("batch sessionization splits on the 30-minute gap") {
+    val events = Seq(
+      (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
+      (4L, ts(0), 200L))
+      .toDF("event_id", "ts", "user_id")
+    val out = StreamOps.sessionizeBatch(events)
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((100L, 1L, 2L), (100L, 2L, 1L), (200L, 1L, 1L)))
+  }
+}
