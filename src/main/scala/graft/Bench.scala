@@ -23,6 +23,14 @@ object Bench {
       spark.stop()
       sys.exit(1)
     }
+    // warm up the session once (parquet footer reads, codegen compiler,
+    // shuffle machinery) so the first measured query isn't charged JVM
+    // startup; warmup cost is excluded from every per-query timing.
+    try {
+      val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      w.groupBy("l_returnflag").count().write.mode("overwrite")
+        .format("noop").save()
+    } catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -105,39 +105,56 @@ object Dedup {
 
   /** Near-dup pairs: LSH candidates filtered by exact Jaccard ≥ threshold.
     * End-to-end: map (signatures) → one shuffle (band join) → verify
-    * against per-doc gram arrays. Never all-pairs. */
+    * against per-doc HASHED gram arrays (xxhash64 per shingle: Jaccard is
+    * identical modulo 64-bit collisions, and long-array set ops are far
+    * cheaper than string-array ones on dense candidate sets). Never
+    * all-pairs. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)
     val grams = df.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("grams"))
+      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+        .as("grams"))
+    // identical subtree on both sides of the two joins -> Spark reuses the
+    // exchange instead of recomputing shingle hashes twice
     cands
-      .join(grams.toDF("id_a", "grams_a"), "id_a")
-      .join(grams.toDF("id_b", "grams_b"), "id_b")
-      .withColumn("jaccard", jaccardFromGrams(col("grams_a"), col("grams_b")))
+      .join(grams.as("ga"), col("id_a") === col("ga.id"))
+      .join(grams.as("gb"), col("id_b") === col("gb.id"))
+      .withColumn("jaccard",
+        jaccardFromGrams(col("ga.grams"), col("gb.grams")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 over each
     * token-hash's bit value; the sign of the sum is the fingerprint bit.
-    * Near-dups differ in few bits (small Hamming distance). Expressed as a
-    * SQL higher-order aggregate (the Scala `shiftright` helper only takes
-    * literal shift amounts; the SQL form shifts by the lambda variable). */
-  def simhashExpr(tokenHashesCol: String): Column = expr(
-    s"""aggregate(
-       |  sequence(0, 63), CAST(0 AS BIGINT),
-       |  (acc, i) -> acc + IF(
-       |    aggregate($tokenHashesCol, 0,
-       |      (s, h) -> s + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
-       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+    * Near-dups differ in few bits (small Hamming distance).
+    *
+    * Shaped like minhashSignatures: explode tokens → one string hash per
+    * token → 64 vote-sum aggregates → assemble the sign bits into one
+    * long. The aggregation partial-combines map-side (64 ints per doc on
+    * the shuffle); the nested higher-order-aggregate alternative evaluates
+    * 64 × tokens interpreted lambdas per row and is ~20× slower. */
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(graft.text.TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$i"))
+    val assembled = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(col("id"))
+      .agg(votes.head, votes.tail.toIndexedSeq: _*)
+      .select(col("id"), assembled.as("simhash"))
+  }
 
-  def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__th",
-        transform(graft.text.TextOps.tokens(col(textCol)), t => xxhash64(t)))
-      .withColumn("simhash", simhashExpr("__th"))
-      .drop("__th")
+  def withSimhash(df: DataFrame, textCol: String,
+                  idCol: String = "doc_id"): DataFrame =
+    df.join(simhashes(df, textCol, idCol).withColumnRenamed("id", idCol),
+      idCol)
 
   /** SimHash candidate pairs by the standard 4×16-bit chunk trick: two
     * 64-bit prints within Hamming distance 3 must agree exactly on at
@@ -145,7 +162,7 @@ object Dedup {
     * (chunk index, chunk value) — never all-pairs. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol)
+    val sh = simhashes(df, textCol, idCol)
       .select(col("id"), col("simhash").as("sh"))
     val chunked = sh.withColumn("chunk", explode(expr(
         "transform(sequence(0, 3), c -> " +

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.SparkSpec
+
+/** Physical-plan invariants — the 100 TB guardrails. A query can be
+  * value-correct and still die at scale; these assertions pin the plan
+  * shapes that survive a 1000-executor 100 TB run:
+  *   - scans prune columns (never read all of lineitem for a 3-column map)
+  *   - partition-style predicates push into the parquet scan
+  *   - dimension joins broadcast (no shuffle of the big fact side's dim)
+  *   - nothing introduces a cartesian product accidentally
+  *   - hot paths stay inside WholeStageCodegen */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    Registry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planStr(name: String): String = plan(name).toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("flagship: ds-equality filter pushes to the scan as a date predicate") {
+    val s = planStr("p01_flagship")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed filter on l_shipdate in:\n$s")
+    // only the mapped columns are read
+    assert(s.contains("ReadSchema") &&
+      !s.contains("l_extendedprice"), "unmapped columns must be pruned")
+  }
+
+  test("q1 agg: partial aggregation before the exchange (map-side combine)") {
+    val s = planStr("e01_q1_agg")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "expected partial+final HashAggregate pair")
+    assert(s.contains("partial_sum"), "map-side combine must be present")
+    // (WholeStageCodegen spans only render in the post-execution AQE plan;
+    // HashAggregate/Filter/Project here are codegen-supported operators)
+  }
+
+  test("q3 join: dimension side broadcasts; no shuffle of customer") {
+    val s = planStr("e02_q3_join_topk")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-k must not globally sort")
+  }
+
+  test("rollup: both dims broadcast") {
+    val s = planStr("e03_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2)
+    assert(s.contains("Expand"), "rollup uses Expand, not a union of scans")
+  }
+
+  test("semi/anti joins stay semi/anti (no row multiplication)") {
+    val s = planStr("e04_semi_anti")
+    assert(s.contains("LeftSemi") && s.contains("LeftAnti"))
+  }
+
+  test("no accidental cartesian products anywhere") {
+    // t06/s05 are deliberate bounded all-pairs verifies (doc_id<60 /
+    // vec_id<200 slices); everything else must be join-keyed
+    val exempt = Set("t06_ngram_jaccard", "s05_cosine_neardup",
+      "s01_cosine_topk") // s01 broadcasts a 5-row query set by design
+    Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
+      val s = Registry.queries(q.name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"),
+        s"${q.name} has a cartesian product:\n$s")
+    }
+  }
+
+  test("minhash near-dup: the band join is an equi-join, not a cross") {
+    val s = planStr("s03_minhash_neardup")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+      s.contains("BroadcastHashJoin"), "band bucket join must be keyed")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("text stats: pure narrow map — no exchange at all") {
+    val s = planStr("t03_text_stats")
+    assert(!s.contains("Exchange"), s"text stats must not shuffle:\n$s")
+  }
+
+  test("dedup groups: single shuffle on the hash key") {
+    val s = planStr("t01_dedup_groups")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      "exactly one shuffle (partial agg combines map-side)")
+  }
+}
