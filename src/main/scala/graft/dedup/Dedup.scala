@@ -32,11 +32,17 @@ object Dedup {
   }
 
   /** Character k-shingles (distinct) of the normalized text. */
-  def shingles(text: Column, k: Int = 5): Column = {
+  def shingles(text: Column, k: Int = 5): Column =
+    array_distinct(rawShingles(text, k))
+
+  /** All k-gram positions, duplicates included — enough for MinHash (the
+    * min over a multiset equals the min over its set), skipping the
+    * per-doc string-array distinct. */
+  def rawShingles(text: Column, k: Int = 5): Column = {
     val norm = lower(trim(text))
-    array_distinct(transform(
+    transform(
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => norm.substr(i, lit(k))))
+      i => norm.substr(i, lit(k)))
   }
 
   /** MinHash signatures via explode + groupBy-min: one row per (doc,
@@ -50,7 +56,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, numHashes: Int = 32): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), k)).as("s"))
+        explode(rawShingles(col(textCol), k)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i"))

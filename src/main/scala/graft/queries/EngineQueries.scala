@@ -195,6 +195,75 @@ object EngineQueries {
       |       round(p_retailprice * 1.1, 2) AS marked_up
       |FROM part""".stripMargin
 
+  /** Date/time function coverage over orders. */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(lit("1998-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_98"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30),
+          "yyyy-MM-dd").as("plus30"))
+
+  private val dateFuncsOracle =
+    """SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |       CAST(month(o_orderdate) AS INTEGER) AS m,
+      |       CAST(day(o_orderdate) AS INTEGER) AS d,
+      |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+      |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+      |FROM orders""".stripMargin
+
+  /** Array function coverage over embeddings (float elements are exactly
+    * representable as doubles, so casts are value-preserving). */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first"),
+        round(array_max(col("embedding")).cast("double"), 4).as("vmax"),
+        round(array_min(col("embedding")).cast("double"), 4).as("vmin"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (a, x) => a + x), 4).as("vsum"))
+
+  private val arrayFuncsOracle =
+    """SELECT vec_id,
+      |       CAST(len(embedding) AS INTEGER) AS dim,
+      |       round(CAST(embedding[1] AS DOUBLE), 4) AS first,
+      |       round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+      |       round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+      |       round(list_sum(embedding::DOUBLE[]), 4) AS vsum
+      |FROM embeddings""".stripMargin
+
+  /** Conditional aggregation: FILTER-style counts, distincts, string
+    * min/max, bucketed histogram — per order-year. */
+  def conditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"),
+        decSum(col("o_totalprice"), 2).cast("double").as("sum_price"))
+
+  private val conditionalAggOracle =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       COUNT(*) AS n,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       COUNT(DISTINCT o_custkey) AS n_cust,
+      |       MIN(o_orderpriority) AS min_prio,
+      |       MAX(o_orderpriority) AS max_prio,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("e01_q1_agg", q1Agg, Some(q1Oracle)),
     NamedQuery("e02_q3_join_topk", q3JoinTopk, Some(q3Oracle)),
@@ -203,5 +272,8 @@ object EngineQueries {
     NamedQuery("e05_set_ops", setOps, Some(setOpsOracle)),
     NamedQuery("e06_window_topk", windowTopk, Some(windowTopkOracle)),
     NamedQuery("e07_scalar_funcs", scalarFuncs, Some(scalarFuncsOracle)),
+    NamedQuery("e08_date_funcs", dateFuncs, Some(dateFuncsOracle)),
+    NamedQuery("e09_array_funcs", arrayFuncs, Some(arrayFuncsOracle)),
+    NamedQuery("e10_conditional_agg", conditionalAgg, Some(conditionalAggOracle)),
   )
 }
