@@ -112,9 +112,19 @@ object SimilarityQueries {
       |       'fake' AS format
       |FROM documents""".stripMargin
 
+  /** IVF-bucketed ANN with seeded pseudo-random centroids, nprobe=2 of 8
+    * cells. Rows-only (seeded centroid internals aren't SQL-replicable);
+    * SimilaritySpec checks structure + recall against brute force. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = scan(spark, sfDir, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") < 5), emb,
+      Similarity.hyperplanes(8, 64, seed = 11L), k = 10, nprobe = 2)
+  }
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("s01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     NamedQuery("s02_ann_lsh", annLsh, None),
+    NamedQuery("s07_ann_ivf", annIvf, None),
     NamedQuery("s03_minhash_neardup", minhashNearDup, None),
     NamedQuery("s04_simhash_neardup", simhashNearDup, None),
     NamedQuery("s05_cosine_neardup", cosineNearDup, Some(cosineNearDupOracle)),

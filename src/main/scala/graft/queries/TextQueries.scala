@@ -88,11 +88,36 @@ object TextQueries {
 
   /** Heuristic language-ID: stopword-hit argmax with alphabetical
     * tie-break (deterministic; the `lang` ground-truth column exists but
-    * the heuristic is scored against the oracle replica, not the label). */
-  def langId(spark: SparkSession, sfDir: String): DataFrame =
-    scan(spark, sfDir, "documents")
-      .select(col("doc_id"), col("lang").as("lang_label"),
-        TextOps.langId(col("text")).as("lang_pred"))
+    * the heuristic is scored against the oracle replica, not the label).
+    *
+    * Shaped as explode + 5 conditional sums (one pass over tokens,
+    * map-side combine) rather than TextOps.langId's per-language column
+    * filters — Catalyst collapses those into 5 recomputations of the
+    * token split per row. Scores and argmax are identical. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = scan(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode_outer(TextOps.tokens(col("text"))).as("t"))
+    val scores = TextOps.langStopwords.map { case (lang, words) =>
+      sum(when(col("t").isin(words.map(w => w: Any): _*), 1).otherwise(0))
+        .as(s"s_$lang")
+    }
+    val scored = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(scores.head, scores.tail.toIndexedSeq: _*)
+    // argmax, earliest (alphabetical) language wins ties — matches both
+    // TextOps.langId's fold and the oracle's CASE chain
+    val pred = TextOps.langStopwords.map(_._1).foldRight(lit("zh"): org.apache.spark.sql.Column) {
+      case (lang, elseCol) =>
+        if (lang == "zh") elseCol
+        else {
+          val later = TextOps.langStopwords.map(_._1).dropWhile(_ != lang).tail
+          when(later.map(l => col(s"s_$lang") >= col(s"s_$l")).reduce(_ && _),
+            lit(lang)).otherwise(elseCol)
+        }
+    }
+    scored.select(col("doc_id"), col("lang").as("lang_label"),
+      pred.as("lang_pred"))
+  }
 
   private val langIdOracle = {
     val scores = TextOps.langStopwords.map { case (lang, words) =>

@@ -107,10 +107,49 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF-style coarse quantization as an alternative scale path: assign
-    * every vector to its nearest of `centroids` (tiny, broadcast), probe
-    * only matching cells. Centroids would come from a sample-and-kmeans
-    * step in production; any fixed centroid set works for the plumbing. */
+  private def sqDist(v: Column, cent: Array[Double]): Column = {
+    val c = array(cent.map(lit).toIndexedSeq: _*)
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+  }
+
+  /** IVF top-k: corpus vectors are bucketed by nearest centroid (one
+    * narrow map + an equi-join); each query probes its `nprobe` nearest
+    * cells only. The 100 TB story: the corpus is scanned once to build
+    * cell assignments (in production, persisted + partitioned by cell),
+    * and a query touches |corpus|·nprobe/|cells| candidates instead of
+    * the whole corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              centroids: Array[Array[Double]], k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.FloatCosine.register(queries.sparkSession)
+    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("cell"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val probed = centroids.zipWithIndex.map { case (cent, i) =>
+      q0.withColumn("cell", lit(i)).withColumn("dist", sqDist(col("qv"), cent))
+    }.reduce(_ unionAll _)
+    val byDist = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    val qCells = probed.withColumn("pr", row_number().over(byDist))
+      .where(col("pr") <= nprobe).drop("pr", "dist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(qCells), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids` (tiny, broadcast). Centroids would come from a
+    * sample-and-kmeans step in production; any fixed centroid set works
+    * for the plumbing. */
   def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {

@@ -42,6 +42,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF top-k probes nprobe cells and returns ranked neighbors") {
+    val cents = Similarity.hyperplanes(8, 64, seed = 11L)
+    val queries = emb.where(col("vec_id") < 3)
+    val out = Similarity.ivfTopK(queries, emb, cents, k = 5, nprobe = 2)
+      .collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+      assert(rows.length <= 5 && rows.nonEmpty)
+    }
+    // nprobe=2 of 8 cells: candidates must be a strict subset of the corpus
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = out
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ivf recall $recall") // coarse cells, lenient bound
+  }
+
   test("IVF assignment puts every vector in a valid cell") {
     val cents = Similarity.hyperplanes(4, 64, seed = 7L)
     val out = Similarity.ivfAssign(emb.limit(50), cents)

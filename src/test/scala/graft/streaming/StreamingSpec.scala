@@ -50,6 +50,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: parquet file stream -> watermarked windows -> exactly-once parquet sink") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def writeBatch(rows: Seq[(Long, Timestamp, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    writeBatch(Seq((1L, ts(0), "click", 1.0), (2L, ts(20), "click", 2.0)))
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = StreamOps.startParquetSink(
+      StreamOps.windowedCounts(stream, "1 hour", "10 minutes"), out, chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a much later event advances the watermark past hour-10's close
+      writeBatch(Seq((3L, Timestamp.valueOf("2024-01-01 14:00:00"), "view", 5.0)))
+      q.processAllAvailable()
+      writeBatch(Seq((4L, Timestamp.valueOf("2024-01-01 15:00:00"), "view", 6.0)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(got.contains(("click", 2L, 3.0)),
+        s"hour-10 click window must be finalized and sunk, got $got")
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
