@@ -83,7 +83,15 @@ object Dedup {
                         k: Int = 5, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, textCol, idCol, k, numHashes)
+    // default shape goes through the native fused-loop expression (pure
+    // narrow map, no shuffle); non-default params use the aggregation form
+    val base =
+      if (k == 5 && numHashes == 32) {
+        graft.functions.MinHashSig.register(df.sparkSession)
+        df.select(col(idCol).as("id"),
+          expr(s"minhash_sig(lower(trim($textCol)))").as("sig"))
+      } else minhashSignatures(df, textCol, idCol, k, numHashes)
+    val sigs = base
       .withColumn("bh", explode(bandHashes(col("sig"), bands, r)))
       .select(col("id"), col("bh.band").as("band"),
         col("bh.bucket").as("bucket"))
@@ -118,17 +126,25 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8): DataFrame = {
+    graft.functions.SortedIntersectSize.register(df.sparkSession)
     val cands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)
+    // per-doc sorted distinct hashed grams: the merge-scan intersect needs
+    // sorted inputs, and |union| = na + nb - |intersect| (no union pass)
     val grams = df.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
-        .as("grams"))
+        sort_array(array_distinct(
+          transform(rawShingles(col(textCol), k), s => xxhash64(s))))
+          .as("grams"))
+      .withColumn("n", size(col("grams")))
     // identical subtree on both sides of the two joins -> Spark reuses the
     // exchange instead of recomputing shingle hashes twice
     cands
       .join(grams.as("ga"), col("id_a") === col("ga.id"))
       .join(grams.as("gb"), col("id_b") === col("gb.id"))
+      .withColumn("inter",
+        expr("intersect_size_sorted(ga.grams, gb.grams)"))
       .withColumn("jaccard",
-        jaccardFromGrams(col("ga.grams"), col("gb.grams")))
+        col("inter").cast("double") /
+          (col("ga.n") + col("gb.n") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

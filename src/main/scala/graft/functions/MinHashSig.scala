@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature: all `numHashes` minima in ONE fused loop
+  * over the string's bytes — no shingle array, no explode, no shuffle.
+  *
+  * Per byte-position window of width `k`: a polynomial hash of the window
+  * (Java wraparound arithmetic), then per hash function i a cheap
+  * xor-seed + murmur64 finalizer; the running minimum per i is the
+  * signature. Byte-level shingling is deterministic for any input and
+  * equivalent to char-level for ASCII corpora.
+  *
+  * vs the aggregation-shaped `Dedup.minhashSignatures` (explode + 32
+  * min-aggregates): same LSH banding downstream, but this form is a
+  * narrow map — the 100 TB shuffle disappears entirely and per-doc cost
+  * drops to one pass over the bytes.
+  */
+case class MinHashSig(child: Expression, k: Int = 5, numHashes: Int = 32)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  private lazy val seeds: Array[Long] = MinHashSig.seeds(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var p = 0
+    while (p + k <= n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = h * 131L + s.getByte(p + j); j += 1 }
+      var i = 0
+      while (i < numHashes) {
+        val x = MinHashSig.fmix64(h ^ seeds(i))
+        if (x < mins(i)) mins(i) = x
+        i += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+      val mins = ctx.freshName("mins")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $input.numBytes();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $p = 0; $p + $k <= $n; $p++) {
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    $h = $h * 131L + $input.getByte($p + $j);
+         |  }
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $x = $h ^ $seedsRef[$i];
+         |    $x = ($x ^ ($x >>> 33)) * ${0xff51afd7ed558ccdL}L;
+         |    $x = ($x ^ ($x >>> 33)) * ${0xc4ceb9fe1a85ec53L}L;
+         |    $x = $x ^ ($x >>> 33);
+         |    if ($x < $mins[$i]) $mins[$i] = $x;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+}
+
+object MinHashSig {
+  val name = "minhash_sig"
+
+  /** Murmur3 64-bit finalizer — full avalanche, so xor-seeding upstream
+    * yields effectively independent hash functions. */
+  def fmix64(v: Long): Long = {
+    var x = v
+    x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+    x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  def seeds(numHashes: Int, seed: Long = 42L): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)(rnd.nextLong())
+  }
+
+  /** Idempotent per-session registration: `minhash_sig(text)` with the
+    * default k=5, numHashes=32. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[MinHashSig].getName, name),
+      (args: Seq[Expression]) => MinHashSig(args.head))
+}
