@@ -180,6 +180,40 @@ object TextQueries {
       |            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
       |            6) >= 0.2""".stripMargin
 
+  /** Overlapping fixed-width chunking (200-char windows, stride 150) —
+    * the doc→training-sample explode. Pure narrow map; at 100 TB this is
+    * the shape that feeds tokenization without any shuffle. */
+  def chunking(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150)),
+          s => col("text").substr(s, lit(200)))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+        col("col").as("chunk"))
+
+  private val chunkingOracle =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1,
+      |           CAST(floor((greatest(length(text), 1) - 1) / 150) + 1 AS BIGINT))) AS i
+      |  FROM documents)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_no,
+      |       substring(text, CAST(1 + (i - 1) * 150 AS BIGINT), 200) AS chunk
+      |FROM c""".stripMargin
+
+  /** Deterministic systematic sampling: an LCG-style keyed filter — the
+    * reproducible alternative to seeded RNG sampling (same rows on any
+    * cluster size, any partitioning, any engine). */
+  def sampled(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "documents")
+      .where((col("doc_id") * 48271L) % 97 < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  private val sampledOracle =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE (doc_id * 48271) % 97 < 10""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("t01_dedup_groups", dedupGroups, Some(dedupGroupsOracle)),
     NamedQuery("t02_dedup_keep", dedupKeep, Some(dedupKeepOracle)),
@@ -187,5 +221,7 @@ object TextQueries {
     NamedQuery("t04_lang_id", langId, Some(langIdOracle)),
     NamedQuery("t05_fingerprints", fingerprints, Some(fingerprintsOracle)),
     NamedQuery("t06_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    NamedQuery("t07_chunking", chunking, Some(chunkingOracle)),
+    NamedQuery("t08_systematic_sample", sampled, Some(sampledOracle)),
   )
 }
