@@ -178,6 +178,41 @@ object Dedup {
     df.join(simhashes(df, textCol, idCol).withColumnRenamed("id", idCol),
       idCol)
 
+  /** Connected components over a near-dup pair graph: every doc gets the
+    * min doc-id of its component as `cluster_id`, so survivor selection
+    * is `doc_id == cluster_id`. Iterative min-label propagation with a
+    * driver-side convergence check; each iteration is one shuffle of the
+    * (bounded) edge set, and near-dup graphs converge in a few hops
+    * (components are tiny — duplicate clusters, not social graphs).
+    * `maxIter` bounds the worst case. */
+  def clusterAssign(pairs: DataFrame, allIds: DataFrame,
+                    maxIter: Int = 10): DataFrame = {
+    // undirected edges both ways + self-loops for singletons
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = allIds.select(col("id"), col("id").as("cluster_id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // each node adopts the min cluster label among itself + neighbors
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "nbr_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true) // truncate the growing iterative lineage
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .where(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash candidate pairs by the standard 4×16-bit chunk trick: two
     * 64-bit prints within Hamming distance 3 must agree exactly on at
     * least one of the 4 chunks, so candidates come from an equi-join on

@@ -214,6 +214,34 @@ object TextQueries {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE (doc_id * 48271) % 97 < 10""".stripMargin
 
+  /** The composite training-data pipeline, end-to-end: exact dedup →
+    * MinHash-LSH near-dup clustering → min-id survivor per cluster →
+    * quality floor → chunking → systematic sample. Rows-only (the LSH
+    * stage is seeded-internal); PipelineCompositionSpec asserts the
+    * dedup/survivor behavior on planted duplicates. This is the query a
+    * 100 TB corpus actually runs: every stage is a narrow map or a
+    * bounded keyed shuffle. */
+  def trainingPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = scan(spark, sfDir, "documents")
+    val exact = Dedup.exactDedup(docs, "text", "doc_id")
+    val pairs = Dedup.nearDupPairs(exact, "text", "doc_id", threshold = 0.5)
+    val clusters = Dedup.clusterAssign(
+      pairs, exact.select(col("doc_id").as("id")))
+    val survivors = exact
+      .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
+      .where(col("doc_id") === col("cluster_id"))
+    val quality = survivors
+      .where(size(TextOps.tokens(col("text"))) >= 10)
+    quality
+      .where((col("doc_id") * 48271L) % 97 < 50)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150)),
+          s => col("text").substr(s, lit(200)))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+        col("col").as("chunk"))
+  }
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("t01_dedup_groups", dedupGroups, Some(dedupGroupsOracle)),
     NamedQuery("t02_dedup_keep", dedupKeep, Some(dedupKeepOracle)),
@@ -223,5 +251,6 @@ object TextQueries {
     NamedQuery("t06_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     NamedQuery("t07_chunking", chunking, Some(chunkingOracle)),
     NamedQuery("t08_systematic_sample", sampled, Some(sampledOracle)),
+    NamedQuery("t09_training_pipeline", trainingPipeline, None),
   )
 }

@@ -54,6 +54,25 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("cluster assignment labels each component with its min id") {
+    // components: {1,2,3} (chain), {4,5}, {6} singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val ids = (1L to 6L).toDF("id")
+    val labels = Dedup.clusterAssign(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("cluster assignment converges on a long chain within maxIter hops") {
+    // chain 1-2-3-...-9: min label must travel the whole chain
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("id")
+    val labels = Dedup.clusterAssign(pairs, ids, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("winnowing fingerprints overlap heavily for near-dup, barely for distinct") {
     val a = TextOps.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextOps.winnow("the quick brown fox jumps over the lazy cat")
