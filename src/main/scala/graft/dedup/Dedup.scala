@@ -187,10 +187,14 @@ object Dedup {
     * `maxIter` bounds the worst case. */
   def clusterAssign(pairs: DataFrame, allIds: DataFrame,
                     maxIter: Int = 10): DataFrame = {
-    // undirected edges both ways + self-loops for singletons
+    // undirected edges both ways; materialized ONCE — without this the
+    // whole upstream pair-generation plan (LSH candidates + verify) would
+    // recompute on every propagation iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = allIds.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
