@@ -264,7 +264,39 @@ object EngineQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Exact median via middle-row selection — engine-portable (unlike
+    * approx_percentile or interpolation-policy-dependent medians): total
+    * order by (price, orderkey), pick the one or two middle rows, average
+    * them. Deterministic across engines and partitionings. */
+  def exactMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val cw = Window.partitionBy(col("o_orderpriority"))
+    scan(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .where(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(col("o_totalprice")) / count(lit(1))).as("median_price"))
+  }
+
+  private val exactMedianOracle =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice, o_orderkey) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |       SUM(o_totalprice) / COUNT(*) AS median_price
+      |FROM r
+      |WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+      |   OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+      |GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e11_exact_median", exactMedian, Some(exactMedianOracle)),
     NamedQuery("e01_q1_agg", q1Agg, Some(q1Oracle)),
     NamedQuery("e02_q3_join_topk", q3JoinTopk, Some(q3Oracle)),
     NamedQuery("e03_rollup", rollupAgg, Some(rollupOracle)),
