@@ -30,6 +30,23 @@ object CoreOps {
   def partitionFilter(df: DataFrame, dsCol: Column, ds: String): DataFrame =
     df.where(dsCol === lit(ds))
 
+  /** ds-equality as a RANGE predicate on the raw date column. Semantically
+    * identical to `date_format(dateCol, pattern) === ds` for day-grain
+    * patterns, but pushes to the scan as plain comparisons
+    * (`PushedFilters: [GreaterThanOrEqual(...), LessThan(...)]`) so
+    * parquet row-group stats — and, on a date-partitioned table,
+    * partition pruning — actually skip data. `date_format` equality only
+    * pushes IsNotNull: the function call hides the column from the
+    * pushdown translator. Falls back to the derived-column filter for
+    * non-day patterns. */
+  def pushablePartitionFilter(df: DataFrame, dateCol: Column, ds: String,
+                              pattern: String = "yyyyMMdd"): DataFrame =
+    if (pattern == "yyyyMMdd" || pattern == "yyyy-MM-dd") {
+      val day = to_date(lit(ds), pattern)
+      df.where(dateCol >= day && dateCol < date_add(day, 1))
+    } else
+      df.where(withDs(dateCol, pattern) === lit(ds))
+
   /** §2 rows 6-8 — projection + rename + constant injection, with the
     * missing-source-column policy applied against the actual schema
     * (replaces parseDataFile validation, HiveToMysql.java:309-332).

@@ -32,8 +32,10 @@ object ParityQueries {
         |ds=$ds
         |version=#2.0""".stripMargin)
     val li = CoreOps.scan(spark, sfDir, "lineitem")
-      .withColumn("ds", CoreOps.withDs(col("l_shipdate"), conf.dsFormat))
-    val filtered = CoreOps.partitionFilter(li, col("ds"), conf.ds())
+    // range form of the ds= filter: pushes to the scan as raw date
+    // comparisons -> parquet row-group / partition pruning at scale
+    val filtered = CoreOps.pushablePartitionFilter(
+      li, col("l_shipdate"), conf.ds(), conf.dsFormat)
     val projected = CoreOps.project(filtered, mapping, conf.raw)
     CoreOps.normalizeNulls(CoreOps.allVarchar(projected))
   }

@@ -24,10 +24,13 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  test("flagship: ds-equality filter pushes to the scan as a date predicate") {
+  test("flagship: ds-equality filter pushes to the scan as a date RANGE") {
     val s = planStr("p01_flagship")
-    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"),
-      s"expected pushed filter on l_shipdate in:\n$s")
+    // the range form pushes real comparisons (row-group pruning), not just
+    // IsNotNull like the date_format-equality form would
+    assert(s.contains("GreaterThanOrEqual(l_shipdate") &&
+      s.contains("LessThan(l_shipdate"),
+      s"expected pushed date-range on l_shipdate in:\n$s")
     // only the mapped columns are read
     assert(s.contains("ReadSchema") &&
       !s.contains("l_extendedprice"), "unmapped columns must be pruned")
