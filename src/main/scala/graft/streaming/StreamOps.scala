@@ -103,4 +103,31 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .option("path", path)
+
+  /** Streaming flavor of the reference's idempotent keyed-overwrite sink
+    * (JdbcIdempotentSink): per micro-batch, DELETE the batch's key values
+    * then append — so update-mode re-emissions of a window and replayed
+    * batches after failure both converge to one row per key
+    * (effectively-once on at-least-once delivery). The delete set is the
+    * batch's DISTINCT keys: bounded by windows-in-batch, never data-sized.
+    */
+  def startJdbcUpsertSink(df: DataFrame, url: String, table: String,
+                          keyCols: Seq[String], checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val keys = batch
+          .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          .distinct().collect()
+        keys.foreach { row =>
+          graft.sink.JdbcIdempotentSink.preDelete(url, table,
+            keyCols.zipWithIndex.map { case (c, i) =>
+              c -> String.valueOf(row.get(i))
+            })
+        }
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .jdbc(url, table, new java.util.Properties())
+        ()
+      }
 }

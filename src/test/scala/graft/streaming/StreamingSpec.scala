@@ -81,6 +81,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert sink: late updates overwrite, not duplicate (Derby)") {
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE win_t (window_start TIMESTAMP, event_type VARCHAR(20), " +
+        "n BIGINT, sum_value DOUBLE)")
+    conn.close()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val chk = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val q = StreamOps.startJdbcUpsertSink(
+      StreamOps.windowedCounts(df, "1 hour", "10 minutes"),
+      url, "win_t", Seq("window_start", "event_type"), chk).start()
+    try {
+      mem.addData((1L, ts(0), "click", 1.0))
+      q.processAllAvailable()
+      // same window again: update-mode re-emits the row; the keyed delete
+      // must overwrite, leaving exactly one row for the window
+      mem.addData((2L, ts(30), "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.read.jdbc(url, "win_t", new java.util.Properties())
+        .collect()
+      assert(rows.length == 1, s"expected one upserted row, got ${rows.toSeq}")
+      assert(rows.head.getAs[Long]("N") == 2L) // Derby upper-cases identifiers
+      assert(rows.head.getAs[Double]("SUM_VALUE") == 3.0)
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
