@@ -62,7 +62,11 @@ object Similarity {
   }
 
   /** Sign-bit bucket code of a vector under the given hyperplanes — the
-    * classic random-projection LSH for cosine similarity. */
+    * classic random-projection LSH for cosine similarity.
+    * (Measured note: expanding the literal-plane dot into a flat 64-term
+    * multiply-add chain per plane looks codegen-friendly but DOUBLES the
+    * query time — 30 planes × 64 element_at terms per row overwhelms the
+    * generated method; the array-lambda fold below is the faster form.) */
   def bucketCode(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit).toIndexedSeq: _*)
