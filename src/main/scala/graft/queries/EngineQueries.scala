@@ -295,7 +295,63 @@ object EngineQueries {
       |   OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
       |GROUP BY 1""".stripMargin
 
+  /** Pivot with an explicit value list (deterministic columns): order
+    * counts per year by status. */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("y"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val pivotOracle =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** CUBE over two dims: all four grouping combinations in one pass
+    * (Expand-based, like rollup). */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("o_totalprice"), 2).cast("double").as("sum_price"))
+
+  private val cubeOracle =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Sliding window frame: 7-row moving sum of daily order totals —
+    * ROWS BETWEEN framing with exact decimal arithmetic. */
+  def movingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = scan(spark, sfDir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(decSum(col("o_totalprice"), 2).as("total"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("moving7", sum(col("total")).over(w).cast("double"))
+      .select(col("day"), col("total").cast("double").as("total"),
+        col("moving7"))
+  }
+
+  private val movingOracle =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders GROUP BY 1)
+      |SELECT day, CAST(total AS DOUBLE) AS total,
+      |       CAST(SUM(total) OVER (ORDER BY day
+      |                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |            AS DOUBLE) AS moving7
+      |FROM d""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e12_pivot", pivotAgg, Some(pivotOracle)),
+    NamedQuery("e13_cube", cubeAgg, Some(cubeOracle)),
+    NamedQuery("e14_moving_window", movingAgg, Some(movingOracle)),
     NamedQuery("e11_exact_median", exactMedian, Some(exactMedianOracle)),
     NamedQuery("e01_q1_agg", q1Agg, Some(q1Oracle)),
     NamedQuery("e02_q3_join_topk", q3JoinTopk, Some(q3Oracle)),
