@@ -61,8 +61,9 @@ object Main {
         case Some(url) =>
           val target = conf.mysqlTable.getOrElse(
             throw GraftError.Other("mysql_table missing"))
-          JdbcIdempotentSink.writeWithMapping(
-            df, url, target, mapping, conf.raw, batchSize = conf.batchSize)
+          JdbcIdempotentSink.write(df, url, target,
+            mapping.constants(conf.raw), batchSize = conf.batchSize,
+            deleteBeforeDump = conf.deleteBeforeDump)
         case None =>
           val sqlFile = conf.raw.getOrElse("dump_sql_file", "dump.sql")
           val target = conf.mysqlTable.getOrElse("db.tbl")

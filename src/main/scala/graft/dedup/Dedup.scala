@@ -82,6 +82,11 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
+    // bands > numHashes would make every band an empty slice -> identical
+    // bucket hash for all docs -> the equi-join degenerates to all-pairs;
+    // non-divisible values would silently ignore trailing signature rows
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val r = numHashes / bands
     // default shape goes through the native fused-loop expression (pure
     // narrow map, no shuffle); non-default params use the aggregation form
@@ -159,11 +164,17 @@ object Dedup {
     * the shuffle); the nested higher-order-aggregate alternative evaluates
     * 64 × tokens interpreted lambdas per row and is ~20× slower. */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // explode_outer: a token-less (empty/whitespace) doc must still get a
+    // row — plain explode would silently drop it from any downstream join
     val exploded = df.select(col(idCol).as("id"),
-        explode(graft.text.TextOps.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+        explode_outer(graft.text.TextOps.tokens(col(textCol))).as("t"))
+      // xxhash64(null) would return the SEED, not null — keep nullness
+      .select(col("id"),
+        when(col("t").isNull, lit(null))
+          .otherwise(xxhash64(col("t"))).as("h"))
     val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      sum(when(col("h").isNull, 0)
+        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$i"))
     val assembled = (0 until 64).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))

@@ -25,6 +25,11 @@ object Skew {
     * deterministic enough while spreading uniformly. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched REPLICATED small-side row
+    // once per salt — result-changing, so refuse rather than mislead
+    require(Set("inner", "leftouter", "leftsemi", "leftanti", "left")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = large.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",

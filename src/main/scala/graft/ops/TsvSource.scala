@@ -38,6 +38,11 @@ object TsvSource {
       // PERMISSIVE + explicit width check: FAILFAST would also abort on
       // header echoes, which must be *filtered*, not fatal.
       .option("mode", "PERMISSIVE")
+      // distinguish "row is too short" (missing trailing cells -> null)
+      // from "cell is legitimately empty" (-> ""): with the default
+      // nullValue="" both read back as null and requireFullWidth would
+      // abort (9996) on valid empty cells; the \\u0001 sentinel never occurs.
+      .option("nullValue", "\u0001")
       .csv(path)
     val rawNames = raw.columns.toSeq
     val stripped = raw.toDF(rawNames.map(stripPrefix).toIndexedSeq: _*)

@@ -50,9 +50,18 @@ object Pipeline {
       df.explain("formatted")
       0L
     } else {
-      CoreOps.checkNonEmpty(df, conf.emptyDataPolicy)
-      if (!conf.skipSink) sink(df)
-      df.count()
+      // persist so the pipeline computes ONCE: the count (which also
+      // serves as the empty-data check) materializes the cache and the
+      // sink reads it back — not a second scan->filter->project execution
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = cached.count()
+        if (n == 0 && conf.emptyDataPolicy == graft.conf.EmptyDataPolicy.Fail)
+          throw graft.GraftError.NoData("pipeline produced zero rows")
+        if (!conf.skipSink && n > 0) sink(cached)
+        n
+      } finally cached.unpersist()
     }
   }
 }

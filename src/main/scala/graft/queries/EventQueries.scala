@@ -19,7 +19,9 @@ object EventQueries {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer `div`, NOT `/`: a float division promotes the ~1.7e18 ns
+        // value to double (2^53 mantissa) and corrupts ~12% of µs values
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -185,10 +185,7 @@ object TextQueries {
     * the shape that feeds tokenization without any shuffle. */
   def chunking(spark: SparkSession, sfDir: String): DataFrame =
     scan(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150)),
-          s => col("text").substr(s, lit(200)))))
+      .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
         col("col").as("chunk"))
 
@@ -207,7 +204,7 @@ object TextQueries {
     * cluster size, any partitioning, any engine). */
   def sampled(spark: SparkSession, sfDir: String): DataFrame =
     scan(spark, sfDir, "documents")
-      .where((col("doc_id") * 48271L) % 97 < 10)
+      .where(TextOps.systematicSample(col("doc_id"), keepBelow = 10))
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
   private val sampledOracle =
@@ -233,11 +230,8 @@ object TextQueries {
     val quality = survivors
       .where(size(TextOps.tokens(col("text"))) >= 10)
     quality
-      .where((col("doc_id") * 48271L) % 97 < 50)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150)),
-          s => col("text").substr(s, lit(200)))))
+      .where(TextOps.systematicSample(col("doc_id"), keepBelow = 50))
+      .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
         col("col").as("chunk"))
   }

@@ -50,26 +50,41 @@ object StreamOps {
     import events.sparkSession.implicits._
     val useTimer = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), timeout) {
         case (user, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(user, new Timestamp(s.start), s.n, closed = true)
+            Iterator(SessionUpdate(user, new Timestamp(s.start), s.n,
+              closed = true))
           } else {
-            val times = rows.map(_._2.getTime).toSeq
-            val prev = state.getOption
-            val s0 = prev.getOrElse(SessionState(times.min, times.min, 0L))
-            // a gap inside the batch or since last state splits the session
-            val merged =
-              if (prev.isDefined && times.min - s0.last > gapMs)
-                SessionState(times.min, times.max, times.size.toLong)
-              else s0.copy(last = math.max(s0.last, times.max),
-                n = s0.n + times.size)
-            state.update(merged)
+            // fold the batch's events through the gap machine in time
+            // order, CLOSING a session at every gap — including gaps
+            // wholly inside this batch (a replay/backfill batch can span
+            // many sessions; merging them would diverge from the batch
+            // oracle sessionizeBatch)
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            val out = Seq.newBuilder[SessionUpdate]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  out += SessionUpdate(user, new Timestamp(s.start), s.n,
+                    closed = true)
+                  Some(SessionState(t, t, 1L))
+                case Some(s) =>
+                  Some(s.copy(last = t, n = s.n + 1))
+                case None =>
+                  Some(SessionState(t, t, 1L))
+              }
+            }
+            val live = cur.get
+            state.update(live)
             if (useTimer) state.setTimeoutDuration(gapMs)
-            SessionUpdate(user, new Timestamp(merged.start), merged.n,
+            out += SessionUpdate(user, new Timestamp(live.start), live.n,
               closed = false)
+            out.result().iterator
           }
       }
   }

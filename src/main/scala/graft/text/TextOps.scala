@@ -69,6 +69,18 @@ object TextOps {
     }._2
   }
 
+  /** Overlapping fixed-width chunk windows (the doc→training-sample
+    * explode); shared by the standalone chunking query and the composite
+    * pipeline so width/stride changes stay in one place. */
+  def chunkWindows(text: Column, width: Int = 200, stride: Int = 150): Column =
+    transform(sequence(lit(1), greatest(length(text), lit(1)), lit(stride)),
+      s => text.substr(s, lit(width)))
+
+  /** LCG-style deterministic systematic-sample predicate: same rows on any
+    * engine, cluster size, or partitioning. */
+  def systematicSample(id: Column, keepBelow: Int, modulus: Int = 97): Column =
+    (id * 48271L) % modulus < keepBelow
+
   /** Document fingerprint: 64-bit-equivalent prefix of the sha256 of the
     * normalized text. Collision-safe enough for dedup keys at 100 TB
     * (2^64 space) and exactly replicable in any engine with sha256. */
@@ -83,16 +95,21 @@ object TextOps {
   def winnow(text: String, k: Int = 5, window: Int = 4): Vector[Long] = {
     val s = text.toLowerCase.trim
     if (s.length < k) return Vector.empty
-    val B = 1000003L
-    val M = (1L << 61) - 1
-    // rolling k-gram hashes
-    val pow = (1 until k).foldLeft(1L)((a, _) => a * B % M)
+    // per-window k-gram hash, recomputed per position (k is small). A
+    // "rolling" formulation with a 61-bit modulus overflowed Long before
+    // the mod and mis-weighted the dropped char, making every hash
+    // prefix-dependent — which silently defeats winnowing's local-overlap
+    // purpose. B and M are sized so B*M fits in a Long.
+    val B = 131L
+    val M = (1L << 31) - 1
     val hashes = new Array[Long](s.length - k + 1)
-    var h = 0L
-    for (i <- 0 until s.length) {
-      h = (h * B + s.charAt(i)) % M
-      if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * 2) % M
-      if (i >= k - 1) hashes(i - k + 1) = h
+    var p = 0
+    while (p + k <= s.length) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * B + s.charAt(p + j)) % M; j += 1 }
+      hashes(p) = h
+      p += 1
     }
     // min of each window, deduped on position (standard winnowing)
     val picks = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]

@@ -73,6 +73,17 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L))
   }
 
+  test("winnowing is prefix-independent: shared suffix -> shared fingerprints") {
+    // regression: the old rolling hash overflowed before the modulus and
+    // mis-weighted the dropped char, making every k-gram hash depend on
+    // the whole prefix — these two strings shared 0 fingerprints
+    val a = TextOps.winnow("xxhello world common suffix here")
+    val b = TextOps.winnow("yyhello world common suffix here")
+    val overlap = a.toSet.intersect(b.toSet).size.toDouble /
+      math.max(a.toSet.size, 1)
+    assert(overlap > 0.6, s"suffix fingerprints must coincide, overlap=$overlap")
+  }
+
   test("winnowing fingerprints overlap heavily for near-dup, barely for distinct") {
     val a = TextOps.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextOps.winnow("the quick brown fox jumps over the lazy cat")

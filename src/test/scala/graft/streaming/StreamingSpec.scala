@@ -50,6 +50,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize splits a gap WITHIN one micro-batch (replay/backfill shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions_inbatch")
+      .outputMode("update").start()
+    try {
+      // one batch spanning a 45-minute gap: two sessions, first closed
+      mem.addData((9L, ts(0)), (9L, ts(5)), (9L, ts(50)))
+      q.processAllAvailable()
+      val ups = spark.table("sessions_inbatch")
+        .select("user_id", "n_events", "closed").as[(Long, Long, Boolean)]
+        .collect().toSet
+      assert(ups.contains((9L, 2L, true)), s"closed first session: $ups")
+      assert(ups.contains((9L, 1L, false)), s"live second session: $ups")
+    } finally q.stop()
+  }
+
   test("end-to-end: parquet file stream -> watermarked windows -> exactly-once parquet sink") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
