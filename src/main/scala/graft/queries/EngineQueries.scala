@@ -325,7 +325,10 @@ object EngineQueries {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** Sliding window frame: 7-row moving sum of daily order totals —
-    * ROWS BETWEEN framing with exact decimal arithmetic. */
+    * ROWS BETWEEN framing with exact decimal arithmetic. The unpartitioned
+    * window runs AFTER the per-day rollup, so its input is one row per
+    * day (~2.5k rows for 7 years) regardless of fact-table size — bounded
+    * at any scale. */
   def movingAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = scan(spark, sfDir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))

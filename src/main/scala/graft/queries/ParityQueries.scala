@@ -164,7 +164,13 @@ object ParityQueries {
   /** §2 row 11 — the 100-rows-per-INSERT batch math, verified relationally:
     * rows in deterministic order get statement ids `floor(rn/100)`; the
     * result is each statement's row count (100s + one remainder). The
-    * actual SQL text shape is asserted by SqlGenSinkSpec. */
+    * actual SQL text shape is asserted by SqlGenSinkSpec.
+    *
+    * Scale note: the global row_number (single-partition window) is
+    * DELIBERATE here — it reproduces the reference's sequential statement
+    * numbering over one partition's rows for oracle comparison. The
+    * production sink (SqlGenSink.insertStatements) numbers batches
+    * per-partition via mapPartitions and never globally orders. */
   def sqlgenBatches(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = CoreOps.scan(spark, sfDir, "lineitem")
