@@ -39,12 +39,57 @@ object SimilarityQueries {
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
       |FROM r WHERE rank <= 10""".stripMargin
 
-  /** LSH-bucketed ANN (random hyperplanes, 4 tables × 8 planes): the scale
-    * path — bucket equi-join instead of cross join. Rows-only check here;
-    * LshRecallSpec asserts ≥0.6 recall@10 vs brute force. */
+  /** LSH-bucketed ANN (random hyperplanes, 10 tables × 3 planes): the scale
+    * path — bucket equi-join instead of cross join. DuckDB-oracled below by
+    * materializing the seeded hyperplanes as literal lists; SimilaritySpec
+    * additionally asserts ≥0.5 recall@10 vs brute force. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = scan(spark, sfDir, "embeddings")
     Similarity.lshTopK(emb.where(col("vec_id") < 5), emb, k = 10)
+  }
+
+  /** A seeded plane/centroid as a DuckDB list literal. Scala's
+    * Double.toString round-trips exactly, so the oracle sees bit-identical
+    * weights to the Spark literals. */
+  private def vecLit(p: Array[Double]): String =
+    p.mkString("[", ", ", "]::DOUBLE[]")
+
+  /** DuckDB twin of lshTopK's defaults (10 tables × 3 planes, seed 42+t):
+    * the hyperplanes are materialized as VALUES rows, bucket codes rebuilt
+    * with the same sign-bit arithmetic, then candidate equi-join + exact
+    * cosine + top-k — structurally the same plan the Spark side runs. */
+  private val annLshOracle: String = {
+    val rows = for {
+      t <- 0 until 10
+      (p, i) <- Similarity.hyperplanes(3, 64, 42L + t).zipWithIndex
+    } yield s"($t, $i, ${vecLit(p)})"
+    s"""WITH planes(tbl, i, p) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |codes AS (
+       |  SELECT e.vec_id, pl.tbl,
+       |         SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+       |                  THEN CAST(1 AS BIGINT) << pl.i
+       |                  ELSE CAST(0 AS BIGINT) END)::BIGINT AS code
+       |  FROM e, planes pl
+       |  GROUP BY e.vec_id, pl.tbl),
+       |pairs AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM codes q JOIN codes c ON q.tbl = c.tbl AND q.code = c.code
+       |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |s AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |         list_cosine_similarity(eq.v, ec.v) AS sim
+       |  FROM pairs p
+       |  JOIN e eq ON eq.vec_id = p.query_id
+       |  JOIN e ec ON ec.vec_id = p.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 10""".stripMargin
   }
 
   /** MinHash-LSH near-dup pairs over documents ∪ lightly-perturbed copies
@@ -69,9 +114,10 @@ object SimilarityQueries {
   }
 
   /** Embedding-cosine near-dup: pairs of distinct vectors with cosine ≥
-    * 0.95 among a bounded slice, oracled in DuckDB. (Random embeddings
-    * make high-cosine pairs rare; the planted self-join at sim=1 rows —
-    * excluded — keeps this a true near-dup check on real pairs.) */
+    * 0.5 among a bounded slice, oracled in DuckDB. (Random embeddings
+    * make high-cosine pairs rare — 0.5 keeps the check meaningful while
+    * still usually yielding zero rows at small SF, which the oracle
+    * confirms exactly.) */
   def cosineNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = scan(spark, sfDir, "embeddings").where(col("vec_id") < 200)
     val a = emb.select(col("vec_id").as("id_a"),
@@ -113,18 +159,64 @@ object SimilarityQueries {
       |FROM documents""".stripMargin
 
   /** IVF-bucketed ANN with seeded pseudo-random centroids, nprobe=2 of 8
-    * cells. Rows-only (seeded centroid internals aren't SQL-replicable);
-    * SimilaritySpec checks structure + recall against brute force. */
+    * cells. DuckDB-oracled below with the centroids as VALUES rows;
+    * SimilaritySpec additionally checks recall against brute force. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = scan(spark, sfDir, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") < 5), emb,
       Similarity.hyperplanes(8, 64, seed = 11L), k = 10, nprobe = 2)
   }
 
+  /** DuckDB twin of ivfTopK: same centroid argmin (ties → lowest cell, as
+    * the Spark fold's strict `<` keeps the first minimum), same nprobe=2
+    * probe order (dist, cell), same in-cell cosine top-k. list_distance is
+    * the square root of the Spark side's squared distance — monotonic, so
+    * the argmin/probe ordering is identical. */
+  private val annIvfOracle: String = {
+    val rows = Similarity.hyperplanes(8, 64, 11L).zipWithIndex.map {
+      case (c, i) => s"($i, ${vecLit(c)})"
+    }
+    s"""WITH cents(cell, c) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dists AS (
+       |  SELECT e.vec_id, ct.cell, list_distance(e.v, ct.c) AS dist
+       |  FROM e, cents ct),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM dists WHERE vec_id < 5) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id
+       |  FROM qcells q JOIN assign a ON a.cell = q.cell
+       |  WHERE q.query_id <> a.vec_id),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         list_cosine_similarity(eq.v, ec.v) AS sim
+       |  FROM cand
+       |  JOIN e eq ON eq.vec_id = cand.query_id
+       |  JOIN e ec ON ec.vec_id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("s01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
-    NamedQuery("s02_ann_lsh", annLsh, None),
-    NamedQuery("s07_ann_ivf", annIvf, None),
+    NamedQuery("s02_ann_lsh", annLsh, Some(annLshOracle)),
+    NamedQuery("s07_ann_ivf", annIvf, Some(annIvfOracle)),
     NamedQuery("s03_minhash_neardup", minhashNearDup, None),
     NamedQuery("s04_simhash_neardup", simhashNearDup, None),
     NamedQuery("s05_cosine_neardup", cosineNearDup, Some(cosineNearDupOracle)),

@@ -88,13 +88,19 @@ object Similarity {
     val codes = (0 until tables).map { t =>
       hyperplanes(planesPerTable, dim, seed + t)
     }
+    // One projection computes ALL per-table codes, then explode — the
+    // corpus parquet is scanned exactly once (a unionAll of per-table
+    // withColumn copies would physically re-scan it `tables` times: 10
+    // full corpus reads at 100 TB where one suffices). The join below is
+    // unchanged: same (table, code) keys, same candidate set.
     def coded(df: DataFrame, id: String, vec: String): DataFrame = {
       val base = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
-      val tagged = codes.zipWithIndex.map { case (planes, t) =>
-        base.withColumn("table", lit(t))
-          .withColumn("code", bucketCode(col(vec), planes))
-      }
-      tagged.reduce(_ unionAll _)
+      val tableCodes = array(codes.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("table"), bucketCode(col(vec), planes).as("code"))
+      }.toIndexedSeq: _*)
+      base.select(col(id), col(vec), explode(tableCodes).as("tc"))
+        .select(col(id), col(vec),
+          col("tc.table").as("table"), col("tc.code").as("code"))
     }
     val q = coded(queries, "query_id", "qv")
     val c = coded(corpus, "neighbor_id", "cv")

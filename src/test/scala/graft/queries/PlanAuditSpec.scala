@@ -88,6 +88,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"text stats must not shuffle:\n$s")
   }
 
+  test("lsh ann: embeddings scanned once per side, not once per table") {
+    // the per-table codes must come from ONE projection + explode; a
+    // unionAll of per-table copies re-reads the corpus `tables` (10) times
+    val s = planStr("s02_ann_lsh")
+    val scans = "Scan parquet".r.findAllIn(s).size
+    assert(scans <= 2, s"expected ≤2 embeddings scans (query+corpus), got $scans:\n$s")
+  }
+
   test("dedup groups: single shuffle on the hash key") {
     val s = planStr("t01_dedup_groups")
     assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
