@@ -59,14 +59,14 @@ object Main {
     Pipeline.run(spark, sfDir, table, dateColumn, conf, mapping) { df =>
       conf.raw.get("mysql_url") match {
         case Some(url) =>
-          val target = conf.mysqlTable.getOrElse(
+          val target = conf.mysqlTarget.getOrElse(
             throw GraftError.Other("mysql_table missing"))
           JdbcIdempotentSink.write(df, url, target,
             mapping.constants(conf.raw), batchSize = conf.batchSize,
             deleteBeforeDump = conf.deleteBeforeDump)
         case None =>
           val sqlFile = conf.raw.getOrElse("dump_sql_file", "dump.sql")
-          val target = conf.mysqlTable.getOrElse("db.tbl")
+          val target = conf.mysqlTarget.getOrElse("db.tbl")
           Files.writeString(Paths.get(sqlFile),
             SqlGenSink.script(df, target, conf.batchSize,
               timestampMillis = System.currentTimeMillis()))

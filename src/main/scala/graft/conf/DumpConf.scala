@@ -13,7 +13,13 @@ final case class DumpConf(raw: Map[String, String]) {
 
   def hiveDb: Option[String] = raw.get("hive_db")
   def hiveTable: Option[String] = raw.get("hive_table")
+  def mysqlDb: Option[String] = raw.get("mysql_db")
   def mysqlTable: Option[String] = raw.get("mysql_table")
+
+  /** Sink table, db-qualified when `mysql_db` is set — the reference
+    * INSERTs into `mysql_db.mysql_table` (HiveToMysql.java:358). */
+  def mysqlTarget: Option[String] =
+    mysqlTable.map(t => mysqlDb.map(db => s"$db.$t").getOrElse(t))
 
   /** Partition value: explicit, or defaulted to yesterday when absent/"?"
     * (reference HiveToMysql.java:110-115; README.md:20). */
@@ -33,7 +39,11 @@ final case class DumpConf(raw: Map[String, String]) {
     if (flag("error_if_none_data", dflt = true)) EmptyDataPolicy.Fail
     else EmptyDataPolicy.Ok
 
-  def deleteBeforeDump: Boolean = flag("delete_before_dump", dflt = true)
+  /** Default false, matching the reference
+    * (getProperty("delete_before_dump","false"); README.md:22) — a conf
+    * that omits the key must never issue destructive keyed DELETEs the
+    * reference would not issue. */
+  def deleteBeforeDump: Boolean = flag("delete_before_dump", dflt = false)
 
   /** mode=test → dry-run: plan/describe instead of executing
     * (HiveToMysql.java:127, 560-564). */

@@ -20,6 +20,18 @@ object CoreOps {
   def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** Catalog-aware scan: when `hive_db` is configured the source is read
+    * through the session catalog as `hive_db.table` — the reference's
+    * addressing (`select * from hive_db.hive_table`, HiveToMysql.java:227)
+    * — falling back to the parquet-path harness layout otherwise. Catalog
+    * reads get partition pruning on real Hive-partitioned tables for free. */
+  def scanSource(spark: SparkSession, sfDir: String, table: String,
+                 hiveDb: Option[String]): DataFrame =
+    hiveDb match {
+      case Some(db) => spark.read.table(s"$db.$table")
+      case None     => scan(spark, sfDir, table)
+    }
+
   /** §2 rows 2-3 — partition filter `ds = <value>` on a derived partition
     * column. On a partitioned table this predicate is pruned at planning
     * time (PruneFileSourcePartitions); here `ds` is derived from a date

@@ -32,7 +32,7 @@ object TsvSource {
     * is many blocks and each task parses its own split in parallel.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read
+    val raw = try { spark.read
       .option("sep", "\t")
       .option("header", "true")
       // PERMISSIVE + explicit width check: FAILFAST would also abort on
@@ -44,6 +44,16 @@ object TsvSource {
       // abort (9996) on valid empty cells; the \\u0001 sentinel never occurs.
       .option("nullValue", "\u0001")
       .csv(path)
+    } catch {
+      // A zero-byte/headerless TSV gives the csv reader nothing to infer a
+      // schema from; the reference aborts this with 9995
+      // (HiveToMysql.java:302) — e.g. a truncated stage-A artifact.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Unable to infer schema") =>
+        throw GraftError.MissingHeader(s"$path has no header line")
+    }
+    if (raw.columns.isEmpty)
+      throw GraftError.MissingHeader(s"$path has no header line")
     val rawNames = raw.columns.toSeq
     val stripped = raw.toDF(rawNames.map(stripPrefix).toIndexedSeq: _*)
     dropHeaderEchoes(stripped, rawNames)

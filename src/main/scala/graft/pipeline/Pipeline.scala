@@ -26,7 +26,7 @@ object Pipeline {
   def plan(spark: SparkSession, sfDir: String, table: String,
            dateColumn: String, conf: DumpConf, mapping: FieldMapping)
       : DataFrame = {
-    val scanned = CoreOps.scan(spark, sfDir, table)
+    val scanned = CoreOps.scanSource(spark, sfDir, table, conf.hiveDb)
     val withDs = scanned.withColumn(
       "ds", CoreOps.withDs(org.apache.spark.sql.functions.col(dateColumn),
                            conf.dsFormat))

@@ -125,9 +125,21 @@ object StreamOps {
     * batches after failure both converge to one row per key
     * (effectively-once on at-least-once delivery). The delete set is the
     * batch's DISTINCT keys: bounded by windows-in-batch, never data-sized.
+    *
+    * The whole key set goes through ONE connection and ONE
+    * PreparedStatement per statement shape, `addBatch` per key — a stream
+    * with hundreds of live windows does one handshake per micro-batch, not
+    * one per key. Keys bind via `setObject` with their actual JDBC type
+    * (timestamps/numerics match what the writer stored; `setString` of
+    * `String.valueOf` would silently no-op in strict DBs), and a null key
+    * column becomes `IS NULL` — `= NULL` never matches anything.
+    *
+    * `connect` is injectable so tests can count handshakes.
     */
   def startJdbcUpsertSink(df: DataFrame, url: String, table: String,
-                          keyCols: Seq[String], checkpoint: String) =
+                          keyCols: Seq[String], checkpoint: String,
+                          connect: String => java.sql.Connection =
+                            java.sql.DriverManager.getConnection(_)) =
     df.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -135,11 +147,29 @@ object StreamOps {
         val keys = batch
           .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
           .distinct().collect()
-        keys.foreach { row =>
-          graft.sink.JdbcIdempotentSink.preDelete(url, table,
-            keyCols.zipWithIndex.map { case (c, i) =>
-              c -> String.valueOf(row.get(i))
-            })
+        if (keys.nonEmpty) {
+          val conn = connect(url)
+          try {
+            // one statement per null-mask shape (null keys need IS NULL)
+            keys.groupBy(r => keyCols.indices.map(r.isNullAt)).foreach {
+              case (mask, rows) =>
+                val sql = s"delete from $table where 1=1" +
+                  keyCols.zipWithIndex.map { case (c, i) =>
+                    if (mask(i)) s" and $c is null" else s" and $c = ?"
+                  }.mkString
+                val ps = conn.prepareStatement(sql)
+                try {
+                  rows.foreach { r =>
+                    var p = 1
+                    keyCols.indices.foreach { i =>
+                      if (!mask(i)) { ps.setObject(p, r.get(i)); p += 1 }
+                    }
+                    ps.addBatch()
+                  }
+                  ps.executeBatch()
+                } finally ps.close()
+            }
+          } finally conn.close()
         }
         batch.write.mode(org.apache.spark.sql.SaveMode.Append)
           .jdbc(url, table, new java.util.Properties())

@@ -48,6 +48,19 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/dump.sql")))
   }
 
+  test("hive_db reads through the session catalog; mysql_db qualifies the sink") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS hdb")
+    spark.sql("DROP TABLE IF EXISTS hdb.lineitem")
+    spark.sql(s"CREATE TABLE hdb.lineitem USING parquet LOCATION '$sf/lineitem.parquet'")
+    val dir = Files.createTempDirectory("graft_main").toString
+    val conf = writeConf(dir,
+      "hive_db=hdb\nhive_table=lineitem\nmysql_db=mydb\nmysql_table=t2")
+    val n = Main.run(conf, Some(spark))
+    assert(n >= 1)
+    val sql = Files.readString(java.nio.file.Paths.get(s"$dir/dump.sql"))
+    assert(sql.contains("insert into mydb.t2 "))
+  }
+
   test("JDBC sink path loads into Derby idempotently from conf") {
     val url = "jdbc:derby:memory:graftmain;create=true"
     val conn = java.sql.DriverManager.getConnection(url)

@@ -82,6 +82,20 @@ class DumpConfSpec extends AnyFunSuite {
     assert(DumpConf(Map.empty).batchSize == 100)
   }
 
+  test("delete_before_dump defaults to FALSE like the reference") {
+    // getProperty("delete_before_dump","false") — an omitted key must never
+    // issue destructive keyed DELETEs the reference would not issue
+    assert(!DumpConf(Map.empty).deleteBeforeDump)
+    assert(DumpConf(Map("delete_before_dump" -> "true")).deleteBeforeDump)
+  }
+
+  test("mysqlTarget composes mysql_db.mysql_table like the reference INSERT") {
+    assert(DumpConf(Map("mysql_table" -> "t")).mysqlTarget.contains("t"))
+    assert(DumpConf(Map("mysql_db" -> "d", "mysql_table" -> "t"))
+      .mysqlTarget.contains("d.t"))
+    assert(DumpConf(Map("mysql_db" -> "d")).mysqlTarget.isEmpty)
+  }
+
   test("parse takes last duplicate key and ignores comments") {
     val c = DumpConf.parseString("# c\nk=1\nk=2")
     assert(c.raw("k") == "2")

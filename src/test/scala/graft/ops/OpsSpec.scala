@@ -78,6 +78,14 @@ class TsvSourceSpec extends SparkSpec {
     assert(ids == Set("contains t.id text", "3"))
   }
 
+  test("an empty (headerless) TSV aborts with 9995 (HiveToMysql.java:302)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_empty")
+    java.nio.file.Files.createFile(dir.resolve("part-00000.csv"))
+    val e = intercept[GraftError.MissingHeader](
+      TsvSource.read(spark, dir.toString))
+    assert(e.code == 9995)
+  }
+
   test("requireFullWidth raises 9996 when mapped columns have short rows") {
     val df = Seq(("1", "a"), ("2", null)).toDF("id", "v")
     assert(intercept[GraftError.RowWidthMismatch](

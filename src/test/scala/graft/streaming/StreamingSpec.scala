@@ -129,6 +129,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink opens ONE connection per micro-batch, not one per key") {
+    val url = "jdbc:derby:memory:graftstream2;create=true"
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    conn0.createStatement().execute(
+      "CREATE TABLE win_t2 (window_start TIMESTAMP, event_type VARCHAR(20), " +
+        "n BIGINT, sum_value DOUBLE)")
+    conn0.close()
+    val handshakes = new java.util.concurrent.atomic.AtomicInteger(0)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val chk = java.nio.file.Files.createTempDirectory("graft_chk2").toString
+    val q = StreamOps.startJdbcUpsertSink(
+      StreamOps.windowedCounts(df, "1 hour", "10 minutes"),
+      url, "win_t2", Seq("window_start", "event_type"), chk,
+      connect = { u =>
+        handshakes.incrementAndGet()
+        java.sql.DriverManager.getConnection(u)
+      }).start()
+    try {
+      // four distinct keys in one micro-batch -> exactly one delete connection
+      mem.addData((1L, ts(0), "click", 1.0), (2L, ts(5), "view", 2.0),
+        (3L, ts(10), "buy", 3.0), (4L, ts(15), "scroll", 4.0))
+      q.processAllAvailable()
+      assert(handshakes.get() == 1,
+        s"expected 1 delete connection for 4 keys, got ${handshakes.get()}")
+      val rows = spark.read.jdbc(url, "win_t2", new java.util.Properties())
+      assert(rows.count() == 4)
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
