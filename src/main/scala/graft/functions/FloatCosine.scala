@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * — bit-identical to the builtin double-fold (and to DuckDB's
   * list_cosine_similarity on ::DOUBLE[] casts), so oracle comparisons are
   * unaffected by the swap.
+  *
+  * A zero-norm (or empty) vector yields NULL, not NaN — NaN sorts ABOVE
+  * every real similarity in a descending sort, so a zero vector in the
+  * corpus would otherwise outrank all true neighbors; NULLs sort last.
+  * Length-mismatched arrays are truncated to the shorter length (the
+  * harness schema is fixed-width; a production caller validates widths at
+  * ingest).
   */
 case class FloatCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,6 +45,9 @@ case class FloatCosine(left: Expression, right: Expression)
   }
   private def name = FloatCosine.name
   override def dataType: DataType = DoubleType
+  // always nullable: zero-norm inputs produce NULL even when children are
+  // non-nullable (forces a real isNull slot in codegen)
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatCosine =
@@ -54,7 +64,8 @@ case class FloatCosine(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,6 +75,7 @@ case class FloatCosine(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
@@ -72,7 +84,12 @@ case class FloatCosine(left: Expression, right: Expression)
          |  double y = (double) $b.getFloat($i);
          |  $dot += x * y; $nx += x * x; $ny += y * y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |if ($denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
        """.stripMargin
     })
 }

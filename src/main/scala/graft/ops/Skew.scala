@@ -20,9 +20,12 @@ object Skew {
     * join; the shuffle key becomes (key, salt) so one hot key spreads
     * over `salts` partitions instead of one straggler task.
     *
-    * The salt only routes rows between partitions, so any per-row value
-    * works; a hash of the join key + a distributing component keeps it
-    * deterministic enough while spreading uniformly. */
+    * The salt must be DETERMINISTIC per row (an xxhash64 of the full row,
+    * mod salts): monotonically_increasing_id depends on partition layout,
+    * so a task retry above a shuffle could recompute different salts —
+    * for saltedAgg that risks inconsistent partials across fetch retries.
+    * Hashing the whole row (not just the hot join key, which would map a
+    * hot key to ONE salt) spreads uniformly yet reproducibly. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     // right/full outer would emit each unmatched REPLICATED small-side row
@@ -30,12 +33,19 @@ object Skew {
     require(Set("inner", "leftouter", "leftsemi", "leftanti", "left")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    val salted = large.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val salted = large.withColumn("__salt", rowSalt(large, salts))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Deterministic row salt: xxhash64 over every column, mod `salts`.
+    * Identical rows share a salt (fine — the goal is spreading, not
+    * uniqueness) and recomputation after a fetch retry yields the same
+    * value, unlike monotonically_increasing_id. */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
+      .cast("int")
 
   /** Two-phase aggregation for skewed group keys: partial-aggregate on
     * (key, salt), then final-combine on key. `partial` and `combine`
@@ -44,8 +54,7 @@ object Skew {
   def saltedAgg(df: DataFrame, key: String, salts: Int,
                 partial: Column => Column, combine: Column => Column,
                 valueCol: String, outCol: String): DataFrame =
-    df.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(partial(col(valueCol)).as("__p"))
       .groupBy(col(key))

@@ -143,10 +143,13 @@ object EngineQueries {
     cn.union(sn).intersect(alln).except(reg0)
   }
 
+  // parenthesized to the Spark evaluation order ((cn ∪ sn) ∩ nation) ∖ reg0
+  // — bare SQL would bind INTERSECT tighter than UNION, which only happens
+  // to agree here because of the nationkey FK
   private val setOpsOracle =
-    """SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
-      |UNION SELECT CAST(s_nationkey AS INTEGER) FROM supplier
-      |INTERSECT SELECT CAST(n_nationkey AS INTEGER) FROM nation
+    """((SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+      |  UNION SELECT CAST(s_nationkey AS INTEGER) FROM supplier)
+      | INTERSECT SELECT CAST(n_nationkey AS INTEGER) FROM nation)
       |EXCEPT SELECT CAST(n_nationkey AS INTEGER) FROM nation WHERE n_regionkey = 0""".stripMargin
 
   /** Ranking window: top-2 orders by totalprice per market segment.
@@ -265,18 +268,50 @@ object EngineQueries {
       |FROM orders GROUP BY 1""".stripMargin
 
   /** Exact median via middle-row selection — engine-portable (unlike
-    * approx_percentile or interpolation-policy-dependent medians): total
-    * order by (price, orderkey), pick the one or two middle rows, average
-    * them. Deterministic across engines and partitionings. */
+    * approx_percentile or interpolation-policy-dependent medians), and
+    * TWO-PHASE so parallelism is not capped at the number of groups (a
+    * per-group row_number window sorts each group in ONE task — at 100×
+    * scale that is five tasks sorting ~20M rows each):
+    *
+    *  1. histogram: count rows per (group, coarse price bucket) — one
+    *     map-side-combined shuffle; the cumulative-count window then runs
+    *     over the tiny bucket-level aggregate, not the data.
+    *  2. locate the bucket(s) whose cumulative range covers the middle
+    *     rank(s); broadcast them (≤2 rows per group).
+    *  3. fine sort ONLY the rows inside those buckets (≈ cnt/buckets of
+    *     the data), offset local row_number by the bucket's preceding
+    *     cumulative count to recover the exact global rank.
+    *
+    * Bucket order is consistent with the (price, orderkey) total order
+    * because the bucket is a monotonic function of price (equal prices
+    * share a bucket), so concatenating per-bucket sorts IS the global
+    * sort. */
   def exactMedian(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val ord = scan(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val bucket = floor(col("o_totalprice") / 1000.0).cast("long")
+    val hist = ord.groupBy(col("o_orderpriority"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val wb = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("bn")).over(wb)) // rows up to & incl. bucket
+      .withColumn("lo", col("cum") - col("bn"))   // rows before this bucket
+    val targets = hist.groupBy(col("o_orderpriority"))
+      .agg(sum(col("bn")).as("cnt"))
+      .select(col("o_orderpriority"),
+        floor((col("cnt") + 1) / 2).as("m1"), floor((col("cnt") + 2) / 2).as("m2"))
+    val medBuckets = cum.join(targets, "o_orderpriority")
+      .where((col("m1") > col("lo") && col("m1") <= col("cum")) ||
+             (col("m2") > col("lo") && col("m2") <= col("cum")))
+      .select(col("o_orderpriority"), col("bucket"), col("lo"),
+        col("m1"), col("m2"))
+    val wFine = Window.partitionBy(col("o_orderpriority"), col("bucket"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val cw = Window.partitionBy(col("o_orderpriority"))
-    scan(spark, sfDir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
-      .where(col("rn") === floor((col("cnt") + 1) / 2) ||
-        col("rn") === floor((col("cnt") + 2) / 2))
+    ord.withColumn("bucket", bucket)
+      .join(broadcast(medBuckets), Seq("o_orderpriority", "bucket"))
+      .withColumn("grank", col("lo") + row_number().over(wFine))
+      .where(col("grank") === col("m1") || col("grank") === col("m2"))
       .groupBy(col("o_orderpriority"))
       .agg((sum(col("o_totalprice")) / count(lit(1))).as("median_price"))
   }

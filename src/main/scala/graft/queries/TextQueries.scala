@@ -236,6 +236,40 @@ object TextQueries {
         col("col").as("chunk"))
   }
 
+  /** The composite pipeline's deterministic core, DuckDB-oracled: same
+    * stages as t09 with the seeded MinHash-LSH clustering swapped for
+    * exact dedup only — every remaining stage (hash-keyed survivor,
+    * quality floor, LCG sample, chunk explode) is SQL-expressible, so the
+    * full chain gets a hash-matched correctness row instead of rows-only.
+    * t09 keeps exercising the LSH stage, spec-checked. */
+  def trainingPipelineExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactDedup(scan(spark, sfDir, "documents"), "text", "doc_id")
+      .where(size(TextOps.tokens(col("text"))) >= 10)
+      .where(TextOps.systematicSample(col("doc_id"), keepBelow = 50))
+      .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+        col("col").as("chunk"))
+
+  private val trainingPipelineExactOracle =
+    """WITH kept AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |           min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS keep
+      |    FROM documents) WHERE doc_id = keep),
+      |q AS (
+      |  SELECT doc_id, text FROM kept
+      |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                        x -> len(x) > 0)) >= 10
+      |    AND (doc_id * 48271) % 97 < 50),
+      |c AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1,
+      |           CAST(floor((greatest(length(text), 1) - 1) / 150) + 1 AS BIGINT))) AS i
+      |  FROM q)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_no,
+      |       substring(text, CAST(1 + (i - 1) * 150 AS BIGINT), 200) AS chunk
+      |FROM c""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("t01_dedup_groups", dedupGroups, Some(dedupGroupsOracle)),
     NamedQuery("t02_dedup_keep", dedupKeep, Some(dedupKeepOracle)),
@@ -246,5 +280,7 @@ object TextQueries {
     NamedQuery("t07_chunking", chunking, Some(chunkingOracle)),
     NamedQuery("t08_systematic_sample", sampled, Some(sampledOracle)),
     NamedQuery("t09_training_pipeline", trainingPipeline, None),
+    NamedQuery("t10_training_pipeline_exact", trainingPipelineExact,
+      Some(trainingPipelineExactOracle)),
   )
 }

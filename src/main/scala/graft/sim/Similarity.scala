@@ -29,7 +29,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL (not NaN) on a zero-norm input, matching FloatCosine: NaN sorts
+    * above every real similarity descending, NULLs sort last. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === lit(0.0), lit(null).cast("double")).otherwise(dot(a, b) / d)
+  }
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); rank ties break by candidate id for determinism.

@@ -38,4 +38,25 @@ class FloatCosineSpec extends SparkSpec {
     assert(math.abs(r(0) - 1.0) < 1e-15)
     assert(math.abs(r(1) + 1.0) < 1e-15)
   }
+
+  test("zero-norm and empty vectors yield NULL, never NaN (sort safety)") {
+    FloatCosine.register(spark)
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero left
+      (Array.empty[Float], Array.empty[Float]), // empty both
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))   // orthogonal, defined
+      .toDF("a", "b")
+    // both the codegen path (DataFrame) and the builtin twin must agree
+    val native = df.select(expr("float_cosine(a, b)").as("c")).collect()
+    assert(native(0).isNullAt(0) && native(1).isNullAt(0))
+    assert(native(2).getDouble(0) == 0.0)
+    val builtin = df.select(Similarity.cosine(
+      Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("c"))
+      .collect()
+    assert(builtin(0).isNullAt(0) && builtin(1).isNullAt(0))
+    // NULL similarity ranks LAST in a descending sort, unlike NaN
+    val ordered = df.select(expr("float_cosine(a, b)").as("c"))
+      .orderBy(col("c").desc).collect()
+    assert(!ordered(0).isNullAt(0), "real similarity must outrank NULL")
+  }
 }

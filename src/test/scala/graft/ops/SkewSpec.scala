@@ -29,6 +29,23 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("__salt"), "shuffle key must include the salt")
   }
 
+  test("salt is deterministic across recomputation and spreads the hot key") {
+    val salted = skewed.withColumn("__s",
+      pmod(xxhash64(col("k"), col("v")), lit(8L)).cast("int"))
+    // recomputing the same plan twice yields identical salts (a task retry
+    // would too — unlike monotonically_increasing_id)
+    val a = salted.collect().map(_.toSeq).toSeq
+    val b = salted.collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the hot key's rows land on many salts, not one
+    val hotSalts = Skew.saltedAgg(skewed, "k", 8, sum, sum, "v", "s")
+    assert(hotSalts.count() == skewed.select("k").distinct().count())
+    val perSalt = skewed.where(col("k") === 7L)
+      .withColumn("__s", pmod(xxhash64(col("k"), col("v")), lit(8L)))
+      .groupBy("__s").count().count()
+    assert(perSalt >= 6, s"hot key should spread over most of 8 salts")
+  }
+
   test("two-phase salted agg equals the direct aggregation") {
     val direct = skewed.groupBy("k").agg(sum("v").as("s"))
       .as[(Long, Long)].collect().toMap
