@@ -386,7 +386,38 @@ object EngineQueries {
       |            AS DOUBLE) AS moving7
       |FROM d""".stripMargin
 
+  /** Range join: orders priced into [lo, hi) tiers via the bucketed
+    * interval join (graft.ops.Ranges) — the equi-join-on-bucket shape
+    * that replaces a cartesian-with-filter at scale — then a rollup per
+    * tier. The tier table here is tiny (4 rows) so a broadcast BETWEEN
+    * join would also work; the point is the bucketed plan, which stays
+    * an equi-join when the interval side is millions of rows. */
+  def rangeTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("T1_low", 0.0, 100000.0), ("T2_mid", 100000.0, 250000.0),
+      ("T3_high", 250000.0, 400000.0), ("T4_top", 400000.0, 1000000.0))
+      .toDF("tier", "lo", "hi")
+    graft.ops.Ranges.bucketedRangeJoin(
+        scan(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", tiers, "lo", "hi", width = 50000.0)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("o_totalprice"), 2).cast("double").as("sum_price"))
+  }
+
+  private val rangeTiersOracle =
+    """WITH tiers(tier, lo, hi) AS (VALUES
+      |  ('T1_low', 0.0, 100000.0), ('T2_mid', 100000.0, 250000.0),
+      |  ('T3_high', 250000.0, 400000.0), ('T4_top', 400000.0, 1000000.0))
+      |SELECT tier, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN tiers
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e15_range_tiers", rangeTiers, Some(rangeTiersOracle)),
     NamedQuery("e12_pivot", pivotAgg, Some(pivotOracle)),
     NamedQuery("e13_cube", cubeAgg, Some(cubeOracle)),
     NamedQuery("e14_moving_window", movingAgg, Some(movingOracle)),

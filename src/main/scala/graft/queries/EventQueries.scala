@@ -114,8 +114,43 @@ object EventQueries {
       |                            ORDER BY n DESC, minute) AS rk
       |  FROM m) WHERE rk <= 3""".stripMargin
 
+  /** As-of join: every 'view' event picks up the most recent 'click' of
+    * the same user at-or-before its time (graft.ops.AsOf — union + one
+    * keyed window, a single shuffle on user_id; never a per-key cross
+    * product). Times compared as integer microseconds on both engines so
+    * the ns→µs truncation is identical; clicks are deduped to one per
+    * (user, µs) by max event_id for a deterministic result. The oracle is
+    * DuckDB's native ASOF JOIN — a different algorithm entirely, which
+    * makes the hash match a strong semantic check. */
+  def asofViewClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = readEvents(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("us"), col("event_id").as("view_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.ops.AsOf.asOfJoin(views, clicks, "user_id", "us",
+        leftCols = Seq("view_id"), payload = Seq("click_id"))
+      .select(col("user_id"), col("view_id"), col("us").as("view_us"),
+        col("click_id"))
+  }
+
+  private val asofViewClickOracle =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  epoch_ns(ts) // 1000 AS us
+      |           FROM events),
+      |v AS (SELECT user_id, us, event_id AS view_id
+      |      FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, us, max(event_id) AS click_id
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT v.user_id, v.view_id, v.us AS view_us, c.click_id
+      |FROM v ASOF LEFT JOIN c
+      |  ON v.user_id = c.user_id AND v.us >= c.us""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),
+    NamedQuery("ev05_asof_view_click", asofViewClick, Some(asofViewClickOracle)),
     NamedQuery("ev02_sessions", sessions, Some(sessionsOracle)),
     NamedQuery("ev03_json_agg", jsonAgg, Some(jsonAggOracle)),
     NamedQuery("ev04_top_minutes", topMinutes, Some(topMinutesOracle)),

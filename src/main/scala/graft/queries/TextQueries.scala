@@ -270,6 +270,67 @@ object TextQueries {
       |       substring(text, CAST(1 + (i - 1) * 150 AS BIGINT), 200) AS chunk
       |FROM c""".stripMargin
 
+  /** TF-IDF top-3 terms per document. The 100 TB shape: explode tokens →
+    * partial-combined (doc, term) counts → partial-combined doc-freq per
+    * term → keyed join tf⋈df on term → per-doc top-k window. The corpus
+    * size joins in as a broadcast 1-row aggregate, NOT a driver-side
+    * count stitched into the plan.
+    *
+    * Ranking is by (tf DESC, df ASC, term) — integer-only and therefore
+    * bit-identical across engines; ranking by the tfidf double itself
+    * would hinge on whether two libm `ln`s round the same way. The tfidf
+    * value is still emitted (rounded) for consumers. */
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = scan(spark, sfDir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  private val tfidfTopKOracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                            x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+      |         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf DESC, dfq.df ASC, tf.term) AS rk
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+      |SELECT doc_id, rk, term, tf, df, tfidf FROM s WHERE rk <= 3""".stripMargin
+
+  /** Deterministic stratified sampling: per-language keep rates through
+    * the LCG predicate — the reproducible sampleBy (same rows on any
+    * engine, cluster size, or partitioning; no RNG state). */
+  def stratified(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "documents")
+      .where(TextOps.stratifiedSample(col("doc_id"), col("lang"),
+        Seq("en" -> 50, "fr" -> 20, "de" -> 20, "es" -> 20, "zh" -> 5)))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  private val stratifiedOracle =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE (doc_id * 48271) % 97 <
+      |      CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 20 WHEN 'de' THEN 20
+      |                WHEN 'es' THEN 20 WHEN 'zh' THEN 5 ELSE 0 END""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("t01_dedup_groups", dedupGroups, Some(dedupGroupsOracle)),
     NamedQuery("t02_dedup_keep", dedupKeep, Some(dedupKeepOracle)),
@@ -282,5 +343,7 @@ object TextQueries {
     NamedQuery("t09_training_pipeline", trainingPipeline, None),
     NamedQuery("t10_training_pipeline_exact", trainingPipelineExact,
       Some(trainingPipelineExactOracle)),
+    NamedQuery("t11_tfidf_topk", tfidfTopK, Some(tfidfTopKOracle)),
+    NamedQuery("t12_stratified_sample", stratified, Some(stratifiedOracle)),
   )
 }

@@ -81,6 +81,18 @@ object TextOps {
   def systematicSample(id: Column, keepBelow: Int, modulus: Int = 97): Column =
     (id * 48271L) % modulus < keepBelow
 
+  /** Stratified flavor of the systematic sample: the keep rate (out of
+    * `modulus`) depends on the stratum column — the deterministic version
+    * of `sampleBy`, reproducible on any engine/partitioning. Strata not
+    * named keep `dflt` per `modulus` rows. */
+  def stratifiedSample(id: Column, stratum: Column, rates: Seq[(String, Int)],
+                       dflt: Int = 0, modulus: Int = 97): Column = {
+    val rate = rates.foldLeft(lit(dflt)) { case (acc, (s, r)) =>
+      when(stratum === lit(s), lit(r)).otherwise(acc)
+    }
+    (id * 48271L) % modulus < rate
+  }
+
   /** Document fingerprint: 64-bit-equivalent prefix of the sha256 of the
     * normalized text. Collision-safe enough for dedup keys at 100 TB
     * (2^64 space) and exactly replicable in any engine with sha256. */
