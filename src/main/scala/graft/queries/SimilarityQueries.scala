@@ -213,6 +213,71 @@ object SimilarityQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** Mean-pooling: chunk embeddings pooled back to one vector per parent
+    * (grp = vec_id % 50 stands in for the chunk→doc mapping). Shaped as
+    * posexplode → one map-side-combined shuffle on (grp, pos) — per-element
+    * double sums would be order-dependent across partitionings, so each
+    * addend is widened to DECIMAL(38,18) (exact for float inputs modulo a
+    * fixed cut) and summed exactly; the mean is cast back to double at the
+    * end. At 100 TB this is the canonical "pool N chunk vectors per doc"
+    * shape: no window, no collect, linear shuffle of (grp, pos, decimal). */
+  def embeddingPool(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "embeddings")
+      .select((col("vec_id") % 50).cast("long").as("grp"),
+        posexplode(col("embedding")))
+      .groupBy(col("grp"), col("pos").cast("int").as("pos"))
+      // divide in DOUBLE after the exact decimal sum: decimal division
+      // rescales (and half-up rounds) differently per engine
+      .agg((sum(col("col").cast("double").cast("decimal(38,18)"))
+        .cast("double") / count(lit(1))).as("avg_val"))
+      // round via double->DECIMAL(28,6)->double, not round(x, 6): a mean
+      // can land exactly on a 5e-7 decimal boundary where Spark (rounds
+      // the shortest decimal repr) and DuckDB (rounds the scaled double)
+      // disagree; no 7-digit decimal is exactly representable in binary,
+      // so the decimal cast never sees a tie and both engines round the
+      // same exact binary value identically
+      .select(col("grp"), col("pos"),
+        col("avg_val").cast("decimal(28,6)").cast("double").as("avg_val"))
+
+  private val embeddingPoolOracle =
+    """WITH x AS (
+      |  SELECT vec_id, embedding,
+      |         unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings)
+      |SELECT vec_id % 50 AS grp, CAST(i - 1 AS INTEGER) AS pos,
+      |       CAST(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |               / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_val
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** Int8-style embedding quantization (×64, floor, clamp [-127,127]) —
+    * the 4×-storage-compression pass before ANN indexing. floor instead of
+    * round: float×64 is exact in double, so floor is tie-free and
+    * bit-identical on every engine. Narrow map, zero shuffle; the output
+    * here summarizes each quantized vector with integer-exact stats. */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = transform(col("embedding"), x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") * 64).cast("long"))))
+    scan(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        aggregate(q, lit(0L), (a, v) => a + v).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"))
+  }
+
+  private val embeddingQuantizeOracle =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> greatest(-127, least(127, CAST(floor(x * 64) AS BIGINT))))
+      |           AS qv
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       CAST(list_min(qv) AS BIGINT) AS q_min,
+      |       CAST(list_max(qv) AS BIGINT) AS q_max
+      |FROM q""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("s01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     NamedQuery("s02_ann_lsh", annLsh, Some(annLshOracle)),
@@ -221,5 +286,8 @@ object SimilarityQueries {
     NamedQuery("s04_simhash_neardup", simhashNearDup, None),
     NamedQuery("s05_cosine_neardup", cosineNearDup, Some(cosineNearDupOracle)),
     NamedQuery("s06_multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
+    NamedQuery("s08_embedding_pool", embeddingPool, Some(embeddingPoolOracle)),
+    NamedQuery("s09_embedding_quantize", embeddingQuantize,
+      Some(embeddingQuantizeOracle)),
   )
 }
