@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.DsRangeRewrite.install(spark)
     if (SparkEntry.queries.isEmpty) {
       System.err.println("[bench] FATAL: no queries registered")
       spark.stop()

@@ -48,6 +48,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .appName("graft-dump")
       .getOrCreate())
+    graft.plans.DsRangeRewrite.install(spark)
 
     val sfDir = conf.raw.getOrElse("source_dir",
       throw GraftError.Other("source_dir missing from conf"))

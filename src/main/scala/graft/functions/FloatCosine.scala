@@ -114,9 +114,11 @@ object FloatCosine {
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(FloatCosine.name),
       new ExpressionInfo(classOf[FloatCosine].getName, FloatCosine.name),
       (args: Seq[Expression]) => FloatCosine(args.head, args(1))))
+    ext.injectOptimizerRule(_ => graft.plans.DsRangeRewrite)
+  }
 }

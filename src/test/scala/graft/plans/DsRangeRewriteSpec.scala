@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DsRangeRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    DsRangeRewrite.install(spark)
+  }
+
+  test("date_format equality on the ntz shipdate becomes a pushed day RANGE") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(date_format(col("l_shipdate"), "yyyyMMdd") === "19960102")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"expected a pushed day range on the raw column in:\n$plan")
+    assert(!plan.contains("date_format"),
+      s"the unpushable function call must be gone:\n$plan")
+    // value equivalence against the hand-written pushable form
+    val expected = graft.ops.CoreOps.pushablePartitionFilter(
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      col("l_shipdate"), "19960102").count()
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("literal-on-the-left and yyyy-MM-dd also rewrite") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(lit("1996-01-02") === date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      !plan.contains("date_format"))
+    assert(df.count() > 0)
+  }
+
+  test("a malformed date literal matches nothing (rewritten to false)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(date_format(col("l_shipdate"), "yyyyMMdd") === "not-a-date")
+    assert(df.queryExecution.optimizedPlan.toString.contains("LocalRelation") ||
+      df.count() == 0)
+    assert(df.count() == 0)
+  }
+
+  test("DATE columns rewrite to a plain date equality") {
+    val dated = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("d"))
+    // materialize through parquet so `d` is a scanned DATE column
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsrw").toString
+    dated.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .where(date_format(col("d"), "yyyyMMdd") === "19960102")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(d,"), s"expected pushed date equality:\n$plan")
+    assert(df.count() ==
+      spark.read.parquet(dir).where(col("d") === lit("1996-01-02").cast("date"))
+        .count())
+  }
+
+  test("a non-day pattern is left alone (not bijective per day)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(date_format(col("l_shipdate"), "yyyyMM") === "199601")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("date_format"),
+      s"month-grain format must not be rewritten by the day rule:\n$opt")
+    assert(df.count() > 0)
+  }
+}
