@@ -110,6 +110,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same key(s) with
+    * state BOUNDED by the watermark — `dropDuplicatesWithinWatermark`
+    * keeps a key only until the watermark passes its event time, so state
+    * is O(keys per lateness window), not O(stream history). This is the
+    * streaming face of Dedup.exactDedup for an at-least-once ingest
+    * (replayed batches, retried producers) feeding a training corpus. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Write helper showing the intended production shape: append-mode
     * parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String) =

@@ -160,6 +160,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = StreamOps.dedupStream(df, Seq("event_id"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(0), "a"))
+      q.processAllAvailable()
+      // a replayed delivery of event 1 in a LATER micro-batch must also drop
+      mem.addData((1L, ts(0), "a-replay"), (3L, ts(2), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"each key exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
