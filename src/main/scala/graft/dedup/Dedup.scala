@@ -132,13 +132,18 @@ object Dedup {
                    threshold: Double, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8): DataFrame = {
     graft.functions.SortedIntersectSize.register(df.sparkSession)
+    graft.functions.GramHashes.register(df.sparkSession)
     val cands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)
     // per-doc sorted distinct hashed grams: the merge-scan intersect needs
-    // sorted inputs, and |union| = na + nb - |intersect| (no union pass)
-    val grams = df.select(col(idCol).as("id"),
-        sort_array(array_distinct(
-          transform(rawShingles(col(textCol), k), s => xxhash64(s))))
-          .as("grams"))
+    // sorted inputs, and |union| = na + nb - |intersect| (no union pass).
+    // Default k goes through the native zero-alloc GramHashes expression
+    // (one byte pass, primitive sort+dedupe); other k use the builtin
+    // string-shingle formulation.
+    val gramsCol =
+      if (k == 5) expr(s"gram_hashes(lower(trim($textCol)))")
+      else sort_array(array_distinct(
+        transform(rawShingles(col(textCol), k), s => xxhash64(s))))
+    val grams = df.select(col(idCol).as("id"), gramsCol.as("grams"))
       .withColumn("n", size(col("grams")))
     // identical subtree on both sides of the two joins -> Spark reuses the
     // exchange instead of recomputing shingle hashes twice
