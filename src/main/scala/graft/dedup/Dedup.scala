@@ -163,12 +163,21 @@ object Dedup {
     * token-hash's bit value; the sign of the sum is the fingerprint bit.
     * Near-dups differ in few bits (small Hamming distance).
     *
-    * Shaped like minhashSignatures: explode tokens → one string hash per
-    * token → 64 vote-sum aggregates → assemble the sign bits into one
-    * long. The aggregation partial-combines map-side (64 ints per doc on
-    * the shuffle); the nested higher-order-aggregate alternative evaluates
-    * 64 × tokens interpreted lambdas per row and is ~20× slower. */
+    * Default path is the native one-pass SimHash64 expression — a narrow
+    * map, no explode row-blowup, no shuffle at all. */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.SimHash64.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      expr(s"simhash64(lower(trim($textCol)))").as("simhash"))
+  }
+
+  /** The aggregation-shaped SimHash twin (explode tokens → one string hash
+    * per token → 64 vote-sum aggregates → assemble sign bits). Kept as the
+    * builtin-only formulation: it partial-combines map-side (64 ints per
+    * doc on the shuffle) and documents why the nested
+    * higher-order-aggregate alternative is ~20× slower (Catalyst collapses
+    * projections and re-evaluates the token split per bit). */
+  def simhashesAgg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // explode_outer: a token-less (empty/whitespace) doc must still get a
     // row — plain explode would silently drop it from any downstream join
     val exploded = df.select(col(idCol).as("id"),
