@@ -192,8 +192,52 @@ object ParityQueries {
       |)
       |GROUP BY 1""".stripMargin
 
+  /** ORC transport round-trip: the nation table written as ORC (Spark's
+    * second first-class columnar format — the natural interchange when the
+    * upstream warehouse is Hive/ORC, as the reference's would be), read
+    * back, joined and aggregated. Values must be identical to reading the
+    * parquet original, which is exactly what the oracle checks. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    CoreOps.scan(spark, sfDir, "nation").write.mode("overwrite").orc(dir)
+    val nation = spark.read.orc(dir)
+    CoreOps.scan(spark, sfDir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_bal"))
+  }
+
+  private val orcRoundtripOracle =
+    """SELECT n_name, count(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** JSON transport: events' props column is JSON text already; this query
+    * round-trips whole ROWS through JSON (to_json → spark.read.json
+    * schema-inferred) and re-aggregates — the "logs arrive as JSON lines"
+    * ingest path. */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    CoreOps.scan(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+      .toJSON.write.mode("overwrite").text(dir)
+    spark.read.json(dir)
+      .select(col("r_regionkey").cast("int").as("r_regionkey"),
+        col("r_name"))
+  }
+
+  private val jsonRoundtripOracle =
+    """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
+      |FROM region""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("p01_flagship", flagship, Some(flagshipOracle)),
+    NamedQuery("p09_orc_roundtrip", orcRoundtrip, Some(orcRoundtripOracle)),
+    NamedQuery("p10_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
     NamedQuery("p02_default_ds", defaultDs, Some(defaultDsOracle)),
     NamedQuery("p03_tsv_roundtrip", tsvRoundtrip, Some(tsvRoundtripOracle)),
     NamedQuery("p04_missing_col_drop", missingColumnDrop,
