@@ -123,6 +123,29 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream join: each view pairs with the clicks of
+    * the same user landing within `within` AFTER it (click-through
+    * attribution). Both sides carry watermarks and the join condition is
+    * time-RANGE-bounded, so the state store retains each side only for
+    * the window + lateness — the requirement for an unbounded stream ×
+    * stream join to run forever. */
+  def clickThroughJoin(views: DataFrame, clicks: DataFrame,
+                       within: String = "10 minutes",
+                       lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val c = clicks.select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    v.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Write helper showing the intended production shape: append-mode
     * parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String) =

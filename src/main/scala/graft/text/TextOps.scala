@@ -81,6 +81,47 @@ object TextOps {
   def systematicSample(id: Column, keepBelow: Int, modulus: Int = 97): Column =
     (id * 48271L) % modulus < keepBelow
 
+  /** Gopher-style repetition signals (Rae et al., 2021 §A1.1): the
+    * fraction of characters sitting in duplicate LINES, and the fraction
+    * of characters covered by the most frequent word bigram. High values
+    * flag boilerplate/spam documents that poison training corpora. Both
+    * are exact integer ratios — engine-portable. */
+  def dupLineCharFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val total = aggregate(lines, lit(0), (a, l) => a + length(l))
+    // chars in lines whose text appears more than once: for each line,
+    // count occurrences across the doc; line length counts when dup
+    val dupChars = aggregate(lines, lit(0), (a, l) =>
+      a + when(size(filter(lines, m => m === l)) > 1, length(l)).otherwise(0))
+    when(total === 0, lit(0.0))
+      .otherwise(dupChars.cast("double") / total.cast("double"))
+  }
+
+  /** Fraction of tokens covered by the single most frequent word bigram
+    * (adjacent token pair; occurrences may overlap, so the value is
+    * clamped to 1). */
+  def topBigramTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val top = array_max(transform(array_distinct(bigrams),
+      b => size(filter(bigrams, x => x === b))))
+    when(n < 2, lit(0.0))
+      .otherwise(least(lit(1.0), (top * 2).cast("double") / n.cast("double")))
+  }
+
+  /** Redact PII-shaped spans: emails and long digit runs (phone/account
+    * numbers) become fixed tags. Simple character-class regexes only, so
+    * the same pattern means the same thing in Java and RE2-style engines
+    * (oracle replicability). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9][0-9 ()+-]{7,}[0-9]", "<NUMBER>")
+
   /** Stratified flavor of the systematic sample: the keep rate (out of
     * `modulus`) depends on the stratum column — the deterministic version
     * of `sampleBy`, reproducible on any engine/partitioning. Strata not

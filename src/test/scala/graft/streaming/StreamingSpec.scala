@@ -179,6 +179,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs views with clicks inside the time window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val q = StreamOps.clickThroughJoin(df(views), df(clicks), "10 minutes")
+      .writeStream.format("memory").queryName("ct_join")
+      .outputMode("append").start()
+    try {
+      views.addData((100L, ts(0), 7L))
+      clicks.addData(
+        (200L, ts(5), 7L),   // same user, inside 10 min -> joins
+        (201L, ts(45), 7L),  // outside the window -> no
+        (202L, ts(5), 8L))   // other user -> no
+      q.processAllAvailable()
+      val rows = spark.table("ct_join")
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 200L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
