@@ -420,6 +420,26 @@ object TextQueries {
       |         AS n_numbers
       |FROM r""".stripMargin
 
+  /** Corpus heavy hitters, exact: the vocabulary-building / stopword-
+    * discovery pass. One map-side-combined shuffle on the term + global
+    * top-k. At open-vocabulary scale the SpaceSavingTopK sketch
+    * (topk_values, SpaceSavingTopKSpec) computes the same answer with
+    * O(capacity) state instead of a distinct-term shuffle — the spec
+    * asserts sketch == exact on this corpus. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20)
+
+  private val heavyHittersOracle =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                            x -> len(x) > 0)) AS term
+      |  FROM documents)
+      |SELECT term, count(*) AS cnt FROM tok
+      |GROUP BY 1 ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("t01_dedup_groups", dedupGroups, Some(dedupGroupsOracle)),
     NamedQuery("t02_dedup_keep", dedupKeep, Some(dedupKeepOracle)),
@@ -436,5 +456,6 @@ object TextQueries {
     NamedQuery("t12_stratified_sample", stratified, Some(stratifiedOracle)),
     NamedQuery("t13_repetition", repetition, Some(repetitionOracle)),
     NamedQuery("t14_redact", redact, Some(redactOracle)),
+    NamedQuery("t15_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
   )
 }
