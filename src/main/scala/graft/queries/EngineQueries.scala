@@ -416,7 +416,53 @@ object EngineQueries {
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY 1""".stripMargin
 
+  /** Grouped z-score outliers: orders priced ≥ 2σ above their priority
+    * group's mean. The grouped-stats + join-back pattern, determinism-
+    * hardened: mean and variance come from EXACT decimal sums (Σx, Σx²)
+    * so every engine and partitioning derives identical doubles; the
+    * z-threshold comparison is then plain double arithmetic. Stats
+    * aggregate is 5 rows → broadcast back onto the fact scan. */
+  def outliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = scan(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val stats = ord.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("s1"),
+        sum((col("o_totalprice") * col("o_totalprice"))
+          .cast("decimal(38,4)")).cast("double").as("s2"))
+      .select(col("o_orderpriority"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          .as("sd"))
+    ord.join(broadcast(stats), "o_orderpriority")
+      .where(col("o_totalprice") >= col("mean") + lit(2.0) * col("sd"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        ((col("o_totalprice") - col("mean")) / col("sd"))
+          .cast("decimal(28,4)").cast("double").as("z"))
+  }
+
+  private val outliersOracle =
+    """WITH st AS (
+      |  SELECT o_orderpriority,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+      |           / COUNT(*) AS mean,
+      |         sqrt(CAST(SUM(CAST(o_totalprice * o_totalprice
+      |                           AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+      |              - (CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+      |                 / COUNT(*))
+      |                * (CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+      |                   / COUNT(*))) AS sd
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+      |       CAST(CAST((o.o_totalprice - st.mean) / st.sd AS DECIMAL(28,4))
+      |            AS DOUBLE) AS z
+      |FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority
+      |WHERE o.o_totalprice >= st.mean + 2.0 * st.sd""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e16_outliers", outliers, Some(outliersOracle)),
     NamedQuery("e15_range_tiers", rangeTiers, Some(rangeTiersOracle)),
     NamedQuery("e12_pivot", pivotAgg, Some(pivotOracle)),
     NamedQuery("e13_cube", cubeAgg, Some(cubeOracle)),

@@ -148,8 +148,50 @@ object EventQueries {
       |FROM v ASOF LEFT JOIN c
       |  ON v.user_id = c.user_id AND v.us >= c.us""".stripMargin
 
+  /** Spark's builtin session_window (30-min gap) — the declarative twin
+    * of both StreamOps.sessionize (stateful) and sessionizeBatch
+    * (lag+cumsum): same gap semantics, one aggregation, streaming-ready.
+    * The oracle rebuilds sessions with the lag/cumsum formulation and
+    * keys them by their start time, proving builtin == hand-rolled. */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+
+  private val sessionWindowsOracle =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  -- µs-precision gap: session_window compares full event times,
+      |  -- unlike the floor-seconds unix_timestamp twin in ev02
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN prev_ts IS NULL THEN 1
+      |              WHEN (epoch_ns(ts) // 1000) - (epoch_ns(prev_ts) // 1000)
+      |                   >= 1800000000 THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_session) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM y)
+      |SELECT user_id,
+      |       strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S')
+      |         AS session_start,
+      |       count(*) AS n_events
+      |FROM z GROUP BY user_id, session_seq""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),
+    NamedQuery("ev06_session_windows", sessionWindows,
+      Some(sessionWindowsOracle)),
     NamedQuery("ev05_asof_view_click", asofViewClick, Some(asofViewClickOracle)),
     NamedQuery("ev02_sessions", sessions, Some(sessionsOracle)),
     NamedQuery("ev03_json_agg", jsonAgg, Some(jsonAggOracle)),
