@@ -461,8 +461,27 @@ object EngineQueries {
       |FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority
       |WHERE o.o_totalprice >= st.mean + 2.0 * st.sd""".stripMargin
 
+  /** The salted two-phase aggregation under the correctness gate: same
+    * result as a direct GROUP BY (which is exactly what the oracle runs),
+    * but the first combine happens on (key, salt) so one hot key spreads
+    * over 8 tasks instead of one straggler. l_returnflag is 3 keys over
+    * 600k rows — precisely the hot-key shape. */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Skew.saltedAgg(
+      scan(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q")),
+      "l_returnflag", salts = 8,
+      partial = sum, combine = sum, valueCol = "q", outCol = "sum_qty")
+      .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
+
+  private val saltedAggOracle =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("e16_outliers", outliers, Some(outliersOracle)),
+    NamedQuery("e17_salted_agg", saltedAgg, Some(saltedAggOracle)),
     NamedQuery("e15_range_tiers", rangeTiers, Some(rangeTiersOracle)),
     NamedQuery("e12_pivot", pivotAgg, Some(pivotOracle)),
     NamedQuery("e13_cube", cubeAgg, Some(cubeOracle)),

@@ -101,4 +101,42 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
       "exactly one shuffle (partial agg combines map-side)")
   }
+
+  test("as-of join: no join operator at all — union + one keyed window") {
+    val s = planStr("ev05_asof_view_click")
+    assert(!s.contains("Join"), s"as-of must be join-free:\n$s")
+    assert(s.contains("Window"))
+  }
+
+  test("range tiers: bucketed equi-join, never a nested-loop/cartesian") {
+    val s = planStr("e15_range_tiers")
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"), s"range join must be keyed:\n$s")
+  }
+
+  test("two-phase median: stats broadcast back; no per-group global sort") {
+    val s = planStr("e11_exact_median")
+    assert(s.contains("BroadcastHashJoin"),
+      "median buckets must broadcast onto the fact scan")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      "histogram + targets aggregations must partial-combine")
+  }
+
+  test("outliers: 5-row stats side broadcasts onto the fact scan") {
+    val s = planStr("e16_outliers")
+    assert(s.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$s")
+  }
+
+  test("heavy hitters: top-k via TakeOrderedAndProject, no global sort") {
+    val s = planStr("t15_heavy_hitters")
+    assert(s.contains("TakeOrderedAndProject"), s"limit 20 must not sort:\n$s")
+  }
+
+  test("repetition stats: native expression keeps the scan shuffle-free") {
+    val s = planStr("t13_repetition")
+    assert(!s.contains("Exchange"), s"t13 must be a pure narrow map:\n$s")
+    assert(s.contains("repetition_stats") || s.contains("repetitionstats"),
+      "the native expression must be in the plan")
+  }
 }
