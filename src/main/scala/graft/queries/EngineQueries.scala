@@ -479,7 +479,68 @@ object EngineQueries {
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** FULL OUTER join coverage: customers × their 1996 orders, keeping
+    * customers with no such orders AND orders whose customers fall
+    * outside the (deliberately filtered) customer slice. Aggregated to
+    * null-side counts so the unmatched semantics are what's checked. */
+  def fullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = scan(spark, sfDir, "customer")
+      .where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = scan(spark, sfDir, "orders")
+      .where(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .agg(
+        count(when(col("o_orderkey").isNull, 1)).as("cust_no_orders"),
+        count(when(col("c_custkey").isNull, 1)).as("orders_no_cust"),
+        count(when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull,
+          1)).as("matched"))
+  }
+
+  private val fullOuterOracle =
+    """SELECT
+      |  COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS cust_no_orders,
+      |  COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS orders_no_cust,
+      |  COUNT(*) FILTER (WHERE c.c_custkey IS NOT NULL
+      |                     AND o.o_orderkey IS NOT NULL) AS matched
+      |FROM (SELECT c_custkey, c_mktsegment FROM customer
+      |      WHERE c_custkey % 3 = 0) c
+      |FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+      |                 WHERE year(o_orderdate) = 1996) o
+      |  ON c.c_custkey = o.o_custkey""".stripMargin
+
+  /** Subquery coverage: scalar subquery (global average) + IN subquery
+    * (European nations) — Catalyst rewrites both into joins
+    * (RewritePredicateSubquery); the pushed/broadcast shapes are free. */
+  def subqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    scan(spark, sfDir, "part").createOrReplaceTempView("g_part")
+    scan(spark, sfDir, "supplier").createOrReplaceTempView("g_supplier")
+    scan(spark, sfDir, "nation").createOrReplaceTempView("g_nation")
+    // the scalar average goes through an exact decimal sum so the
+    // threshold double is bit-identical on both engines
+    spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM g_supplier
+        |WHERE s_acctbal > (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(28,2)))
+        |                               AS DOUBLE) / COUNT(*)
+        |                   FROM g_supplier)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM g_nation
+        |                      WHERE n_regionkey = 3)""".stripMargin)
+  }
+
+  private val subqueriesOracle =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_acctbal > (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(28,2)))
+      |                               AS DOUBLE) / COUNT(*)
+      |                   FROM supplier)
+      |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_regionkey = 3)""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e18_full_outer", fullOuter, Some(fullOuterOracle)),
+    NamedQuery("e19_subqueries", subqueries, Some(subqueriesOracle)),
     NamedQuery("e16_outliers", outliers, Some(outliersOracle)),
     NamedQuery("e17_salted_agg", saltedAgg, Some(saltedAggOracle)),
     NamedQuery("e15_range_tiers", rangeTiers, Some(rangeTiersOracle)),
