@@ -23,6 +23,14 @@ object Similarity {
   /** Cast array<float> → array<double> once, at the edge. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Wrap a custom Catalyst Expression as a user-facing Column (and
+    * back) — the classic-API bridge for parameterized expressions that
+    * can't go through the SQL function registry (runtime array params). */
+  private def exprCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def colExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
   /** Sequential-fold dot product — deterministic order (left to right). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -93,19 +101,21 @@ object Similarity {
     val codes = (0 until tables).map { t =>
       hyperplanes(planesPerTable, dim, seed + t)
     }
-    // One projection computes ALL per-table codes, then explode — the
+    // One projection computes ALL per-table codes (native fused loop —
+    // the builtin per-plane aggregate/zip_with lambdas are interpreted,
+    // ~tables×planes×dim boxed ops per row), then posexplode — the
     // corpus parquet is scanned exactly once (a unionAll of per-table
     // withColumn copies would physically re-scan it `tables` times: 10
-    // full corpus reads at 100 TB where one suffices). The join below is
+    // full corpus reads at 100 TB where one suffices). The native loop
+    // runs the same dots in the same IEEE order as the lambda form, so
+    // codes — and the DuckDB oracle — are unchanged. The join below is
     // unchanged: same (table, code) keys, same candidate set.
     def coded(df: DataFrame, id: String, vec: String): DataFrame = {
       val base = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
-      val tableCodes = array(codes.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("table"), bucketCode(col(vec), planes).as("code"))
-      }.toIndexedSeq: _*)
-      base.select(col(id), col(vec), explode(tableCodes).as("tc"))
-        .select(col(id), col(vec),
-          col("tc.table").as("table"), col("tc.code").as("code"))
+      val codesCol = exprCol(graft.functions.LshBucketCodes(
+        colExpr(col(vec)), planesPerTable, tables, dim, seed))
+      base.select(col(id), col(vec),
+        posexplode(codesCol).as(Seq("table", "code")))
     }
     val q = coded(queries, "query_id", "qv")
     val c = coded(corpus, "neighbor_id", "cv")
@@ -168,27 +178,12 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val cents = array(centroids.map(c =>
-      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("__cents", cents)
-      .withColumn("cell", expr(
-        // argmin over centroid distances, sequential fold
-        s"""aggregate(
-           |  sequence(0, ${centroids.length - 1}),
-           |  struct(-1 AS idx, CAST('Infinity' AS DOUBLE) AS best),
-           |  (acc, i) -> IF(
-           |    aggregate(zip_with(v, element_at(CENTS, i + 1),
-           |                       (x, y) -> (x - y) * (x - y)),
-           |              CAST(0 AS DOUBLE), (s, d) -> s + d) < acc.best,
-           |    struct(i AS idx,
-           |           aggregate(zip_with(v, element_at(CENTS, i + 1),
-           |                              (x, y) -> (x - y) * (x - y)),
-           |                     CAST(0 AS DOUBLE), (s, d) -> s + d) AS best),
-           |    acc),
-           |  acc -> acc.idx)""".stripMargin
-          .replace("CENTS", "__cents")))
-      .withColumn("__cents", cents)
-      .drop("__cents")
+    // native fused argmin loop (the SQL aggregate-fold twin evaluated the
+    // squared distance TWICE per candidate through interpreted lambdas);
+    // same accumulation order and strict-< first-wins tie rule, so
+    // assignments — and the DuckDB oracle — are unchanged
+    val withV = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    withV.withColumn("cell",
+      exprCol(graft.functions.IvfCell(colExpr(col("v")), centroids)))
   }
 }
