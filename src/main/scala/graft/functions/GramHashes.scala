@@ -43,7 +43,17 @@ case class GramHashes(child: Expression, k: Int = 5)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
     val n = s.numBytes()
-    val m = math.max(n - k + 1, 0)
+    // a string shorter than k contributes its WHOLE text as one gram —
+    // matching the builtin rawShingles (sequence(1, greatest(n-k+1, 1)));
+    // an empty-gram set would silently drop short-doc near-dup pairs on
+    // this path only
+    if (n < k) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * 131L + s.getByte(j); j += 1 }
+      return new GenericArrayData(Array(MinHashSig.fmix64(h)))
+    }
+    val m = n - k + 1
     val hs = new Array[Long](m)
     var p = 0
     while (p < m) {
@@ -73,13 +83,17 @@ case class GramHashes(child: Expression, k: Int = 5)
       val h = ctx.freshName("h")
       val w = ctx.freshName("w")
       val i = ctx.freshName("i")
+      val win = ctx.freshName("win")
       s"""
          |int $n = $input.numBytes();
-         |int $m = java.lang.Math.max($n - $k + 1, 0);
+         |// short string: its whole text is the single gram (matches the
+         |// builtin rawShingles sequence(1, greatest(n-k+1, 1)) form)
+         |int $m = ($n < $k) ? 1 : ($n - $k + 1);
+         |int $win = ($n < $k) ? $n : $k;
          |long[] $hs = new long[$m];
          |for (int $p = 0; $p < $m; $p++) {
          |  long $h = 0L;
-         |  for (int $j = 0; $j < $k; $j++) {
+         |  for (int $j = 0; $j < $win; $j++) {
          |    $h = $h * 131L + $input.getByte($p + $j);
          |  }
          |  $h = ($h ^ ($h >>> 33)) * ${0xff51afd7ed558ccdL}L;

@@ -155,6 +155,8 @@ object SpaceSavingTopK {
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, name),
       (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"topk_values(col, k) takes exactly 2 arguments, got ${args.length}")
         val k = args(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
             v.asInstanceOf[Int]

@@ -78,6 +78,37 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: a real implementation decodes, scales to
+    * `targetWidth`, and re-encodes; this deterministically downsamples
+    * the payload bytes by the same ratio and rewrites the metadata —
+    * exercising the real pipeline shape (payload AND meta must change
+    * together, new width propagates, narrow map, no shuffle). */
+  def resize(assets: DataFrame, targetWidth: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val resized = assets
+      .select(col("asset_id"), col("payload"), col("meta.width").as("w"))
+      .as[(Long, Array[Byte], Int)]
+      .map { case (id, payload, w) =>
+        val bytes = if (payload == null) Array.empty[Byte] else payload
+        // ceil ratio guarantees the new width lands <= target; the new
+        // metadata width derives from the APPLIED ratio so payload and
+        // meta stay consistent (w=600,target=256 -> ratio 3, width 200)
+        val ratio = if (w <= 0 || w <= targetWidth) 1
+                    else (w + targetWidth - 1) / targetWidth
+        val out =
+          if (ratio == 1) bytes
+          else Array.tabulate(bytes.length / ratio)(i => bytes(i * ratio))
+        (id, out, if (w <= 0) w else w / ratio)
+      }
+      .toDF("asset_id", "payload2", "new_width")
+    assets.join(resized, "asset_id")
+      .select(col("asset_id"), col("media_type"),
+        col("payload2").as("payload"),
+        struct(col("new_width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format")).as("meta"))
+  }
+
   /** Frame-sampling stub: pick every `stride`-th byte window as a "frame",
     * emitting (asset_id, frame_no, frame_bytes) — the explode-shaped op a
     * video pipeline needs, with deterministic fake frames. */

@@ -36,26 +36,37 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** `payload` columns are carried from the right side onto each left row
-    * (null when no right row precedes it). `leftCols` selects the left
-    * columns to keep. */
+    * (all null when no right row precedes it). `leftCols` selects the
+    * left columns to keep.
+    *
+    * The payload travels as ONE struct (null for left rows), so the
+    * window's `last(_, ignoreNulls)` picks whole right ROWS — carrying
+    * each payload column independently would stitch together a
+    * combination no single right row ever had whenever payload values
+    * are null (and diverge from ASOF semantics / the DuckDB oracle). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                leftCols: Seq[String], payload: Seq[String]): DataFrame = {
     val sideLit = "__side"
+    val rp = "__rpayload"
     val l = left.select(
       (Seq(col(key), col(ts), lit(1).as(sideLit)) ++
-        leftCols.map(col) ++
-        payload.map(c => lit(null).as(c))): _*)
+        leftCols.map(col) :+
+        lit(null).cast(structTypeOf(right, payload)).as(rp)): _*)
     val r = right.select(
       (Seq(col(key), col(ts), lit(0).as(sideLit)) ++
-        leftCols.map(c => lit(null).as(c)) ++
-        payload.map(col)): _*)
+        leftCols.map(c => lit(null).as(c)) :+
+        struct(payload.map(col): _*).as(rp)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col(sideLit))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col(sideLit) === 1)
-      .select((Seq(col(key), col(ts)) ++ (leftCols ++ payload).map(col)): _*)
+    l.unionByName(r)
+      .withColumn(rp, last(col(rp), ignoreNulls = true).over(w))
+      .where(col(sideLit) === 1)
+      .select((Seq(col(key), col(ts)) ++ leftCols.map(col) ++
+        payload.map(c => col(s"$rp.$c").as(c))): _*)
   }
+
+  private def structTypeOf(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c).copy(name = c)))
 }

@@ -39,13 +39,18 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
-  /** Deterministic row salt: xxhash64 over every column, mod `salts`.
-    * Identical rows share a salt (fine — the goal is spreading, not
-    * uniqueness) and recomputation after a fetch retry yields the same
-    * value, unlike monotonically_increasing_id. */
+  /** Deterministic row salt: xxhash64 over every column PLUS the partition
+    * id, mod `salts`. Recomputation after a fetch retry yields the same
+    * value (partition ids are stable across retries; xxhash64 is pure),
+    * unlike monotonically_increasing_id — and mixing in the partition id
+    * keeps content-identical rows spreading across salts when they live
+    * in different partitions (a pure content hash would collapse a hot
+    * key of identical rows onto ONE salt, silently reinstating the
+    * straggler). Identical rows within one input partition still share a
+    * salt — they are one task's local data either way. */
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
-      .cast("int")
+    pmod(xxhash64((df.columns.map(col) :+ spark_partition_id()).toIndexedSeq: _*),
+      lit(salts.toLong)).cast("int")
 
   /** Two-phase aggregation for skewed group keys: partial-aggregate on
     * (key, salt), then final-combine on key. `partial` and `combine`

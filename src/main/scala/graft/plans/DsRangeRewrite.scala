@@ -61,26 +61,35 @@ object DsRangeRewrite extends Rule[LogicalPlan] {
       case _                                  => None
     }
     pattern.flatMap { pat =>
-      val parsed =
-        Try(LocalDate.parse(lit.value.asInstanceOf[UTF8String].toString, pat))
-          .toOption
-      def orFalse(f: LocalDate => Expression): Option[Expression] =
-        Some(parsed.map(f).getOrElse(Literal.FalseLiteral))
+      val raw = lit.value.asInstanceOf[UTF8String].toString
+      // round-trip check: DateTimeFormatter's default SMART resolver maps
+      // overflow literals like 20240231 to a real date (2024-02-29) — but
+      // date_format NEVER produces such a string, so the original
+      // predicate matches nothing and the rewrite must too
+      val parsed = Try(LocalDate.parse(raw, pat)).toOption
+        .filter(d => d.format(pat) == raw)
+      // no-match replacement must stay null-preserving: the original
+      // equality is NULL (not FALSE) for a NULL column, which differs
+      // under NOT/COALESCE
+      def noMatch(c: Expression): Expression =
+        If(IsNull(c), Literal(null, BooleanType), Literal.FalseLiteral)
+      def orFalse(c: Expression)(f: LocalDate => Expression): Option[Expression] =
+        Some(parsed.map(f).getOrElse(noMatch(c)))
       fmt.left match {
         // analyzer inserts Cast(x -> timestamp) for date/ntz inputs
         case c: Cast if c.dataType == TimestampType &&
             c.child.dataType == DateType =>
-          orFalse(day => EqualTo(c.child,
+          orFalse(c.child)(day => EqualTo(c.child,
             Literal(day.toEpochDay.toInt, DateType)))
         case c: Cast if c.dataType == TimestampType &&
             c.child.dataType == TimestampNTZType =>
-          orFalse { day =>
+          orFalse(c.child) { day =>
             val lo = day.toEpochDay * MicrosPerDay
             range(c.child, lo, lo + MicrosPerDay, TimestampNTZType)
           }
         case t if t.dataType == TimestampType =>
           fmt.timeZoneId.flatMap { tz =>
-            orFalse { day =>
+            orFalse(t) { day =>
               def micros(d: LocalDate) =
                 d.atStartOfDay(ZoneId.of(tz)).toInstant.getEpochSecond *
                   1000000L

@@ -514,7 +514,6 @@ object EngineQueries {
     * (European nations) — Catalyst rewrites both into joins
     * (RewritePredicateSubquery); the pushed/broadcast shapes are free. */
   def subqueries(spark: SparkSession, sfDir: String): DataFrame = {
-    scan(spark, sfDir, "part").createOrReplaceTempView("g_part")
     scan(spark, sfDir, "supplier").createOrReplaceTempView("g_supplier")
     scan(spark, sfDir, "nation").createOrReplaceTempView("g_nation")
     // the scalar average goes through an exact decimal sum so the

@@ -198,7 +198,9 @@ object ParityQueries {
     * back, joined and aggregated. Values must be identical to reading the
     * parquet original, which is exactly what the oracle checks. */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    // fixed, overwritten path: a fresh createTempDirectory per invocation
+    // would leak one orphaned dir per bench/verify/plan-dump run
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
     CoreOps.scan(spark, sfDir, "nation").write.mode("overwrite").orc(dir)
     val nation = spark.read.orc(dir)
     CoreOps.scan(spark, sfDir, "customer")
@@ -221,7 +223,7 @@ object ParityQueries {
     * ingest path. */
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
     CoreOps.scan(spark, sfDir, "region")
       .select(col("r_regionkey"), col("r_name"))
       .toJSON.write.mode("overwrite").text(dir)

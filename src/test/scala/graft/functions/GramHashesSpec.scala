@@ -35,10 +35,15 @@ class GramHashesSpec extends SparkSpec {
       "hashed-gram intersection must equal the string-set intersection")
   }
 
-  test("empty and short strings yield an empty array, no crash") {
+  test("short strings contribute their whole text as one gram (builtin parity)") {
     GramHashes.register(spark)
-    val hs = Seq(Tuple1(""), Tuple1("abc")).toDF("t")
+    // rawShingles emits substr(1, k) of the whole short string — one gram;
+    // the native path must agree or short-doc near-dup pairs differ by k
+    val hs = Seq(Tuple1(""), Tuple1("abc"), Tuple1("abc"))
+      .toDF("t")
       .select(expr("gram_hashes(t)").as("h")).as[Seq[Long]].collect()
-    assert(hs.forall(_.isEmpty))
+    assert(hs.forall(_.length == 1))
+    assert(hs(1) == hs(2), "identical short strings share their gram")
+    assert(hs(0) != hs(1), "empty vs non-empty differ")
   }
 }

@@ -31,6 +31,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f.view.mapValues(_.feature.toSeq).toMap == f2)
   }
 
+  test("resize shrinks payload and rewrites metadata together") {
+    val out = Multimodal.resize(assets, targetWidth = 100)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    // asset 2: width 200 -> ratio 2 -> 100 bytes, meta.width becomes 100
+    val big = out(2L)
+    assert(big.getAs[Array[Byte]]("payload").length == 100)
+    assert(big.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 100)
+    // asset 1 (width 11 <= target): untouched payload, width unchanged
+    val small = out(1L)
+    assert(new String(small.getAs[Array[Byte]]("payload")) == "hello world")
+    assert(small.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 11)
+    // schema is still the asset schema (round-trips into the same table)
+    assert(Multimodal.resize(assets).schema.fields.map(_.name).toSeq ==
+      Multimodal.assetSchema.fields.map(_.name).toSeq)
+  }
+
   test("frame sampling explodes payload into strided windows") {
     val frames = Multimodal.sampleFrames(assets, frameLen = 16, stride = 64)
       .where(col("asset_id") === 2L).collect()

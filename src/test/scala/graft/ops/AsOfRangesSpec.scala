@@ -25,6 +25,21 @@ class AsOfSpec extends SparkSpec {
     assert(out(20L) == None, "no prior right row -> null payload")
   }
 
+  test("null payload values come from ONE right row, never stitched across rows") {
+    // right rows: (t=1, p1='A', p2=null) then (t=2, p1=null, p2='B');
+    // per-column carry would fabricate (A, B); whole-row ASOF semantics
+    // require (null, 'B') from the latest row
+    val l = Seq((1L, 3L, 10L)).toDF("k", "t", "view_id")
+    val r = Seq((1L, 1L, Option("A"), Option.empty[String]),
+      (1L, 2L, Option.empty[String], Option("B")))
+      .toDF("k", "t", "p1", "p2")
+    val row = AsOf.asOfJoin(l, r, "k", "t",
+      leftCols = Seq("view_id"), payload = Seq("p1", "p2")).collect().head
+    assert(row.isNullAt(row.fieldIndex("p1")),
+      s"p1 must be the LATEST row's null, got $row")
+    assert(row.getAs[String]("p2") == "B")
+  }
+
   test("as-of plan contains no join at all — one window over the union") {
     val plan = AsOf.asOfJoin(views, clicks, "k", "t",
       leftCols = Seq("view_id"), payload = Seq("click_id"))

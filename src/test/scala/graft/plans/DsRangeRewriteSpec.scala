@@ -60,6 +60,30 @@ class DsRangeRewriteSpec extends SparkSpec {
         .count())
   }
 
+  test("overflow literals (20240231) match nothing — SMART resolution rejected") {
+    // date_format never produces '20240231'; a lenient parse would resolve
+    // it to 2024-02-29 and wrongly return all Feb 29 rows
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(date_format(col("l_shipdate"), "yyyyMMdd") === "20240231")
+    assert(df.count() == 0)
+    // and a zero-padded-mismatch literal likewise
+    val df2 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(date_format(col("l_shipdate"), "yyyy-MM-dd") === "1996-1-2")
+    assert(df2.count() == 0)
+  }
+
+  test("unparseable literal keeps NULL semantics under NOT") {
+    import spark.implicits._
+    val df = Seq((1L, Some("2024-01-01")), (2L, None))
+      .toDF("id", "s")
+      .select(col("id"), to_timestamp_ntz(col("s")).as("ts"))
+    // original semantics: NOT(date_format(null,..) = 'x') is NULL -> row
+    // dropped; the rewrite must not turn it into NOT(false) = true
+    val kept = df.where(!(date_format(col("ts"), "yyyyMMdd") === "nope"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"null-ts row must stay dropped, got $kept")
+  }
+
   test("a non-day pattern is left alone (not bijective per day)") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .where(date_format(col("l_shipdate"), "yyyyMM") === "199601")
