@@ -112,13 +112,38 @@ object FloatCosine {
 
 /** SparkSessionExtensions entry point:
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  *
+  * Injects the full graft surface: every native function/aggregate this
+  * library defines plus the DsRangeRewrite optimizer rule — a user
+  * configuring the extension class gets the same session the library's
+  * own entry points build. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(FloatCosine.name),
-      new ExpressionInfo(classOf[FloatCosine].getName, FloatCosine.name),
-      (args: Seq[Expression]) => FloatCosine(args.head, args(1))))
+    def inject(name: String, clazz: Class[_],
+               builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    inject(FloatCosine.name, classOf[FloatCosine],
+      args => FloatCosine(args.head, args(1)))
+    inject(MinHashSig.name, classOf[MinHashSig], args => MinHashSig(args.head))
+    inject(GramHashes.name, classOf[GramHashes], args => GramHashes(args.head))
+    inject(SimHash64.name, classOf[SimHash64], args => SimHash64(args.head))
+    inject(SortedIntersectSize.name, classOf[SortedIntersectSize],
+      args => SortedIntersectSize(args.head, args(1)))
+    inject(RepetitionStats.name, classOf[RepetitionStats],
+      args => RepetitionStats(args.head))
+    inject(SpaceSavingTopK.name, classOf[SpaceSavingTopK], args => {
+      if (args.length != 2) throw new IllegalArgumentException(
+        s"topk_values(col, k) takes exactly 2 arguments, got ${args.length}")
+      args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v,
+            org.apache.spark.sql.types.IntegerType) =>
+          SpaceSavingTopK(args.head, v.asInstanceOf[Int]).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"topk_values k must be an integer literal, got $other")
+      }
+    })
     ext.injectOptimizerRule(_ => graft.plans.DsRangeRewrite)
   }
 }
