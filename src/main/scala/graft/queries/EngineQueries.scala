@@ -537,8 +537,59 @@ object EngineQueries {
       |  AND s_nationkey IN (SELECT n_nationkey FROM nation
       |                      WHERE n_regionkey = 3)""".stripMargin
 
+  /** Exact per-group quartiles (type-1: the value at rank ceil(p·cnt)),
+    * generalizing the two-phase median machinery: one histogram shuffle,
+    * locate the bucket containing EACH target rank from cumulative
+    * counts, broadcast those buckets, fine-sort only their rows and pick
+    * the rows whose recovered global rank hits a target. Parallelism
+    * scales with buckets, not groups — the same reason e11 is two-phase. */
+  def quartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = scan(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val bucket = floor(col("o_totalprice") / 1000.0).cast("long")
+    val hist = ord.groupBy(col("o_orderpriority"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val wb = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("bn")).over(wb))
+      .withColumn("lo", col("cum") - col("bn"))
+    val targets = hist.groupBy(col("o_orderpriority"))
+      .agg(sum(col("bn")).as("cnt"))
+      .select(col("o_orderpriority"),
+        explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"), col("cnt"))
+      .withColumn("r", greatest(lit(1L),
+        ceil(col("p") * col("cnt")).cast("long")))
+    val qBuckets = cum.join(targets, "o_orderpriority")
+      .where(col("r") > col("lo") && col("r") <= col("cum"))
+      .select(col("o_orderpriority"), col("bucket"), col("lo")).distinct()
+    val wFine = Window.partitionBy(col("o_orderpriority"), col("bucket"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    ord.withColumn("bucket", bucket)
+      .join(broadcast(qBuckets), Seq("o_orderpriority", "bucket"))
+      .withColumn("grank", col("lo") + row_number().over(wFine))
+      .join(broadcast(targets.select(col("o_orderpriority"), col("p"), col("r"))),
+        Seq("o_orderpriority"))
+      .where(col("grank") === col("r"))
+      .select(col("o_orderpriority"), col("p"),
+        col("o_totalprice").as("q_value"))
+  }
+
+  private val quartilesOracle =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice, o_orderkey) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM orders),
+      |p(p) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+      |                (CAST(0.75 AS DOUBLE)))
+      |SELECT o_orderpriority, p, o_totalprice AS q_value
+      |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("e18_full_outer", fullOuter, Some(fullOuterOracle)),
+    NamedQuery("e20_quartiles", quartiles, Some(quartilesOracle)),
     NamedQuery("e19_subqueries", subqueries, Some(subqueriesOracle)),
     NamedQuery("e16_outliers", outliers, Some(outliersOracle)),
     NamedQuery("e17_salted_agg", saltedAgg, Some(saltedAggOracle)),

@@ -188,8 +188,51 @@ object EventQueries {
       |       count(*) AS n_events
       |FROM z GROUP BY user_id, session_seq""".stripMargin
 
+  /** Funnel attribution: each 'purchase' picks up its latest prior
+    * 'click' AND latest prior 'view' (same user, at-or-before the
+    * purchase) — two composed as-of joins, i.e. sequential-pattern
+    * matching without a single cross product or per-user collect.
+    * Partial funnels surface as nulls. The oracle chains DuckDB's
+    * native ASOF twice. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = readEvents(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    def stage(t: String, idAs: String) = ev.where(col("event_type") === t)
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("event_id")).as(idAs)) // dedupe: one per (user, µs)
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("buy_id"))
+    val withClick = graft.ops.AsOf.asOfJoin(
+      buys, stage("click", "click_id"), "user_id", "us",
+      leftCols = Seq("buy_id"), payload = Seq("click_id"))
+    val withView = graft.ops.AsOf.asOfJoin(
+      withClick, stage("view", "view_id"), "user_id", "us",
+      leftCols = Seq("buy_id", "click_id"), payload = Seq("view_id"))
+    withView.select(col("user_id"), col("us").as("buy_us"),
+      col("buy_id"), col("click_id"), col("view_id"))
+  }
+
+  private val funnelOracle =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  epoch_ns(ts) // 1000 AS us
+      |           FROM events),
+      |b AS (SELECT user_id, us, event_id AS buy_id
+      |      FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, us, max(event_id) AS click_id
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |v AS (SELECT user_id, us, max(event_id) AS view_id
+      |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |bc AS (
+      |  SELECT b.user_id, b.us, b.buy_id, c.click_id
+      |  FROM b ASOF LEFT JOIN c
+      |    ON b.user_id = c.user_id AND b.us >= c.us)
+      |SELECT bc.user_id, bc.us AS buy_us, bc.buy_id, bc.click_id, v.view_id
+      |FROM bc ASOF LEFT JOIN v
+      |  ON bc.user_id = v.user_id AND bc.us >= v.us""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),
+    NamedQuery("ev07_funnel", funnel, Some(funnelOracle)),
     NamedQuery("ev06_session_windows", sessionWindows,
       Some(sessionWindowsOracle)),
     NamedQuery("ev05_asof_view_click", asofViewClick, Some(asofViewClickOracle)),
