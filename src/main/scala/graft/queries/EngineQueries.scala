@@ -587,8 +587,38 @@ object EngineQueries {
       |SELECT o_orderpriority, p, o_totalprice AS q_value
       |FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * cnt) AS BIGINT))""".stripMargin
 
+  /** SCD-2-style effective ranges: each customer's orders become
+    * [valid_from, valid_to) versions via lead() over the per-key history
+    * — the slowly-changing-dimension build every warehouse ETL (and the
+    * reference's nightly dump pattern) eventually needs. One shuffle on
+    * the key; open-ended current versions carry a null valid_to. */
+  def scd2Ranges(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    scan(spark, sfDir, "orders")
+      .where(col("o_custkey") % 100 === 0) // bounded slice for the oracle
+      .withColumn("valid_to_date",
+        lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to_date"), "yyyy-MM-dd").as("valid_to"),
+        col("valid_to_date").isNull.as("is_current"))
+  }
+
+  private val scd2Oracle =
+    """SELECT o_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |       strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |                                        ORDER BY o_orderdate, o_orderkey),
+      |                '%Y-%m-%d') AS valid_to,
+      |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |                               ORDER BY o_orderdate, o_orderkey) IS NULL
+      |         AS is_current
+      |FROM orders WHERE o_custkey % 100 = 0""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("e18_full_outer", fullOuter, Some(fullOuterOracle)),
+    NamedQuery("e21_scd2_ranges", scd2Ranges, Some(scd2Oracle)),
     NamedQuery("e20_quartiles", quartiles, Some(quartilesOracle)),
     NamedQuery("e19_subqueries", subqueries, Some(subqueriesOracle)),
     NamedQuery("e16_outliers", outliers, Some(outliersOracle)),
