@@ -201,6 +201,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionize state survives a query RESTART via checkpoint") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def writeBatch(rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(in)
+    // foreachBatch sink: checkpoint-recoverable (the memory sink is not)
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+        .as[(Long, Timestamp)]
+      StreamOps.sessionize(stream, gapMs = 10 * 60 * 1000L,
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamOps.SessionUpdate],
+           _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", chk)
+        .outputMode("update").start()
+    }
+    // run 1: two events of one session, then STOP the query
+    writeBatch(Seq((5L, ts(0)), (5L, ts(5))))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2: a third event inside the same session arrives after restart;
+    // recovered state must CONTINUE the session (n=3), not start fresh
+    writeBatch(Seq((5L, ts(9))))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val ups = spark.read.parquet(out)
+        .select("user_id", "n_events", "closed").as[(Long, Long, Boolean)]
+        .collect().toSet
+      assert(ups.contains((5L, 3L, false)),
+        s"restarted query must resume session state at n=3, got $ups")
+    } finally q2.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
