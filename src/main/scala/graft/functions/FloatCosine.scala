@@ -100,8 +100,14 @@ object FloatCosine {
   private val info = new ExpressionInfo(
     classOf[FloatCosine].getName, name)
 
-  private val builder: Seq[Expression] => Expression =
-    args => FloatCosine(args.head, args(1))
+  /** The single SQL builder — shared by register() and GraftExtensions so
+    * the two surfaces cannot drift; strict arity (silently dropping extra
+    * args would return wrong results with no error). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => FloatCosine(a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name(a, b) takes exactly 2 arguments, got ${args.length}")
+  }
 
   /** Idempotent per-session registration so `expr("float_cosine(a,b)")`
     * resolves (used by library code paths and tests). */
@@ -120,30 +126,28 @@ object FloatCosine {
   * own entry points build. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    def inject(name: String, clazz: Class[_],
-               builder: Seq[Expression] => Expression): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))
-    inject(FloatCosine.name, classOf[FloatCosine],
-      args => FloatCosine(args.head, args(1)))
-    inject(MinHashSig.name, classOf[MinHashSig], args => MinHashSig(args.head))
-    inject(GramHashes.name, classOf[GramHashes], args => GramHashes(args.head))
-    inject(SimHash64.name, classOf[SimHash64], args => SimHash64(args.head))
-    inject(SortedIntersectSize.name, classOf[SortedIntersectSize],
-      args => SortedIntersectSize(args.head, args(1)))
-    inject(RepetitionStats.name, classOf[RepetitionStats],
-      args => RepetitionStats(args.head))
-    inject(SpaceSavingTopK.name, classOf[SpaceSavingTopK], args => {
-      if (args.length != 2) throw new IllegalArgumentException(
-        s"topk_values(col, k) takes exactly 2 arguments, got ${args.length}")
-      args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v,
-            org.apache.spark.sql.types.IntegerType) =>
-          SpaceSavingTopK(args.head, v.asInstanceOf[Int]).toAggregateExpression()
-        case other => throw new IllegalArgumentException(
-          s"topk_values k must be an integer literal, got $other")
-      }
-    })
+    }
     ext.injectOptimizerRule(_ => graft.plans.DsRangeRewrite)
   }
+}
+
+object GraftExtensions {
+  /** The complete SQL-surface registry: each entry's builder is the SAME
+    * value the companion's register() uses, so the extension session and
+    * the library's own sessions cannot drift. (LshBucketCodes / IvfCell
+    * are deliberately absent: they take runtime seed/centroid arrays and
+    * exist only on the Scala API via the graftbridge shim.) */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    (FloatCosine.name, classOf[FloatCosine], FloatCosine.builder),
+    (MinHashSig.name, classOf[MinHashSig], MinHashSig.builder),
+    (GramHashes.name, classOf[GramHashes], GramHashes.builder),
+    (SimHash64.name, classOf[SimHash64], SimHash64.builder),
+    (SortedIntersectSize.name, classOf[SortedIntersectSize],
+      SortedIntersectSize.builder),
+    (RepetitionStats.name, classOf[RepetitionStats], RepetitionStats.builder),
+    (SpaceSavingTopK.name, classOf[SpaceSavingTopK], SpaceSavingTopK.builder),
+  )
 }

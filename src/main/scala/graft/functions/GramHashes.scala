@@ -114,11 +114,17 @@ case class GramHashes(child: Expression, k: Int = 5)
 object GramHashes {
   val name = "gram_hashes"
 
+  /** Shared strict-arity SQL builder (see FloatCosine.builder). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a) => GramHashes(a)
+    case args => throw new IllegalArgumentException(
+      s"$name(text) takes exactly 1 argument, got ${args.length}")
+  }
+
   /** Idempotent per-session registration: `gram_hashes(text)` with the
     * default k=5. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GramHashes].getName, name),
-      (args: Seq[Expression]) => GramHashes(args.head))
+      new ExpressionInfo(classOf[GramHashes].getName, name), builder)
 }

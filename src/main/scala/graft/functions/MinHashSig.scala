@@ -125,11 +125,18 @@ object MinHashSig {
     (a, b)
   }
 
+  /** Shared strict-arity SQL builder (see FloatCosine.builder). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a) => MinHashSig(a)
+    case args => throw new IllegalArgumentException(
+      s"$name(text) takes exactly 1 argument (k/numHashes are fixed at " +
+        s"5/32 on the SQL surface), got ${args.length}")
+  }
+
   /** Idempotent per-session registration: `minhash_sig(text)` with the
     * default k=5, numHashes=32. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
-      new ExpressionInfo(classOf[MinHashSig].getName, name),
-      (args: Seq[Expression]) => MinHashSig(args.head))
+      new ExpressionInfo(classOf[MinHashSig].getName, name), builder)
 }

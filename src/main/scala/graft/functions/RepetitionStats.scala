@@ -132,10 +132,16 @@ object RepetitionStatsImpl {
 object RepetitionStats {
   val name = "repetition_stats"
 
+  /** Shared strict-arity SQL builder (see FloatCosine.builder). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a) => RepetitionStats(a)
+    case args => throw new IllegalArgumentException(
+      s"$name(text) takes exactly 1 argument, got ${args.length}")
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
-      new ExpressionInfo(classOf[RepetitionStats].getName, name),
-      (args: Seq[Expression]) => RepetitionStats(args.head))
+      new ExpressionInfo(classOf[RepetitionStats].getName, name), builder)
 }

@@ -111,10 +111,16 @@ object SimHash64 {
   def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
 
+  /** Shared strict-arity SQL builder (see FloatCosine.builder). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a) => SimHash64(a)
+    case args => throw new IllegalArgumentException(
+      s"$name(text) takes exactly 1 argument, got ${args.length}")
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
-      new ExpressionInfo(classOf[SimHash64].getName, name),
-      (args: Seq[Expression]) => SimHash64(args.head))
+      new ExpressionInfo(classOf[SimHash64].getName, name), builder)
 }

@@ -72,9 +72,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 object SortedIntersectSize {
   val name = "intersect_size_sorted"
 
+  /** Shared strict-arity SQL builder (see FloatCosine.builder). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SortedIntersectSize(a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name(a, b) takes exactly 2 arguments, got ${args.length}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
-      new ExpressionInfo(classOf[SortedIntersectSize].getName, name),
-      (args: Seq[Expression]) => SortedIntersectSize(args.head, args(1)))
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, name), builder)
 }

@@ -149,20 +149,24 @@ object SpaceSavingTopK {
       }
     }
 
+  /** Shared strict SQL builder (see FloatCosine.builder): `k` must be an
+    * integer literal — it sizes the aggregation buffer at plan time. */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(child, kExpr) =>
+      val k = kExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
+          v.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"$name k must be an integer literal, got $other")
+      }
+      SpaceSavingTopK(child, k).toAggregateExpression()
+    case args => throw new IllegalArgumentException(
+      s"$name(col, k) takes exactly 2 arguments, got ${args.length}")
+  }
+
   /** Idempotent registration: `topk_values(col, k)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
-      new ExpressionInfo(classOf[SpaceSavingTopK].getName, name),
-      (args: Seq[Expression]) => {
-        if (args.length != 2) throw new IllegalArgumentException(
-          s"topk_values(col, k) takes exactly 2 arguments, got ${args.length}")
-        val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
-            v.asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"topk_values k must be an integer literal, got $other")
-        }
-        SpaceSavingTopK(args.head, k).toAggregateExpression()
-      })
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, name), builder)
 }

@@ -286,34 +286,50 @@ object EngineQueries {
     * because the bucket is a monotonic function of price (equal prices
     * share a bucket), so concatenating per-bucket sorts IS the global
     * sort. */
-  def exactMedian(spark: SparkSession, sfDir: String): DataFrame = {
+  def exactMedian(spark: SparkSession, sfDir: String): DataFrame =
+    rankSelect(spark, sfDir) { counts =>
+      counts.select(col("o_orderpriority"),
+        explode(array(floor((col("cnt") + 1) / 2),
+          floor((col("cnt") + 2) / 2))).as("r"))
+        .distinct() // odd counts: m1 == m2 -> one middle row
+    }
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(col("o_totalprice")) / count(lit(1))).as("median_price"))
+
+  /** The shared two-phase rank-select core (used by exactMedian and
+    * quartiles): `mkTargets` maps the per-group counts (group, cnt) to
+    * target-rank rows (group, [extra cols...], r); the result is the
+    * order rows sitting at exactly those global (price, orderkey) ranks,
+    * with the extra target columns riding along. The histogram is
+    * localCheckpoint'ed — it is a few thousand rows and three downstream
+    * consumers (cumulative counts, counts, bucket location) would
+    * otherwise each re-scan the orders parquet. */
+  private def rankSelect(spark: SparkSession, sfDir: String)
+      (mkTargets: DataFrame => DataFrame): DataFrame = {
     val ord = scan(spark, sfDir, "orders")
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
     val bucket = floor(col("o_totalprice") / 1000.0).cast("long")
     val hist = ord.groupBy(col("o_orderpriority"), bucket.as("bucket"))
       .agg(count(lit(1)).as("bn"))
+      .localCheckpoint(true)
     val wb = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
       .withColumn("cum", sum(col("bn")).over(wb)) // rows up to & incl. bucket
       .withColumn("lo", col("cum") - col("bn"))   // rows before this bucket
-    val targets = hist.groupBy(col("o_orderpriority"))
-      .agg(sum(col("bn")).as("cnt"))
-      .select(col("o_orderpriority"),
-        floor((col("cnt") + 1) / 2).as("m1"), floor((col("cnt") + 2) / 2).as("m2"))
-    val medBuckets = cum.join(targets, "o_orderpriority")
-      .where((col("m1") > col("lo") && col("m1") <= col("cum")) ||
-             (col("m2") > col("lo") && col("m2") <= col("cum")))
-      .select(col("o_orderpriority"), col("bucket"), col("lo"),
-        col("m1"), col("m2"))
+    val targets = mkTargets(
+      hist.groupBy(col("o_orderpriority")).agg(sum(col("bn")).as("cnt")))
+    val qBuckets = cum
+      .join(targets.select(col("o_orderpriority"), col("r")), "o_orderpriority")
+      .where(col("r") > col("lo") && col("r") <= col("cum"))
+      .select(col("o_orderpriority"), col("bucket"), col("lo")).distinct()
     val wFine = Window.partitionBy(col("o_orderpriority"), col("bucket"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     ord.withColumn("bucket", bucket)
-      .join(broadcast(medBuckets), Seq("o_orderpriority", "bucket"))
+      .join(broadcast(qBuckets), Seq("o_orderpriority", "bucket"))
       .withColumn("grank", col("lo") + row_number().over(wFine))
-      .where(col("grank") === col("m1") || col("grank") === col("m2"))
-      .groupBy(col("o_orderpriority"))
-      .agg((sum(col("o_totalprice")) / count(lit(1))).as("median_price"))
+      .join(broadcast(targets), Seq("o_orderpriority"))
+      .where(col("grank") === col("r"))
   }
 
   private val exactMedianOracle =
@@ -543,37 +559,16 @@ object EngineQueries {
     * counts, broadcast those buckets, fine-sort only their rows and pick
     * the rows whose recovered global rank hits a target. Parallelism
     * scales with buckets, not groups — the same reason e11 is two-phase. */
-  def quartiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val ord = scan(spark, sfDir, "orders")
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-    val bucket = floor(col("o_totalprice") / 1000.0).cast("long")
-    val hist = ord.groupBy(col("o_orderpriority"), bucket.as("bucket"))
-      .agg(count(lit(1)).as("bn"))
-    val wb = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("cum", sum(col("bn")).over(wb))
-      .withColumn("lo", col("cum") - col("bn"))
-    val targets = hist.groupBy(col("o_orderpriority"))
-      .agg(sum(col("bn")).as("cnt"))
-      .select(col("o_orderpriority"),
-        explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"), col("cnt"))
-      .withColumn("r", greatest(lit(1L),
-        ceil(col("p") * col("cnt")).cast("long")))
-    val qBuckets = cum.join(targets, "o_orderpriority")
-      .where(col("r") > col("lo") && col("r") <= col("cum"))
-      .select(col("o_orderpriority"), col("bucket"), col("lo")).distinct()
-    val wFine = Window.partitionBy(col("o_orderpriority"), col("bucket"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    ord.withColumn("bucket", bucket)
-      .join(broadcast(qBuckets), Seq("o_orderpriority", "bucket"))
-      .withColumn("grank", col("lo") + row_number().over(wFine))
-      .join(broadcast(targets.select(col("o_orderpriority"), col("p"), col("r"))),
-        Seq("o_orderpriority"))
-      .where(col("grank") === col("r"))
+  def quartiles(spark: SparkSession, sfDir: String): DataFrame =
+    rankSelect(spark, sfDir) { counts =>
+      counts
+        .select(col("o_orderpriority"),
+          explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"), col("cnt"))
+        .select(col("o_orderpriority"), col("p"),
+          greatest(lit(1L), ceil(col("p") * col("cnt")).cast("long")).as("r"))
+    }
       .select(col("o_orderpriority"), col("p"),
         col("o_totalprice").as("q_value"))
-  }
 
   private val quartilesOracle =
     """WITH r AS (

@@ -23,11 +23,33 @@ class FloatCosineSpec extends SparkSpec {
     assert(diff == 0, "native and builtin cosines must be bit-identical")
   }
 
-  test("registers through SparkSessionExtensions builder hook") {
-    // the injected builder produces the same expression the registry does
-    val ext = new GraftExtensions
-    // smoke: applying to a fresh extensions object must not throw
-    ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
+  test("every injected SQL builder wires its args and rejects bad arity") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    // applying to a fresh extensions object must not throw
+    (new GraftExtensions).apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val b = GraftExtensions.functions.map(f => f._1 -> f._3).toMap
+    val s = Literal("x")
+    assert(b.size == 7)
+    // correct arity → the right expression with args in order
+    assert(b("float_cosine")(Seq(s, Literal("y")))
+      .asInstanceOf[FloatCosine].left == s)
+    assert(b("minhash_sig")(Seq(s)).isInstanceOf[MinHashSig])
+    assert(b("gram_hashes")(Seq(s)).isInstanceOf[GramHashes])
+    assert(b("simhash64")(Seq(s)).isInstanceOf[SimHash64])
+    assert(b("intersect_size_sorted")(Seq(s, Literal("y")))
+      .asInstanceOf[SortedIntersectSize].right == Literal("y"))
+    assert(b("repetition_stats")(Seq(s)).isInstanceOf[RepetitionStats])
+    val agg = b("topk_values")(Seq(s, Literal(5)))
+      .asInstanceOf[AggregateExpression]
+    assert(agg.aggregateFunction.asInstanceOf[SpaceSavingTopK].k == 5)
+    // wrong arity / non-literal k → a comprehensible error, never silent
+    // defaulting (minhash_sig(text, 9, 64) must not quietly use k=5)
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      intercept[IllegalArgumentException](builder(Seq.empty))
+      intercept[IllegalArgumentException](builder(Seq(s, s, s)))
+    }
+    intercept[IllegalArgumentException](b("topk_values")(Seq(s, s)))
   }
 
   test("handles degenerate inputs via eval path") {
