@@ -611,8 +611,41 @@ object EngineQueries {
       |         AS is_current
       |FROM orders WHERE o_custkey % 100 = 0""".stripMargin
 
+  /** Latest-row-per-group via max_by (arg-max): each customer's most
+    * recent order — ONE map-side-combined aggregation instead of the
+    * window row_number formulation (which shuffles every row then sorts
+    * per group to keep one). Deterministic tie-break via an integer
+    * composite key (epoch-days · 10^10 + orderkey — exact in a long on
+    * both engines; DuckDB's arg_max has no struct comparator). */
+  def latestPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordKey = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long") * 10000000000L +
+      col("o_orderkey")
+    scan(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), ordKey).as("latest_order"),
+        max(col("o_orderdate")).cast("date").as("latest_date"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("latest_order"),
+        date_format(col("latest_date"), "yyyy-MM-dd").as("latest_date"),
+        col("n_orders"))
+  }
+
+  private val latestPerGroupOracle =
+    """SELECT o_custkey,
+      |       arg_max(o_orderkey,
+      |               datediff('day', DATE '1970-01-01',
+      |                        CAST(o_orderdate AS DATE)) * 10000000000
+      |               + o_orderkey) AS latest_order,
+      |       strftime(CAST(max(o_orderdate) AS DATE), '%Y-%m-%d') AS latest_date,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("e18_full_outer", fullOuter, Some(fullOuterOracle)),
+    NamedQuery("e22_latest_per_group", latestPerGroup,
+      Some(latestPerGroupOracle)),
     NamedQuery("e21_scd2_ranges", scd2Ranges, Some(scd2Oracle)),
     NamedQuery("e20_quartiles", quartiles, Some(quartilesOracle)),
     NamedQuery("e19_subqueries", subqueries, Some(subqueriesOracle)),

@@ -230,8 +230,39 @@ object EventQueries {
       |FROM bc ASOF LEFT JOIN v
       |  ON bc.user_id = v.user_id AND bc.us >= v.us""".stripMargin
 
+  /** Cohort retention: users grouped by their first-seen date, counted
+    * by how many distinct users of each cohort are active N weeks later
+    * — the DAU/retention matrix every event warehouse builds. Two
+    * map-side-combined aggregations + one keyed join; day-granularity
+    * integer arithmetic end-to-end, so the oracle is exact. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = readEvents(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        floor(datediff(col("d"), col("cohort_day")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("week_offset"), col("n_active"))
+  }
+
+  private val cohortRetentionOracle =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+      |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |       CAST(floor(datediff('day', f.cohort_day, ev.d) / 7) AS INTEGER)
+      |         AS week_offset,
+      |       count(DISTINCT ev.user_id) AS n_active
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY f.cohort_day, 2""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),
+    NamedQuery("ev08_cohort_retention", cohortRetention,
+      Some(cohortRetentionOracle)),
     NamedQuery("ev07_funnel", funnel, Some(funnelOracle)),
     NamedQuery("ev06_session_windows", sessionWindows,
       Some(sessionWindowsOracle)),
