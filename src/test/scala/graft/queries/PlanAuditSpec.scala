@@ -133,6 +133,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s"limit 20 must not sort:\n$s")
   }
 
+  test("latest-per-group: one combine-style aggregation, no window sort") {
+    val s = planStr("e22_latest_per_group")
+    assert(!s.contains("Window"), s"max_by must not need a window:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(s).size >= 2 ||
+      "SortAggregate".r.findAllIn(s).size >= 2,
+      s"partial+final aggregate pair expected:\n$s")
+  }
+
   test("repetition stats: native expression keeps the scan shuffle-free") {
     val s = planStr("t13_repetition")
     assert(!s.contains("Exchange"), s"t13 must be a pure narrow map:\n$s")
