@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns next to a typed metadata struct; the
   * decode / feature-extract steps run per-partition over batches.
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-features from the
-  * bytes. Everything Spark-side — schema, batch iteration, partitioning,
-  * output shape — is real and tested, so swapping in a real decoder is a
-  * one-function change.
+  * Image decode is REAL: PNG/JPEG payloads go through the JDK's
+  * `javax.imageio.ImageIO` (no external codec dependency) — true
+  * width/height/format/pixels come off the decoded raster. Payloads ImageIO
+  * cannot identify (audio, video, arbitrary bytes) fall back to
+  * `fakeDecode`, a deterministic stand-in that keeps the distributed
+  * plumbing exercised for media types this container has no codec for.
   */
 object Multimodal {
 
@@ -46,11 +47,72 @@ object Multimodal {
   final case class AssetFeatures(asset_id: Long, n_bytes: Int,
                                  feature: Array[Float])
 
-  /** STUB decoder: a real implementation would decode the payload
-    * (image/audio frame) and emit pixel/spectral features; this derives a
-    * deterministic 8-dim feature from the raw bytes so the distributed
-    * plumbing (per-partition batching, fixed-width float output, no
-    * driver collect) is exercised end-to-end. */
+  // ── real image codec (JDK ImageIO — no external dependency) ──────────
+
+  /** Deterministic gray value for synthesized test images; the DuckDB
+    * oracle reproduces the same arithmetic, so a query that ENCODES with
+    * this and then truly DECODES the PNG bytes is hash-checkable. */
+  def grayAt(x: Int, y: Int, seed: Long): Int =
+    ((x.toLong * 7 + y.toLong * 13 + seed) % 256).toInt
+
+  /** Encode a real 8-bit grayscale PNG with `grayAt` pixels. PNG is
+    * lossless, so every sample round-trips exactly through decode. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, grayAt(x, y, seed)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class DecodedImage(width: Int, height: Int, format: String,
+                                pixel_sum: Long, image: java.awt.image.BufferedImage)
+
+  /** Real decode: sniff the format with ImageIO's reader registry, decode
+    * the pixels, and sum band-0 samples (an order-independent integer
+    * checksum of the raster). None when no installed reader recognizes the
+    * bytes — the caller's cue to use the fallback path. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Some(DecodedImage(img.getWidth, img.getHeight, fmt, sum, img))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** FALLBACK decoder for media types this container has no codec for
+    * (audio/video): derives a deterministic 8-dim feature from the raw
+    * bytes so the distributed plumbing still runs end-to-end. */
   def fakeDecode(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     var i = 0
@@ -61,21 +123,130 @@ object Multimodal {
     f
   }
 
-  /** Feature extraction over asset batches: mapPartitions so a real codec
-    * could amortize per-task init (model load, JNI context) across its
-    * partition — the Scala analogue of a pandas-batched UDF. */
+  /** Real image feature: 8-bin histogram of band-0 samples, normalized by
+    * pixel count (sums to 1). None for non-image payloads. */
+  def imageFeature(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeImage(bytes).map { d =>
+      val raster = d.image.getRaster
+      val counts = new Array[Long](8)
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          counts(raster.getSample(x, y, 0) >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = d.width.toLong * d.height
+      counts.map(c => c.toFloat / n)
+    }
+
+  /** Feature extraction over asset batches: mapPartitions so the codec
+    * amortizes per-task init across its partition — the Scala analogue of
+    * a pandas-batched UDF. Image payloads get a REAL decoded histogram
+    * feature; unrecognized bytes fall back to the deterministic stub. */
   def extractFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-task init for a real decoder would go here
+        // per-task init for a heavier decoder would go here
         rows.map { case (id, bytes) =>
           val payload = if (bytes == null) Array.empty[Byte] else bytes
-          AssetFeatures(id, payload.length, fakeDecode(payload))
+          AssetFeatures(id, payload.length,
+            imageFeature(payload).getOrElse(fakeDecode(payload)))
         }
       }
+  }
+
+  /** Synthesize an asset table with REAL PNG payloads: dims derive
+    * deterministically from the id (so an oracle can predict the decoded
+    * output), pixels from `grayAt`. Metadata is left null — on ingest the
+    * payload arrives first and decode fills the meta, which is exactly
+    * what `decodeImages` does. */
+  def synthesizeImageAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, encodePng(imgWidth(id), imgHeight(id), seed = id))
+      })
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("image/png").as("media_type"),
+        col("payload"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("string").as("format")).as("meta"))
+  }
+
+  /** Deterministic synthesized-image dims (small: encode stays cheap even
+    * over millions of rows; the shape — not the pixel count — is what the
+    * pipeline exercises). */
+  def imgWidth(id: Long): Int = (4 + id % 29).toInt
+  def imgHeight(id: Long): Int = (3 + id % 17).toInt
+
+  final case class ImageMeta(asset_id: Long, width: Int, height: Int,
+                             format: String, pixel_sum: Long)
+
+  /** Real decode pass over an asset table: ImageIO parses each payload's
+    * actual bytes; undecodable payloads are dropped (a production pipeline
+    * would route them to a quarantine sink). Narrow mapPartitions — no
+    * shuffle, payload column pruned everywhere downstream. */
+  def decodeImages(assets: DataFrame): Dataset[ImageMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map(d =>
+          ImageMeta(id, d.width, d.height, d.format, d.pixel_sum))
+      })
+  }
+
+  /** Real image resize: decode, nearest-neighbor downscale to
+    * `targetWidth` (aspect preserved, never upscales), re-encode PNG, and
+    * rewrite the metadata from the dimensions actually applied — payload
+    * and meta cannot drift. Non-image payloads pass through unchanged.
+    * Narrow map, no shuffle. */
+  def resizeImages(assets: DataFrame, targetWidth: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out = assets
+      .select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mt, bytes) =>
+        decodeImage(bytes) match {
+          case Some(d) if d.width > targetWidth =>
+            val nw = targetWidth
+            val nh = math.max(1, (d.height.toLong * nw / d.width).toInt)
+            val img = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val src = d.image.getRaster; val dst = img.getRaster
+            var y = 0
+            while (y < nh) {
+              var x = 0
+              while (x < nw) {
+                dst.setSample(x, y, 0,
+                  src.getSample(x * d.width / nw, y * d.height / nh, 0))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, mt, bos.toByteArray, nw, nh, "png")
+          case Some(d) => (id, mt, bytes, d.width, d.height, d.format)
+          case None    => (id, mt, bytes, -1, -1, null: String)
+        }
+      })
+      .toDF("asset_id", "media_type", "payload", "w", "h", "fmt")
+    out.select(col("asset_id"), col("media_type"), col("payload"),
+      struct(
+        when(col("w") >= 0, col("w")).as("width"),
+        when(col("h") >= 0, col("h")).as("height"),
+        col("fmt").as("format")).as("meta"))
   }
 
   /** Resize stub: a real implementation decodes, scales to

@@ -9,7 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class NamedQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    // oracle built at dump time instead of class-load time — for oracles
+    // embedding literals that only exist after the query ran (e.g. s07's
+    // data-trained IVF centroids). Verify runs every query BEFORE dumping
+    // oracle_sql.json, so the thunk sees the trained state.
+    oracleFn: Option[() => String] = None)
 
 object Registry {
   /** All registered queries, parity first. Order is informational only. */

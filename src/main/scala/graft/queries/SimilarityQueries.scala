@@ -158,6 +158,33 @@ object SimilarityQueries {
       |       'fake' AS format
       |FROM documents""".stripMargin
 
+  /** REAL image decode end-to-end: synthesize genuine PNG payloads (dims
+    * and pixels deterministic functions of doc_id), then decode them with
+    * JDK ImageIO — width/height/format come off the parsed PNG header and
+    * the pixel checksum off the decoded raster. The oracle recomputes the
+    * expected values arithmetically, so a decoder that misparsed any byte
+    * would hash-mismatch. Both passes are narrow mapPartitions. */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeImages(
+        graft.multimodal.Multimodal.synthesizeImageAssets(
+          scan(spark, sfDir, "documents"), "doc_id"))
+      .toDF()
+
+  // pixel(x,y) = (7x + 13y + doc_id) mod 256 over a (4 + id%29) ×
+  // (3 + id%17) grid — summed per doc. Two CTE hops because DuckDB's
+  // unnest zips (not crosses) multiple series in one SELECT.
+  private val imageDecodeOracle =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 29 AS w, 3 + doc_id % 17 AS h
+      |           FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+      |       FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      |       FROM xs)
+      |SELECT doc_id AS asset_id, CAST(w AS INTEGER) AS width,
+      |       CAST(h AS INTEGER) AS height, 'png' AS format,
+      |       CAST(SUM((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS pixel_sum
+      |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** IVF-bucketed ANN with seeded pseudo-random centroids, nprobe=2 of 8
     * cells. DuckDB-oracled below with the centroids as VALUES rows;
     * SimilaritySpec additionally checks recall against brute force. */
@@ -286,6 +313,7 @@ object SimilarityQueries {
     NamedQuery("s04_simhash_neardup", simhashNearDup, None),
     NamedQuery("s05_cosine_neardup", cosineNearDup, Some(cosineNearDupOracle)),
     NamedQuery("s06_multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
+    NamedQuery("s10_image_decode", imageDecode, Some(imageDecodeOracle)),
     NamedQuery("s08_embedding_pool", embeddingPool, Some(embeddingPoolOracle)),
     NamedQuery("s09_embedding_quantize", embeddingQuantize,
       Some(embeddingQuantizeOracle)),

@@ -47,6 +47,73 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.assetSchema.fields.map(_.name).toSeq)
   }
 
+  test("encodePng round-trips through a REAL ImageIO decode") {
+    val bytes = Multimodal.encodePng(5, 4, seed = 9)
+    // genuine PNG magic header, not a fake payload
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G')
+    val d = Multimodal.decodeImage(bytes).get
+    assert(d.width == 5 && d.height == 4 && d.format == "png")
+    val expected = (for { x <- 0 until 5; y <- 0 until 4 }
+      yield Multimodal.grayAt(x, y, 9).toLong).sum
+    assert(d.pixel_sum == expected)
+  }
+
+  test("decodeImage rejects non-image bytes; features fall back to stub") {
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // fake (text) assets keep the deterministic stub features
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(a => a.asset_id -> a.feature.toSeq).toMap
+    assert(f(1L) == Multimodal.fakeDecode("hello world".getBytes).toSeq)
+  }
+
+  test("distributed decode of synthesized PNGs yields true dims + checksums") {
+    val ids = Seq(3L, 40L, 777L).toDF("doc_id")
+    val metas = Multimodal.decodeImages(
+        Multimodal.synthesizeImageAssets(ids, "doc_id"))
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(metas.keySet == Set(3L, 40L, 777L))
+    metas.values.foreach { m =>
+      assert(m.width == Multimodal.imgWidth(m.asset_id))
+      assert(m.height == Multimodal.imgHeight(m.asset_id))
+      assert(m.format == "png")
+      val expected = (for {
+        x <- 0 until m.width; y <- 0 until m.height
+      } yield Multimodal.grayAt(x, y, m.asset_id).toLong).sum
+      assert(m.pixel_sum == expected)
+    }
+  }
+
+  test("image features are a real normalized histogram of decoded pixels") {
+    val feat = Multimodal.imageFeature(Multimodal.encodePng(8, 8, seed = 0)).get
+    assert(feat.length == 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-6) // normalized by pixel count
+    // seed 0 at 8x8: gray = 7x+13y in [0, 140] -> top histogram bins empty
+    assert(feat(7) == 0.0f)
+  }
+
+  test("resizeImages decodes, downscales, re-encodes, and meta matches") {
+    val asset = Seq((1L, "image/png", Multimodal.encodePng(100, 40, seed = 5)))
+      .toDF("asset_id", "media_type", "payload")
+    val out = Multimodal.resizeImages(asset, targetWidth = 50).head()
+    val meta = out.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Int]("width") == 50 && meta.getAs[Int]("height") == 20)
+    // the re-encoded payload is a real PNG whose decoded dims match meta
+    val d = Multimodal.decodeImage(out.getAs[Array[Byte]]("payload")).get
+    assert(d.width == 50 && d.height == 20 && d.format == "png")
+    // nearest-neighbor: corner pixel (0,0) survives the downscale exactly
+    assert(d.image.getRaster.getSample(0, 0, 0) == Multimodal.grayAt(0, 0, 5))
+    // a small image (<= target) passes through byte-identical
+    val small = Seq((2L, "image/png", Multimodal.encodePng(10, 10, seed = 2)))
+      .toDF("asset_id", "media_type", "payload")
+    val sOut = Multimodal.resizeImages(small, targetWidth = 50).head()
+    assert(sOut.getAs[Array[Byte]]("payload").toSeq ==
+      Multimodal.encodePng(10, 10, seed = 2).toSeq)
+    assert(sOut.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 10)
+  }
+
   test("frame sampling explodes payload into strided windows") {
     val frames = Multimodal.sampleFrames(assets, frameLen = 16, stride = 64)
       .where(col("asset_id") === 2L).collect()
