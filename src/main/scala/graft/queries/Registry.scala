@@ -26,5 +26,7 @@ object Registry {
     all.map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q =>
+      q.oracleFn.map(f => q.name -> f())
+        .orElse(q.oracle.map(q.name -> _))).toMap
 }

@@ -171,6 +171,62 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Lloyd k-means over an in-memory sample — the IVF coarse-quantizer
+    * trainer. Deterministic given the sample order: init spreads over the
+    * (caller-sorted) sample at stride n/k, assignment breaks distance ties
+    * toward the lower cell (strict `<`, matching IvfCell), and an emptied
+    * cell keeps its previous centroid. Pure driver-side arithmetic on a
+    * bounded sample; the result broadcasts as expression literals. */
+  def kmeans(sample: Array[Array[Double]], k: Int,
+             iters: Int = 5): Array[Array[Double]] = {
+    require(sample.nonEmpty, "kmeans needs a non-empty sample")
+    val dim = sample.head.length
+    val kk = math.min(k, sample.length)
+    var cents = Array.tabulate(kk)(i =>
+      sample(((i.toLong * sample.length) / kk).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val s = sums(c); Array.tabulate(dim)(i => s(i) / counts(c)) }
+      }
+    }
+    cents
+  }
+
+  /** Train IVF centroids from a BOUNDED deterministic corpus sample: rows
+    * with id < `maxSample` (at 100 TB swap the predicate for a hash-sample
+    * like pmod(xxhash64(id), m) = 0 — still a pushed-down filter and a
+    * bounded collect, never a full-corpus pull). The sample sorts by id on
+    * the driver so accumulation order — and therefore the trained floats —
+    * reproduce bit-for-bit across runs and partitionings, which is what
+    * lets an oracle embed the trained centroids as literals. */
+  def trainCentroids(corpus: DataFrame, k: Int = 8, maxSample: Int = 1024,
+                     iters: Int = 5, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = corpus
+      .where(col(idCol) < maxSample)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    kmeans(sample, k, iters)
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (tiny, broadcast). Centroids would come from a
     * sample-and-kmeans step in production; any fixed centroid set works

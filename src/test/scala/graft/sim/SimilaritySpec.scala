@@ -62,6 +62,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall $recall") // coarse cells, lenient bound
   }
 
+  test("kmeans is deterministic and recovers well-separated clusters") {
+    val rnd = new scala.util.Random(7)
+    // two tight clusters around +10 and -10 in every dim
+    val sample = Array.tabulate(40) { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      Array.fill(4)(base + rnd.nextGaussian() * 0.1)
+    }
+    val c1 = Similarity.kmeans(sample, k = 2, iters = 5)
+    val c2 = Similarity.kmeans(sample.map(_.clone()), k = 2, iters = 5)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // bit-identical
+    val means = c1.map(_.sum / 4)
+    assert(means.exists(m => math.abs(m - 10) < 0.5) &&
+      means.exists(m => math.abs(m + 10) < 0.5), means.toSeq.toString)
+    // k > sample size degrades gracefully
+    assert(Similarity.kmeans(sample.take(3), k = 8).length == 3)
+  }
+
+  test("trained IVF centroids beat untrained recall on a clustered corpus") {
+    val rnd = new scala.util.Random(123)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextDouble() * 10 - 5))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 1.5).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(cents: Array[Array[Double]]): Double = {
+      val approx = Similarity.ivfTopK(queries, df, cents, k = 10, nprobe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val trained = recall(Similarity.trainCentroids(df, k = 8))
+    val untrained = recall(Similarity.hyperplanes(8, 64, seed = 11L))
+    assert(trained >= 0.8, s"trained recall $trained")
+    assert(trained >= untrained + 0.1,
+      s"trained $trained should beat untrained $untrained by >= 0.1")
+  }
+
   test("IVF assignment puts every vector in a valid cell") {
     val cents = Similarity.hyperplanes(4, 64, seed = 7L)
     val out = Similarity.ivfAssign(emb.limit(50), cents)
