@@ -205,11 +205,19 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph: every doc gets the
     * min doc-id of its component as `cluster_id`, so survivor selection
-    * is `doc_id == cluster_id`. Iterative min-label propagation with a
-    * driver-side convergence check; each iteration is one shuffle of the
-    * (bounded) edge set, and near-dup graphs converge in a few hops
-    * (components are tiny — duplicate clusters, not social graphs).
-    * `maxIter` bounds the worst case. */
+    * is `doc_id == cluster_id`.
+    *
+    * Each iteration combines min-label propagation over the edges with a
+    * POINTER JUMP (`label ← label[label]`, the path-doubling step of
+    * Kiveris et al.'s star algorithms): labels are always node ids, so the
+    * self-join is total, and a label that reached distance d from the
+    * component min reaches ~2d+1 next round. Convergence is
+    * O(log diameter) iterations instead of O(diameter) — maxIter=10
+    * covers chains far beyond any real duplicate cluster (≥2^10 hops).
+    *
+    * If `changed > 0` still holds at `maxIter`, the result would silently
+    * split components — so this THROWS GraftError.Other (exit contract
+    * 9999) rather than returning wrong clusters. */
   def clusterAssign(pairs: DataFrame, allIds: DataFrame,
                     maxIter: Int = 10): DataFrame = {
     // undirected edges both ways; materialized ONCE — without this the
@@ -229,16 +237,29 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nbr_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(viaEdges, Seq("id"), "left")
+      val propagated = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+      // pointer jump: follow the label one more hop through the label
+      // table itself (keyed equi-join — labels are node ids, so every
+      // label resolves; least() keeps monotonicity)
+      val parents = propagated
+        .select(col("id").as("p_id"), col("cluster_id").as("p_label"))
+      val next = propagated
+        .join(parents, col("cluster_id") === col("p_id"))
+        .select(col("id"),
+          least(col("cluster_id"), col("p_label")).as("cluster_id"))
         .localCheckpoint(true) // truncate the growing iterative lineage
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
         .where(col("cluster_id") =!= col("old")).limit(1).count()
       labels = next
       it += 1
     }
+    if (changed > 0)
+      throw graft.GraftError.Other(
+        s"clusterAssign did not converge in $maxIter iterations — " +
+          "raise maxIter; returning would silently split components")
     labels
   }
 

@@ -73,6 +73,26 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L))
   }
 
+  test("pointer jumping converges a 40-hop chain within the default maxIter") {
+    // plain one-hop propagation needs 40 iterations here (> default 10)
+    // and used to return silently SPLIT labels; path doubling covers
+    // distance ~2^maxIter, so the default must now label the whole chain
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (1L to 40L).toDF("id")
+    val labels = Dedup.clusterAssign(pairs, ids) // default maxIter = 10
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+  }
+
+  test("unconverged clusterAssign throws instead of returning split labels") {
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (1L to 40L).toDF("id")
+    val e = intercept[graft.GraftError.Other] {
+      Dedup.clusterAssign(pairs, ids, maxIter = 2)
+    }
+    assert(e.code == 9999 && e.getMessage.contains("did not converge"))
+  }
+
   test("winnowing is prefix-independent: shared suffix -> shared fingerprints") {
     // regression: the old rolling hash overflowed before the modulus and
     // mis-weighted the dropped char, making every k-gram hash depend on
