@@ -156,11 +156,14 @@ object StreamOps {
       .option("path", path)
 
   /** Streaming flavor of the reference's idempotent keyed-overwrite sink
-    * (JdbcIdempotentSink): per micro-batch, DELETE the batch's key values
-    * then append — so update-mode re-emissions of a window and replayed
-    * batches after failure both converge to one row per key
-    * (effectively-once on at-least-once delivery). The delete set is the
-    * batch's DISTINCT keys: bounded by windows-in-batch, never data-sized.
+    * (JdbcIdempotentSink), hardened to EXACTLY-ONCE per micro-batch with
+    * an epoch guard table: per batch, check the guard (skip epochs already
+    * applied), DELETE the batch's key values, append, then record the
+    * epoch. Update-mode re-emissions of a window converge via the keyed
+    * delete; a REPLAYED epoch (restart after the checkpoint lagged the
+    * sink) is skipped outright instead of re-applied. The delete set is
+    * the batch's DISTINCT keys: bounded by windows-in-batch, never
+    * data-sized.
     *
     * The whole key set goes through ONE connection and ONE
     * PreparedStatement per statement shape, `addBatch` per key — a stream
@@ -170,7 +173,8 @@ object StreamOps {
     * `String.valueOf` would silently no-op in strict DBs), and a null key
     * column becomes `IS NULL` — `= NULL` never matches anything.
     *
-    * `connect` is injectable so tests can count handshakes.
+    * `connect` is injectable so tests can count handshakes and inject
+    * crashes at chosen points.
     */
   def startJdbcUpsertSink(df: DataFrame, url: String, table: String,
                           keyCols: Seq[String], checkpoint: String,
@@ -179,36 +183,85 @@ object StreamOps {
     df.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val keys = batch
-          .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-          .distinct().collect()
-        if (keys.nonEmpty) {
-          val conn = connect(url)
+      .foreachBatch(upsertBatch(url, table, keyCols, connect) _)
+
+  /** The per-micro-batch handler behind `startJdbcUpsertSink`, factored
+    * out so tests can drive crash/replay sequences directly. Effect order
+    * per (batch, epochId):
+    *
+    *   1. guard check — `<table>__epochs` holds every applied epoch id; a
+    *      replayed id returns without touching the data table;
+    *   2. keyed DELETEs (one connection, batched statements);
+    *   3. distributed append (`batch.write.jdbc`, partition-parallel);
+    *   4. epoch record — INSERT the id into the guard, marking the batch
+    *      done.
+    *
+    * A crash at any point before 4 leaves the guard unset, so the replay
+    * re-runs 2-3 — idempotent by the keyed delete. A crash after 4 makes
+    * the replay a no-op. What this does NOT give is mid-append atomicity:
+    * a reader can observe a partially-appended batch until the replay
+    * completes (the reference's batch sink shares this window — SURVEY
+    * §7.3 risk b). */
+  def upsertBatch(url: String, table: String, keyCols: Seq[String],
+                  connect: String => java.sql.Connection)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      epochId: Long): Unit = {
+    val keys = batch
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect()
+    if (keys.isEmpty) return // empty batch: no effects, nothing to guard
+    val guard = s"${table}__epochs"
+    val conn = connect(url)
+    try {
+      ensureEpochTable(conn, guard)
+      if (epochApplied(conn, guard, epochId)) return
+      // one statement per null-mask shape (null keys need IS NULL)
+      keys.groupBy(r => keyCols.indices.map(r.isNullAt)).foreach {
+        case (mask, rows) =>
+          val sql = s"delete from $table where 1=1" +
+            keyCols.zipWithIndex.map { case (c, i) =>
+              if (mask(i)) s" and $c is null" else s" and $c = ?"
+            }.mkString
+          val ps = conn.prepareStatement(sql)
           try {
-            // one statement per null-mask shape (null keys need IS NULL)
-            keys.groupBy(r => keyCols.indices.map(r.isNullAt)).foreach {
-              case (mask, rows) =>
-                val sql = s"delete from $table where 1=1" +
-                  keyCols.zipWithIndex.map { case (c, i) =>
-                    if (mask(i)) s" and $c is null" else s" and $c = ?"
-                  }.mkString
-                val ps = conn.prepareStatement(sql)
-                try {
-                  rows.foreach { r =>
-                    var p = 1
-                    keyCols.indices.foreach { i =>
-                      if (!mask(i)) { ps.setObject(p, r.get(i)); p += 1 }
-                    }
-                    ps.addBatch()
-                  }
-                  ps.executeBatch()
-                } finally ps.close()
+            rows.foreach { r =>
+              var p = 1
+              keyCols.indices.foreach { i =>
+                if (!mask(i)) { ps.setObject(p, r.get(i)); p += 1 }
+              }
+              ps.addBatch()
             }
-          } finally conn.close()
-        }
-        batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .jdbc(url, table, new java.util.Properties())
-        ()
+            ps.executeBatch()
+          } finally ps.close()
       }
+      batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .jdbc(url, table, new java.util.Properties())
+      val mark = conn.prepareStatement(s"insert into $guard values (?)")
+      try { mark.setLong(1, epochId); mark.executeUpdate() }
+      finally mark.close()
+    } finally conn.close()
+  }
+
+  /** Create the epoch-guard table if absent. No portable CREATE TABLE IF
+    * NOT EXISTS across MySQL/Derby — create and treat "already exists" as
+    * success (verified by the guard query that follows every call). */
+  private def ensureEpochTable(conn: java.sql.Connection,
+                               guard: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(
+      s"create table $guard (epoch_id bigint not null primary key)")
+    catch { case _: java.sql.SQLException => () }
+    finally st.close()
+  }
+
+  private def epochApplied(conn: java.sql.Connection, guard: String,
+                           epochId: Long): Boolean = {
+    val ps = conn.prepareStatement(
+      s"select 1 from $guard where epoch_id = ?")
+    try {
+      ps.setLong(1, epochId)
+      val rs = ps.executeQuery()
+      try rs.next() finally rs.close()
+    } finally ps.close()
+  }
 }

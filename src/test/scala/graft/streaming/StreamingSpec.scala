@@ -160,6 +160,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("epoch guard: crashed batch replays to convergence, applied epoch skips") {
+    val url = "jdbc:derby:memory:graftepoch;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE up_t (k VARCHAR(10), v BIGINT NOT NULL)")
+    conn.createStatement().execute("INSERT INTO up_t VALUES ('a', 1)")
+    conn.close()
+    def rows(): Set[(String, Long)] =
+      spark.read.jdbc(url, "up_t", new java.util.Properties())
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val handler = StreamOps.upsertBatch(url, "up_t", Seq("k"),
+      java.sql.DriverManager.getConnection(_)) _
+
+    // crash BETWEEN delete and append: the poison row violates NOT NULL,
+    // so the keyed DELETE lands but the append dies mid-batch
+    val poison = Seq(("a", None: Option[Long])).toDF("k", "v")
+    intercept[Exception] { handler(poison, 7L) }
+    assert(rows().isEmpty, "delete applied, append crashed, epoch unset")
+
+    // replay of epoch 7 with the recovered data applies fully (the guard
+    // was never set, so the batch is NOT skipped)
+    handler(Seq(("a", Some(2L))).toDF("k", "v"), 7L)
+    assert(rows() == Set(("a", 2L)))
+
+    // a second delivery of the SAME epoch — even with different content —
+    // is skipped outright by the guard: no delete, no append
+    handler(Seq(("a", Some(99L))).toDF("k", "v"), 7L)
+    assert(rows() == Set(("a", 2L)), "applied epoch must not re-apply")
+
+    // a NEW epoch for the same key upserts normally
+    handler(Seq(("a", Some(3L))).toDF("k", "v"), 8L)
+    assert(rows() == Set(("a", 3L)))
+  }
+
   test("streaming dedup drops re-delivered events across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
