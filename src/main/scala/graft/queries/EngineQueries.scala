@@ -642,7 +642,33 @@ object EngineQueries {
       |       count(*) AS n_orders
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Exact multi-column distinct counts per group — the hash-oracled
+    * exact twin of the HLL sketch (SketchSpec pins
+    * `approx_count_distinct` within its rsd bound of THIS query's
+    * values, mirroring the t15 heavy-hitters exact/sketch pair). Spark
+    * plans multi-distinct via Expand + two-phase aggregation: the
+    * map-side partial dedups per (group, distinct-col) before the
+    * shuffle, so shuffle rows scale with distinct values, not input
+    * rows. At 100 TB reach for the HLL twin unless exactness is a
+    * requirement. */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
+    scan(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  private val distinctCountsOracle =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e23_distinct_counts", distinctCounts,
+      Some(distinctCountsOracle)),
     NamedQuery("e18_full_outer", fullOuter, Some(fullOuterOracle)),
     NamedQuery("e22_latest_per_group", latestPerGroup,
       Some(latestPerGroupOracle)),
