@@ -236,10 +236,44 @@ object ParityQueries {
     """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
       |FROM region""".stripMargin
 
+  /** CSV transport: header + quoted fields. The synthesized note column
+    * embeds a comma, so the writer must quote and the reader must unquote
+    * — the note_chars sum catches any quoting loss. Read back schema-less
+    * (all strings, the reference's TSV worldview) and cast at the edge.
+    * TPC-H acctbal carries exactly 2 decimals, so the
+    * double→text→decimal path is exact on both engines (the note builds
+    * from INT columns only — double→string formatting is not
+    * engine-portable). */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    CoreOps.scan(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"),
+        concat(col("s_name"), lit(", nation "),
+          col("s_nationkey").cast("string")).as("s_note"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read.option("header", "true").csv(dir)
+      .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_bal"),
+        sum(length(col("s_note"))).as("note_chars"))
+  }
+
+  private val csvRoundtripOracle =
+    """SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+      |       count(*) AS n_supp,
+      |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      |       CAST(SUM(length(s_name || ', nation ' ||
+      |                       CAST(s_nationkey AS VARCHAR))) AS BIGINT)
+      |         AS note_chars
+      |FROM supplier GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("p01_flagship", flagship, Some(flagshipOracle)),
     NamedQuery("p09_orc_roundtrip", orcRoundtrip, Some(orcRoundtripOracle)),
     NamedQuery("p10_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
+    NamedQuery("p11_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     NamedQuery("p02_default_ds", defaultDs, Some(defaultDsOracle)),
     NamedQuery("p03_tsv_roundtrip", tsvRoundtrip, Some(tsvRoundtripOracle)),
     NamedQuery("p04_missing_col_drop", missingColumnDrop,

@@ -440,7 +440,114 @@ object TextQueries {
       |SELECT term, count(*) AS cnt FROM tok
       |GROUP BY 1 ORDER BY cnt DESC, term LIMIT 20""".stripMargin
 
+  /** Gopher-style composite document filter: every signal the corpus
+    * pipeline already computes (token counts, word length, punctuation,
+    * stopwords, dup-line repetition) folded into one keep/drop decision
+    * with the FIRST failing rule as the reject reason — the shape of a
+    * production pretraining quality gate. Pure narrow map, zero shuffle.
+    *
+    * Every threshold compares via integer cross-multiplication
+    * (n_punct*5 > n_chars instead of ratio > 0.2): no float division
+    * before a boundary comparison, so the keep/drop bit is engine-exact
+    * and the oracle can hash-match. */
+  def gopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.RepetitionStats.register(spark)
+    val en = TextOps.langStopwords.toMap.apply("en")
+    val toks = TextOps.tokens(col("text"))
+    val base = scan(spark, sfDir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).as("sum_tok_len"),
+      TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+      TextOps.stopwordCount(col("text"), en).cast("long").as("n_stop"),
+      expr("repetition_stats(text)").as("rs"))
+    val reason =
+      when(col("n_tokens") < 5, "too_short")
+        .when(col("n_tokens") > 5000, "too_long")
+        .when(col("sum_tok_len") < col("n_tokens") * 2 ||
+          col("sum_tok_len") > col("n_tokens") * 12, "bad_word_len")
+        .when(col("n_punct") * 5 > col("n_chars"), "punct_heavy")
+        .when(col("lang") === "en" && col("n_stop") * 100 < col("n_tokens"),
+          "low_stopword")
+        .when(col("rs.dup_line_chars") * 10 > col("rs.total_line_chars") * 3,
+          "repetitive")
+        .otherwise(lit(null).cast("string"))
+    base.select(col("doc_id"), col("lang"),
+      reason.isNull.as("keep"), reason.as("reject_reason"))
+  }
+
+  private val gopherFilterOracle =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks,
+      |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, lang,
+      |    len(toks) AS n_tokens,
+      |    length(text) AS n_chars,
+      |    COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS sum_tok_len,
+      |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+      |    len(list_filter(toks,
+      |      x -> list_contains(['the','and','of','to','is','in'], x))) AS n_stop,
+      |    COALESCE(list_sum(list_transform(lines,
+      |      l -> CASE WHEN len(list_filter(lines, m -> m = l)) > 1
+      |                THEN len(l) ELSE 0 END)), 0) AS dup_chars,
+      |    COALESCE(list_sum(list_transform(lines, l -> len(l))), 0) AS total_chars
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN n_tokens < 5 THEN 'too_short'
+      |         WHEN n_tokens > 5000 THEN 'too_long'
+      |         WHEN sum_tok_len < n_tokens * 2
+      |              OR sum_tok_len > n_tokens * 12 THEN 'bad_word_len'
+      |         WHEN n_punct * 5 > n_chars THEN 'punct_heavy'
+      |         WHEN lang = 'en' AND n_stop * 100 < n_tokens THEN 'low_stopword'
+      |         WHEN dup_chars * 10 > total_chars * 3 THEN 'repetitive'
+      |         ELSE NULL END AS reject_reason
+      |  FROM u)
+      |SELECT doc_id, lang, reject_reason IS NULL AS keep, reject_reason
+      |FROM r""".stripMargin
+
+  /** Incremental dedup: dedup an INCOMING batch against an existing
+    * corpus — the nightly-ingest shape (the full-corpus re-dedup of
+    * t01/t09 is the backfill shape). Batch-internal dups collapse to the
+    * min id, then an anti-join on the 64-bit exact key drops docs already
+    * in the corpus. One shuffle each; at 100 TB the corpus side is the
+    * persisted key index (bucketed on the key → the anti-join co-locates
+    * via Bucketing), never a re-scan of raw text. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = scan(spark, sfDir, "documents")
+    val corpusKeys = docs.where(col("doc_id") < 400)
+      .select(Dedup.exactKey(col("text")).as("k")).distinct()
+    Dedup.exactDedup(docs.where(col("doc_id") >= 400), "text", "doc_id")
+      .withColumn("k", Dedup.exactKey(col("text")))
+      .join(corpusKeys, Seq("k"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val incrementalDedupOracle =
+    """WITH inc AS (
+      |  SELECT doc_id, lang, source,
+      |         substring(sha256(lower(trim(text))), 1, 16) AS k
+      |  FROM documents WHERE doc_id >= 400),
+      |kept AS (
+      |  SELECT doc_id, lang, source, k FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY k) AS mn FROM inc)
+      |  WHERE doc_id = mn),
+      |corp AS (
+      |  SELECT DISTINCT substring(sha256(lower(trim(text))), 1, 16) AS k
+      |  FROM documents WHERE doc_id < 400)
+      |SELECT doc_id, lang, source FROM kept
+      |WHERE k NOT IN (SELECT k FROM corp)""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("t16_gopher_filter", gopherFilter, Some(gopherFilterOracle)),
+    NamedQuery("t17_incremental_dedup", incrementalDedup,
+      Some(incrementalDedupOracle)),
     NamedQuery("t01_dedup_groups", dedupGroups, Some(dedupGroupsOracle)),
     NamedQuery("t02_dedup_keep", dedupKeep, Some(dedupKeepOracle)),
     NamedQuery("t03_text_stats", textStats, Some(textStatsOracle)),

@@ -148,4 +148,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("repetition_stats") || s.contains("repetitionstats"),
       "the native expression must be in the plan")
   }
+
+  test("gopher filter: composite quality gate is a pure narrow map") {
+    val s = planStr("t16_gopher_filter")
+    assert(!s.contains("Exchange"), s"t16 must not shuffle:\n$s")
+  }
+
+  test("incremental dedup: anti-join on the key, no corpus re-shuffle blowup") {
+    val s = planStr("t17_incremental_dedup")
+    assert(s.contains("LeftAnti"), s"corpus check must be an anti-join:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("image decode: two narrow mapPartitions passes, zero shuffle") {
+    val s = planStr("s10_image_decode")
+    assert(!s.contains("Exchange"), s"s10 must not shuffle:\n$s")
+  }
+
+  test("distinct counts: Expand + partial/final aggregation pair") {
+    val s = planStr("e23_distinct_counts")
+    assert(s.contains("Expand"), "multi-distinct must plan via Expand")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "partial+final aggregation expected")
+  }
 }
