@@ -666,7 +666,49 @@ object EngineQueries {
       |       COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Data-quality audit: predicate checks (one lineitem scan), a
+    * duplicate-PK check, and a dangling-FK anti-join, unioned into one
+    * (check_name, n_violations) report — the pre-flight constraint sweep
+    * run before a 100 TB load. A clean TPC-H harness yields all zeros;
+    * the oracle proves the zeros are COMPUTED (any misclassified row
+    * hash-mismatches), and ValidateSpec proves planted violations are
+    * counted. */
+  def dataAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = scan(spark, sfDir, "lineitem")
+    val ord = scan(spark, sfDir, "orders")
+    graft.ops.Validate.audit(li, Seq(
+        "nonpositive_quantity" -> (col("l_quantity") <= 0),
+        "null_orderkey" -> col("l_orderkey").isNull,
+        "null_shipdate" -> col("l_shipdate").isNull))
+      .unionAll(graft.ops.Validate.dupPk(ord, "o_orderkey",
+        "duplicate_order_pk"))
+      .unionAll(graft.ops.Validate.fkDangling(li, "l_orderkey",
+        ord, "o_orderkey", "dangling_order_fk"))
+  }
+
+  private val dataAuditOracle =
+    """SELECT 'nonpositive_quantity' AS check_name,
+      |       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violations FROM lineitem
+      |UNION ALL
+      |SELECT 'null_orderkey',
+      |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'null_shipdate',
+      |       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'duplicate_order_pk',
+      |       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'dangling_order_fk', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e24_data_audit", dataAudit, Some(dataAuditOracle)),
     NamedQuery("e23_distinct_counts", distinctCounts,
       Some(distinctCountsOracle)),
     NamedQuery("e18_full_outer", fullOuter, Some(fullOuterOracle)),

@@ -158,6 +158,37 @@ object SimilarityQueries {
       |       'fake' AS format
       |FROM documents""".stripMargin
 
+  /** Frame sampling rollup: the video-shaped op — explode each payload
+    * into strided frame windows (posexplode, narrow), then aggregate per
+    * asset. The oracle recomputes frame counts and byte totals from pure
+    * length arithmetic, so the sampler's stride/window logic is
+    * hash-checked without DuckDB touching binary substrings. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val assets = graft.multimodal.Multimodal.toAssets(
+      scan(spark, sfDir, "documents"), "doc_id", "text")
+    graft.multimodal.Multimodal.sampleFrames(assets, frameLen = 16, stride = 64)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("frame_no")).as("max_frame"),
+        sum(length(col("frame_bytes"))).as("frame_bytes"))
+  }
+
+  // frames i = 0..max(len/64 - 1, 0); frame i carries
+  // min(16, max(len - i*64, 0)) bytes. DuckDB's // is floor division,
+  // matching Spark's positive int() truncation.
+  private val frameSampleOracle =
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS len,
+      |         greatest(length(text) // 64 - 1, 0) AS maxf
+      |  FROM documents),
+      |f AS (SELECT doc_id, len, unnest(generate_series(0, maxf)) AS i FROM d)
+      |SELECT doc_id AS asset_id,
+      |       CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST(max(i) AS INTEGER) AS max_frame,
+      |       CAST(SUM(least(16, greatest(len - i * 64, 0))) AS BIGINT)
+      |         AS frame_bytes
+      |FROM f GROUP BY 1""".stripMargin
+
   /** REAL image decode end-to-end: synthesize genuine PNG payloads (dims
     * and pixels deterministic functions of doc_id), then decode them with
     * JDK ImageIO — width/height/format come off the parsed PNG header and
@@ -338,6 +369,7 @@ object SimilarityQueries {
     NamedQuery("s05_cosine_neardup", cosineNearDup, Some(cosineNearDupOracle)),
     NamedQuery("s06_multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
     NamedQuery("s10_image_decode", imageDecode, Some(imageDecodeOracle)),
+    NamedQuery("s11_frame_sample", frameSample, Some(frameSampleOracle)),
     NamedQuery("s08_embedding_pool", embeddingPool, Some(embeddingPoolOracle)),
     NamedQuery("s09_embedding_quantize", embeddingQuantize,
       Some(embeddingQuantizeOracle)),

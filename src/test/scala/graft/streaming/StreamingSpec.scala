@@ -276,6 +276,47 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog, stops itself, resumes incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("payload", StringType)))
+    def writeBatch(rows: Seq[(Long, Timestamp, String)]): Unit =
+      rows.toDF("event_id", "ts", "payload")
+        .coalesce(1).write.mode("append").parquet(in)
+    // the production catch-up shape: a scheduled batch job that drains
+    // whatever accumulated since the last run through the SAME streaming
+    // checkpoint (dedup state included), then exits on its own
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StreamOps.dedupStream(stream, Seq("event_id"),
+          lateness = "10 minutes")
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow must stop by itself")
+      assert(!q.isActive)
+    }
+    writeBatch(Seq((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(0), "a-dup")))
+    drain()
+    // second run: only the new file is processed; the replayed event 2 is
+    // dropped by dedup state RECOVERED from the checkpoint
+    writeBatch(Seq((2L, ts(1), "b-replay"), (3L, ts(2), "c")))
+    drain()
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"each key exactly once across runs: $ids")
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
