@@ -707,7 +707,56 @@ object EngineQueries {
       |FROM lineitem
       |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
 
+  /** MERGE-style change classification: given a keyed target (orders
+    * "yesterday": o_orderkey < 7500) and a source batch (orders with
+    * shipping priority touched), classify every key as insert / update /
+    * unchanged — the decision column a warehouse MERGE (or a CDC diff)
+    * computes before applying. ONE full-outer join on the key; change
+    * detection compares the tracked columns null-safely. The apply step
+    * for JDBC targets is JdbcIdempotentSink; for files, partition
+    * overwrite. */
+  def mergeClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = scan(spark, sfDir, "orders")
+      .where(col("o_orderkey") < 7500)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("t_status"),
+        col("o_orderpriority").as("t_prio"))
+    val source = scan(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("s_status"),
+        // every 3rd key arrives with a bumped priority -> update
+        when(col("o_orderkey") % 3 === 0, lit("0-BUMPED"))
+          .otherwise(col("o_orderpriority")).as("s_prio"))
+    target.join(source, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("t_status").isNull, "insert")
+          .when(col("s_status").isNull, "delete")
+          .when(col("s_status") === col("t_status") &&
+            col("s_prio") === col("t_prio"), "unchanged")
+          .otherwise("update").as("action"))
+      .groupBy(col("action")).agg(count(lit(1)).as("n_keys"))
+  }
+
+  private val mergeClassifyOracle =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  o_orderpriority AS pr
+      |           FROM orders WHERE o_orderkey < 7500),
+      |s AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |             CASE WHEN o_orderkey % 3 = 0 THEN '0-BUMPED'
+      |                  ELSE o_orderpriority END AS pr
+      |      FROM orders),
+      |c AS (
+      |  SELECT COALESCE(s.k, t.k) AS k,
+      |         CASE WHEN t.st IS NULL THEN 'insert'
+      |              WHEN s.st IS NULL THEN 'delete'
+      |              WHEN s.st = t.st AND s.pr = t.pr THEN 'unchanged'
+      |              ELSE 'update' END AS action
+      |  FROM s FULL OUTER JOIN t ON s.k = t.k)
+      |SELECT action, count(*) AS n_keys FROM c GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("e25_merge_classify", mergeClassify,
+      Some(mergeClassifyOracle)),
     NamedQuery("e24_data_audit", dataAudit, Some(dataAuditOracle)),
     NamedQuery("e23_distinct_counts", distinctCounts,
       Some(distinctCountsOracle)),

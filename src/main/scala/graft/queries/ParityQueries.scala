@@ -269,11 +269,39 @@ object ParityQueries {
       |         AS note_chars
       |FROM supplier GROUP BY 1""".stripMargin
 
+  /** Compressed TSV transport: the reference's stage-A dump, gzipped —
+    * how a 100 TB export actually lands. The gzip codec resolves from the
+    * file extension on read (same TsvSource path as p03: header strip,
+    * echo filter, width check all still apply); gzip is NOT splittable,
+    * so parallelism comes from many files, which is what the partitioned
+    * write produces. */
+  def gzipRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gzip_roundtrip"
+    CoreOps.scan(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .withColumnRenamed("n_nationkey", "hdr.n_nationkey")
+      .withColumnRenamed("n_name", "hdr.n_name")
+      .withColumnRenamed("n_regionkey", "hdr.n_regionkey")
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .option("compression", "gzip").csv(dir)
+    TsvSource.read(spark, dir)
+      .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(length(col("n_name"))).as("name_chars"))
+  }
+
+  private val gzipRoundtripOracle =
+    """SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey,
+      |       count(*) AS n_nations,
+      |       CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+      |FROM nation GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("p01_flagship", flagship, Some(flagshipOracle)),
     NamedQuery("p09_orc_roundtrip", orcRoundtrip, Some(orcRoundtripOracle)),
     NamedQuery("p10_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
     NamedQuery("p11_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
+    NamedQuery("p12_gzip_roundtrip", gzipRoundtrip, Some(gzipRoundtripOracle)),
     NamedQuery("p02_default_ds", defaultDs, Some(defaultDsOracle)),
     NamedQuery("p03_tsv_roundtrip", tsvRoundtrip, Some(tsvRoundtripOracle)),
     NamedQuery("p04_missing_col_drop", missingColumnDrop,
