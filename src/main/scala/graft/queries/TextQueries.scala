@@ -544,7 +544,49 @@ object TextQueries {
       |SELECT doc_id, lang, source FROM kept
       |WHERE k NOT IN (SELECT k FROM corp)""".stripMargin
 
+  /** Edit-distance near-dup verify primitive: Levenshtein over 200-char
+    * prefixes on a BOUNDED slice (30 docs + planted head-perturbed
+    * copies) — the character-level metric that catches what token-set
+    * Jaccard misses (transpositions, small head edits). Like t06/s05
+    * this is the verify PRIMITIVE oracled on an all-pairs slice; at scale
+    * it runs only on LSH candidate pairs (nearDupPairs supplies them).
+    * Prefix-bounding keeps the DP cost O(200²) per pair instead of
+    * O(|doc|²). */
+  def editDistanceNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scan(spark, sfDir, "documents")
+      .where(col("doc_id") < 30).select(col("doc_id"), col("text"))
+    val pert = base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(lit("zz "), col("text")).as("text"))
+    val all = base.unionAll(pert)
+    val a = all.select(col("doc_id").as("id_a"),
+      substring(col("text"), 1, 200).as("ta"))
+    val b = all.select(col("doc_id").as("id_b"),
+      substring(col("text"), 1, 200).as("tb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .where(col("dist") <= 20)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  // NOTE: DuckDB's levenshtein counts BYTES, Spark's counts codepoints —
+  // equivalent only because the harness corpus is pure ASCII (verified at
+  // every SF). On a multibyte corpus the Spark side is the correct one.
+  private val editDistanceNearDupOracle =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 30),
+      |all_docs AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'zz ' || text FROM base),
+      |p AS (SELECT doc_id AS id, substring(text, 1, 200) AS t FROM all_docs)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+      |FROM p a, p b
+      |WHERE a.id < b.id AND levenshtein(a.t, b.t) <= 20""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("t18_edit_distance", editDistanceNearDup,
+      Some(editDistanceNearDupOracle)),
     NamedQuery("t16_gopher_filter", gopherFilter, Some(gopherFilterOracle)),
     NamedQuery("t17_incremental_dedup", incrementalDedup,
       Some(incrementalDedupOracle)),
