@@ -19,6 +19,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.DsRangeRewrite.install(spark)
+    graft.plans.LevenshteinPrefilter.install(spark)
     if (SparkEntry.queries.isEmpty) {
       System.err.println("[bench] FATAL: no queries registered")
       spark.stop()

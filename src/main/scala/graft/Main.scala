@@ -49,6 +49,7 @@ object Main {
       .appName("graft-dump")
       .getOrCreate())
     graft.plans.DsRangeRewrite.install(spark)
+    graft.plans.LevenshteinPrefilter.install(spark)
 
     val sfDir = conf.raw.getOrElse("source_dir",
       throw GraftError.Other("source_dir missing from conf"))

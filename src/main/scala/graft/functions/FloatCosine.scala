@@ -131,6 +131,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(clazz.getName, name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.DsRangeRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }
 

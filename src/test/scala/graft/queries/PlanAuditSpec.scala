@@ -166,6 +166,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"s10 must not shuffle:\n$s")
   }
 
+  test("edit distance: the LevenshteinPrefilter guard reaches the plan") {
+    graft.plans.LevenshteinPrefilter.install(spark)
+    val s = Registry.queries("t18_edit_distance")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(s.contains("abs(") && s.contains("levenshtein"),
+      s"the length guard must precede the DP in t18's plan:\n$s")
+  }
+
   test("distinct counts: Expand + partial/final aggregation pair") {
     val s = planStr("e23_distinct_counts")
     assert(s.contains("Expand"), "multi-distinct must plan via Expand")
