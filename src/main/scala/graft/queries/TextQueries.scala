@@ -450,11 +450,17 @@ object TextQueries {
     * (n_punct*5 > n_chars instead of ratio > 0.2): no float division
     * before a boundary comparison, so the keep/drop bit is engine-exact
     * and the oracle can hash-match. */
-  def gopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.RepetitionStats.register(spark)
+  def gopherFilter(spark: SparkSession, sfDir: String): DataFrame =
+    gopherCore(scan(spark, sfDir, "documents"))
+
+  /** The reusable gate: (doc_id, lang, keep, reject_reason) for any
+    * documents-shaped frame — t16 runs it over the full corpus,
+    * t19 over the incremental batch. */
+  def gopherCore(docs: DataFrame): DataFrame = {
+    graft.functions.RepetitionStats.register(docs.sparkSession)
     val en = TextOps.langStopwords.toMap.apply("en")
     val toks = TextOps.tokens(col("text"))
-    val base = scan(spark, sfDir, "documents").select(
+    val base = docs.select(
       col("doc_id"), col("lang"),
       size(toks).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
@@ -584,7 +590,81 @@ object TextQueries {
       |FROM p a, p b
       |WHERE a.id < b.id AND levenshtein(a.t, b.t) <= 20""".stripMargin
 
+  /** The nightly-ingest composition, FULLY oracled end-to-end (unlike the
+    * seeded-LSH t09, every stage here is SQL-expressible): incoming batch
+    * → exact incremental dedup vs the corpus (t17's shape) → Gopher
+    * quality gate (t16's rules) → training chunks (t07's windows). The
+    * plan is: two keyed shuffles (batch min-id window + corpus anti-join)
+    * then pure narrow maps — the shape a real 100 TB nightly run wants. */
+  def ingestPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = scan(spark, sfDir, "documents")
+    val corpusKeys = docs.where(col("doc_id") < 400)
+      .select(Dedup.exactKey(col("text")).as("k")).distinct()
+    val fresh = Dedup.exactDedup(docs.where(col("doc_id") >= 400),
+        "text", "doc_id")
+      .withColumn("k", Dedup.exactKey(col("text")))
+      .join(corpusKeys, Seq("k"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val keptIds = gopherCore(fresh).where(col("keep")).select(col("doc_id"))
+    fresh.join(keptIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+        col("col").as("chunk"))
+  }
+
+  private val ingestPipelineOracle =
+    """WITH inc AS (
+      |  SELECT doc_id, lang, text,
+      |         substring(sha256(lower(trim(text))), 1, 16) AS key
+      |  FROM documents WHERE doc_id >= 400),
+      |kept0 AS (
+      |  SELECT doc_id, lang, text, key FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY key) AS mn FROM inc)
+      |  WHERE doc_id = mn),
+      |corp AS (
+      |  SELECT DISTINCT substring(sha256(lower(trim(text))), 1, 16) AS key
+      |  FROM documents WHERE doc_id < 400),
+      |fresh AS (
+      |  SELECT doc_id, lang, text FROM kept0
+      |  WHERE key NOT IN (SELECT key FROM corp)),
+      |t AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks,
+      |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+      |  FROM fresh),
+      |u AS (
+      |  SELECT doc_id, lang, text,
+      |    len(toks) AS n_tokens,
+      |    length(text) AS n_chars,
+      |    COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS sum_tok_len,
+      |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+      |    len(list_filter(toks,
+      |      x -> list_contains(['the','and','of','to','is','in'], x))) AS n_stop,
+      |    COALESCE(list_sum(list_transform(lines,
+      |      l -> CASE WHEN len(list_filter(lines, m -> m = l)) > 1
+      |                THEN len(l) ELSE 0 END)), 0) AS dup_chars,
+      |    COALESCE(list_sum(list_transform(lines, l -> len(l))), 0) AS total_chars
+      |  FROM t),
+      |g AS (
+      |  SELECT doc_id, text FROM u
+      |  WHERE n_tokens BETWEEN 5 AND 5000
+      |    AND sum_tok_len BETWEEN n_tokens * 2 AND n_tokens * 12
+      |    AND n_punct * 5 <= n_chars
+      |    AND NOT (lang = 'en' AND n_stop * 100 < n_tokens)
+      |    AND dup_chars * 10 <= total_chars * 3),
+      |c AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1,
+      |           CAST(floor((greatest(length(text), 1) - 1) / 150) + 1 AS BIGINT))) AS i
+      |  FROM g)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_no,
+      |       substring(text, CAST(1 + (i - 1) * 150 AS BIGINT), 200) AS chunk
+      |FROM c""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("t19_ingest_pipeline", ingestPipeline,
+      Some(ingestPipelineOracle)),
     NamedQuery("t18_edit_distance", editDistanceNearDup,
       Some(editDistanceNearDupOracle)),
     NamedQuery("t16_gopher_filter", gopherFilter, Some(gopherFilterOracle)),

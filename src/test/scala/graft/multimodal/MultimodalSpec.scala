@@ -69,6 +69,18 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L) == Multimodal.fakeDecode("hello world".getBytes).toSeq)
   }
 
+  test("decodeImage is format-agnostic: a real JPEG decodes with format=jpeg") {
+    // encode via ImageIO's own JPEG writer — lossy, so only dims/format
+    // are asserted (pixel fidelity is PNG's contract, not JPEG's)
+    val img = new java.awt.image.BufferedImage(
+      24, 10, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = Multimodal.decodeImage(bos.toByteArray).get
+    assert(d.width == 24 && d.height == 10)
+    assert(d.format == "jpeg")
+  }
+
   test("distributed decode of synthesized PNGs yields true dims + checksums") {
     val ids = Seq(3L, 40L, 777L).toDF("doc_id")
     val metas = Multimodal.decodeImages(
