@@ -259,7 +259,28 @@ object EventQueries {
       |FROM ev JOIN f USING (user_id)
       |GROUP BY f.cohort_day, 2""".stripMargin
 
+  /** Per-window distinct users — the DAU/HAU shape. Exact distinct per
+    * hour: a two-phase (Expand) aggregation whose shuffle carries one row
+    * per (hour, user), not per event. At unbounded-cardinality scale the
+    * sketch twin is `approx_count_distinct` (mergeable HLL state,
+    * SketchSpec error bounds); this exact form is the oracle-checkable
+    * reference. */
+  def windowedDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    readEvents(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH").as("hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  private val windowedDistinctOracle =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("ev09_windowed_distinct", windowedDistinct,
+      Some(windowedDistinctOracle)),
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),
     NamedQuery("ev08_cohort_retention", cohortRetention,
       Some(cohortRetentionOracle)),
