@@ -453,36 +453,46 @@ object TextQueries {
   def gopherFilter(spark: SparkSession, sfDir: String): DataFrame =
     gopherCore(scan(spark, sfDir, "documents"))
 
-  /** The reusable gate: (doc_id, lang, keep, reject_reason) for any
-    * documents-shaped frame — t16 runs it over the full corpus,
-    * t19 over the incremental batch. */
-  def gopherCore(docs: DataFrame): DataFrame = {
+  /** The reusable gate as a COLUMN transform: the input frame plus a
+    * `reject_reason` column (null = keep). Keeping every input column
+    * (text included) is what lets t19 filter-then-chunk in ONE pass — a
+    * gate that dropped `text` would force a join-back, and the plan would
+    * compute the upstream (at 100 TB: the whole dedup stage) twice, since
+    * nothing guarantees exchange reuse across the two branches. */
+  def gopherSignals(docs: DataFrame): DataFrame = {
     graft.functions.RepetitionStats.register(docs.sparkSession)
     val en = TextOps.langStopwords.toMap.apply("en")
     val toks = TextOps.tokens(col("text"))
-    val base = docs.select(
-      col("doc_id"), col("lang"),
-      size(toks).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars"),
-      aggregate(transform(toks, t => length(t).cast("long")),
-        lit(0L), (a, x) => a + x).as("sum_tok_len"),
-      TextOps.punctCount(col("text")).cast("long").as("n_punct"),
-      TextOps.stopwordCount(col("text"), en).cast("long").as("n_stop"),
-      expr("repetition_stats(text)").as("rs"))
+    val withSig = docs
+      .withColumn("__n_tokens", size(toks).cast("long"))
+      .withColumn("__n_chars", length(col("text")).cast("long"))
+      .withColumn("__sum_tok_len",
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("__n_punct", TextOps.punctCount(col("text")).cast("long"))
+      .withColumn("__n_stop",
+        TextOps.stopwordCount(col("text"), en).cast("long"))
+      .withColumn("__rs", expr("repetition_stats(text)"))
     val reason =
-      when(col("n_tokens") < 5, "too_short")
-        .when(col("n_tokens") > 5000, "too_long")
-        .when(col("sum_tok_len") < col("n_tokens") * 2 ||
-          col("sum_tok_len") > col("n_tokens") * 12, "bad_word_len")
-        .when(col("n_punct") * 5 > col("n_chars"), "punct_heavy")
-        .when(col("lang") === "en" && col("n_stop") * 100 < col("n_tokens"),
+      when(col("__n_tokens") < 5, "too_short")
+        .when(col("__n_tokens") > 5000, "too_long")
+        .when(col("__sum_tok_len") < col("__n_tokens") * 2 ||
+          col("__sum_tok_len") > col("__n_tokens") * 12, "bad_word_len")
+        .when(col("__n_punct") * 5 > col("__n_chars"), "punct_heavy")
+        .when(col("lang") === "en" && col("__n_stop") * 100 < col("__n_tokens"),
           "low_stopword")
-        .when(col("rs.dup_line_chars") * 10 > col("rs.total_line_chars") * 3,
+        .when(col("__rs.dup_line_chars") * 10 > col("__rs.total_line_chars") * 3,
           "repetitive")
         .otherwise(lit(null).cast("string"))
-    base.select(col("doc_id"), col("lang"),
-      reason.isNull.as("keep"), reason.as("reject_reason"))
+    withSig.withColumn("reject_reason", reason)
+      .drop("__n_tokens", "__n_chars", "__sum_tok_len", "__n_punct",
+        "__n_stop", "__rs")
   }
+
+  /** (doc_id, lang, keep, reject_reason) view of the gate — t16's shape. */
+  def gopherCore(docs: DataFrame): DataFrame =
+    gopherSignals(docs).select(col("doc_id"), col("lang"),
+      col("reject_reason").isNull.as("keep"), col("reject_reason"))
 
   private val gopherFilterOracle =
     """WITH t AS (
@@ -593,7 +603,8 @@ object TextQueries {
   /** The nightly-ingest composition, FULLY oracled end-to-end (unlike the
     * seeded-LSH t09, every stage here is SQL-expressible): incoming batch
     * → exact incremental dedup vs the corpus (t17's shape) → Gopher
-    * quality gate (t16's rules) → training chunks (t07's windows). The
+    * quality gate (t16's rules, inline as a column so the dedup stage is
+    * computed ONCE — no join-back) → training chunks (t07's windows). The
     * plan is: two keyed shuffles (batch min-id window + corpus anti-join)
     * then pure narrow maps — the shape a real 100 TB nightly run wants. */
   def ingestPipeline(spark: SparkSession, sfDir: String): DataFrame = {
@@ -605,8 +616,7 @@ object TextQueries {
       .withColumn("k", Dedup.exactKey(col("text")))
       .join(corpusKeys, Seq("k"), "left_anti")
       .select(col("doc_id"), col("lang"), col("text"))
-    val keptIds = gopherCore(fresh).where(col("keep")).select(col("doc_id"))
-    fresh.join(keptIds, Seq("doc_id"), "left_semi")
+    gopherSignals(fresh).where(col("reject_reason").isNull)
       .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
         col("col").as("chunk"))

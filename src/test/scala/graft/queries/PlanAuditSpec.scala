@@ -166,6 +166,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"s10 must not shuffle:\n$s")
   }
 
+  test("ingest pipeline: dedup stage computed once (no join-back re-scan)") {
+    // the gate is an inline column, not a semi-join back onto the deduped
+    // frame — a join-back doubled every upstream scan and exchange
+    val s = planStr("t19_ingest_pipeline")
+    assert("Scan parquet".r.findAllIn(s).size <= 2,
+      s"incoming+corpus = 2 scans, no recompute:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      s"window + anti-join = 2 shuffles, no recompute:\n$s")
+  }
+
   test("edit distance: the LevenshteinPrefilter guard reaches the plan") {
     graft.plans.LevenshteinPrefilter.install(spark)
     val s = Registry.queries("t18_edit_distance")(spark, sf)
