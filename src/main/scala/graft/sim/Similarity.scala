@@ -224,6 +224,10 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
+    if (sample.isEmpty)
+      throw graft.GraftError.NoData(
+        s"trainCentroids: no vectors with $idCol < $maxSample — widen the " +
+          "sample predicate or check the corpus")
     kmeans(sample, k, iters)
   }
 

@@ -124,6 +124,15 @@ class MultimodalSpec extends SparkSpec {
     assert(sOut.getAs[Array[Byte]]("payload").toSeq ==
       Multimodal.encodePng(10, 10, seed = 2).toSeq)
     assert(sOut.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 10)
+    // a non-image payload passes through byte-identical with null meta
+    val blob = "not an image payload".getBytes
+    val nOut = Multimodal.resizeImages(
+      Seq((3L, "audio/fake", blob)).toDF("asset_id", "media_type", "payload"),
+      targetWidth = 50).head()
+    assert(nOut.getAs[Array[Byte]]("payload").toSeq == blob.toSeq)
+    val nMeta = nOut.getAs[org.apache.spark.sql.Row]("meta")
+    assert(nMeta.isNullAt(0) && nMeta.isNullAt(1) && nMeta.isNullAt(2))
+    assert(nOut.getAs[String]("media_type") == "audio/fake")
   }
 
   test("frame sampling explodes payload into strided windows") {

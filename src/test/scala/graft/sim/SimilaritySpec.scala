@@ -103,6 +103,14 @@ class SimilaritySpec extends SparkSpec {
       s"trained $trained should beat untrained $untrained by >= 0.1")
   }
 
+  test("trainCentroids on an empty sample raises the engine's NoData error") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[graft.GraftError.NoData] {
+      Similarity.trainCentroids(empty, k = 8)
+    }
+    assert(e.code == 9998 && e.getMessage.contains("trainCentroids"))
+  }
+
   test("IVF assignment puts every vector in a valid cell") {
     val cents = Similarity.hyperplanes(4, 64, seed = 7L)
     val out = Similarity.ivfAssign(emb.limit(50), cents)
