@@ -133,7 +133,9 @@ object Multimodal {
       while (y < d.height) {
         var x = 0
         while (x < d.width) {
-          counts(raster.getSample(x, y, 0) >> 5) += 1
+          // clamp the bin: >8-bit samples (16-bit gray PNGs decode to
+          // values up to 65535) must not index past the 8 bins
+          counts(math.min(7, raster.getSample(x, y, 0) >> 5)) += 1
           x += 1
         }
         y += 1

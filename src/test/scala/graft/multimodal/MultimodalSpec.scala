@@ -106,6 +106,22 @@ class MultimodalSpec extends SparkSpec {
     assert(feat(7) == 0.0f)
   }
 
+  test("16-bit grayscale PNGs decode and feature-extract without overflow") {
+    // regression: samples up to 65535 used to index past the 8 histogram
+    // bins (sample >> 5 assumed 8-bit depth)
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.getRaster.setSample(x, y, 0, 60000 + x * 100 + y)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.decodeImage(bos.toByteArray).get
+    assert(d.width == 6 && d.height == 4 && d.format == "png")
+    val feat = Multimodal.imageFeature(bos.toByteArray).get
+    assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-6)
+    assert(feat(7) == 1.0f) // all bright samples clamp into the top bin
+  }
+
   test("resizeImages decodes, downscales, re-encodes, and meta matches") {
     val asset = Seq((1L, "image/png", Multimodal.encodePng(100, 40, seed = 5)))
       .toDF("asset_id", "media_type", "payload")
