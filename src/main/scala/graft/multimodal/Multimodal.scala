@@ -230,8 +230,10 @@ object Multimodal {
             while (y < nh) {
               var x = 0
               while (x < nw) {
-                dst.setSample(x, y, 0,
-                  src.getSample(x * d.width / nw, y * d.height / nh, 0))
+                // clamp into the 8-bit output raster: a deeper source
+                // sample (16-bit gray) would otherwise wrap modulo 256
+                dst.setSample(x, y, 0, math.min(255,
+                  src.getSample(x * d.width / nw, y * d.height / nh, 0)))
                 x += 1
               }
               y += 1
