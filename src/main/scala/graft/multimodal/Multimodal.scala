@@ -110,9 +110,108 @@ object Multimodal {
     } catch { case _: java.io.IOException => None }
   }
 
+  // ── real audio codec (JDK javax.sound.sampled — no external dep) ─────
+
+  /** Deterministic signed 16-bit sample for synthesized test audio; the
+    * DuckDB oracle reproduces the arithmetic, so a query that ENCODES
+    * with this and truly DECODES the WAV container is hash-checkable. */
+  def pcmAt(i: Int, seed: Long): Int =
+    ((i.toLong * 37 + seed) % 65536L).toInt - 32768
+
+  /** Encode a real 16-bit PCM mono WAV (8 kHz) with `pcmAt` samples.
+    * PCM is lossless: every sample round-trips exactly. */
+  def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0, s"bad sample count $nSamples")
+    import javax.sound.sampled._
+    val bytes = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = pcmAt(i, seed)
+      bytes(2 * i) = (s & 0xFF).toByte        // little-endian
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class DecodedAudio(sample_rate: Int, channels: Int, bits: Int,
+                                n_frames: Long, sample_sum: Long)
+
+  /** Real audio decode: javax.sound.sampled parses the WAV container
+    * (format chunk → rate/channels/bits, data chunk → frames) and the
+    * PCM samples are summed as a lossless integer checksum. None when no
+    * installed reader recognizes the bytes (MP3/OGG have no JDK codec —
+    * those fall back like non-image payloads do). */
+  def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
+    if (payload == null || payload.isEmpty) return None
+    import javax.sound.sampled._
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        val data = ais.readAllBytes()
+        var sum = 0L
+        if (f.getSampleSizeInBits == 16 && !f.isBigEndian) {
+          var i = 0
+          while (i + 1 < data.length) {
+            sum += ((data(i) & 0xFF) | (data(i + 1).toInt << 8)).toShort
+            i += 2
+          }
+        }
+        Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits,
+          data.length.toLong / math.max(1, f.getFrameSize), sum))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+  }
+
+  /** Synthesize an asset table with REAL WAV payloads, frame counts
+    * deterministic from the id — the audio twin of
+    * `synthesizeImageAssets`. */
+  def synthesizeAudioAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id => (id, encodeWav(wavSamples(id), seed = id)) })
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("audio/wav").as("media_type"),
+        col("payload"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("string").as("format")).as("meta"))
+  }
+
+  def wavSamples(id: Long): Int = (50 + id % 200).toInt
+
+  final case class AudioMeta(asset_id: Long, sample_rate: Int, channels: Int,
+                             bits: Int, n_frames: Long, sample_sum: Long)
+
+  /** Real decode pass over audio assets — narrow mapPartitions,
+    * undecodable payloads dropped (quarantine in production). */
+  def decodeAudios(assets: DataFrame): Dataset[AudioMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeAudio(bytes).map(d => AudioMeta(id, d.sample_rate, d.channels,
+          d.bits, d.n_frames, d.sample_sum))
+      })
+  }
+
   /** FALLBACK decoder for media types this container has no codec for
-    * (audio/video): derives a deterministic 8-dim feature from the raw
-    * bytes so the distributed plumbing still runs end-to-end. */
+    * (video, compressed audio): derives a deterministic 8-dim feature
+    * from the raw bytes so the distributed plumbing still runs
+    * end-to-end. */
   def fakeDecode(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     var i = 0

@@ -216,6 +216,30 @@ object SimilarityQueries {
       |       CAST(SUM((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS pixel_sum
       |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** REAL audio decode end-to-end: synthesize genuine 16-bit PCM WAVs
+    * (frame counts and samples deterministic functions of doc_id), then
+    * parse them with javax.sound.sampled — rate/channels/bits come off
+    * the container's format chunk and the sample sum off the decoded PCM
+    * frames. The oracle recomputes everything arithmetically, so a
+    * mis-parsed header or sample byte hash-mismatches. Narrow
+    * mapPartitions both ways — the audio twin of s10. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeAudios(
+        graft.multimodal.Multimodal.synthesizeAudioAssets(
+          scan(spark, sfDir, "documents"), "doc_id"))
+      .toDF()
+
+  // sample i = ((i*37 + doc_id) mod 65536) - 32768 over n = 50 + id%200
+  // frames at 8 kHz / 16-bit / mono
+  private val audioDecodeOracle =
+    """WITH d AS (SELECT doc_id, 50 + doc_id % 200 AS n FROM documents),
+      |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d)
+      |SELECT doc_id AS asset_id, 8000 AS sample_rate, 1 AS channels,
+      |       16 AS bits, CAST(n AS BIGINT) AS n_frames,
+      |       CAST(SUM((i * 37 + doc_id) % 65536 - 32768) AS BIGINT)
+      |         AS sample_sum
+      |FROM s GROUP BY 1, 5""".stripMargin
+
   /** IVF-bucketed ANN over centroids TRAINED from the corpus itself
     * (sampled k-means, k=8, nprobe=2) — the real IVF story, not fixed
     * pseudo-random cells. Training is deterministic (bounded id-sorted
@@ -370,6 +394,7 @@ object SimilarityQueries {
     NamedQuery("s06_multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
     NamedQuery("s10_image_decode", imageDecode, Some(imageDecodeOracle)),
     NamedQuery("s11_frame_sample", frameSample, Some(frameSampleOracle)),
+    NamedQuery("s12_audio_decode", audioDecode, Some(audioDecodeOracle)),
     NamedQuery("s08_embedding_pool", embeddingPool, Some(embeddingPoolOracle)),
     NamedQuery("s09_embedding_quantize", embeddingQuantize,
       Some(embeddingQuantizeOracle)),

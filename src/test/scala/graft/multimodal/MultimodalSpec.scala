@@ -106,6 +106,33 @@ class MultimodalSpec extends SparkSpec {
     assert(feat(7) == 0.0f)
   }
 
+  test("encodeWav round-trips through a REAL javax.sound decode") {
+    val bytes = Multimodal.encodeWav(120, seed = 5)
+    // genuine RIFF/WAVE container header
+    assert(new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE")
+    val d = Multimodal.decodeAudio(bytes).get
+    assert(d.sample_rate == 8000 && d.channels == 1 && d.bits == 16)
+    assert(d.n_frames == 120)
+    val expected = (0 until 120).map(i => Multimodal.pcmAt(i, 5).toLong).sum
+    assert(d.sample_sum == expected)
+    // non-audio bytes are rejected, not mangled
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.encodePng(4, 4, 1)).isEmpty)
+  }
+
+  test("distributed audio decode yields true format + sample checksums") {
+    val metas = Multimodal.decodeAudios(
+        Multimodal.synthesizeAudioAssets(Seq(2L, 77L).toDF("doc_id"), "doc_id"))
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(metas.keySet == Set(2L, 77L))
+    metas.values.foreach { m =>
+      val n = Multimodal.wavSamples(m.asset_id)
+      assert(m.n_frames == n && m.sample_rate == 8000 && m.bits == 16)
+      assert(m.sample_sum ==
+        (0 until n).map(i => Multimodal.pcmAt(i, m.asset_id).toLong).sum)
+    }
+  }
+
   test("16-bit grayscale PNGs decode and feature-extract without overflow") {
     // regression: samples up to 65535 used to index past the 8 histogram
     // bins (sample >> 5 assumed 8-bit depth)
