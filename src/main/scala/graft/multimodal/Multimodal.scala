@@ -243,10 +243,34 @@ object Multimodal {
       counts.map(c => c.toFloat / n)
     }
 
+  /** Real audio feature: 8-bin histogram of PCM amplitude magnitude
+    * (bin = |sample| >> 12 for 16-bit), normalized by frame count. None
+    * for non-audio payloads. */
+  def audioFeature(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeAudio(bytes).filter(d => d.bits == 16 && d.n_frames > 0).map { _ =>
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val data = ais.readAllBytes()
+        val counts = new Array[Long](8)
+        var n = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val s = ((data(i) & 0xFF) | (data(i + 1).toInt << 8)).toShort
+          counts(math.min(7, math.abs(s.toInt) >> 12)) += 1
+          n += 1
+          i += 2
+        }
+        counts.map(c => c.toFloat / math.max(1L, n))
+      } finally ais.close()
+    }
+
   /** Feature extraction over asset batches: mapPartitions so the codec
     * amortizes per-task init across its partition — the Scala analogue of
-    * a pandas-batched UDF. Image payloads get a REAL decoded histogram
-    * feature; unrecognized bytes fall back to the deterministic stub. */
+    * a pandas-batched UDF. Image payloads get a REAL decoded pixel
+    * histogram, audio payloads a REAL PCM amplitude histogram;
+    * unrecognized bytes fall back to the deterministic stub. */
   def extractFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -257,7 +281,9 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val payload = if (bytes == null) Array.empty[Byte] else bytes
           AssetFeatures(id, payload.length,
-            imageFeature(payload).getOrElse(fakeDecode(payload)))
+            imageFeature(payload)
+              .orElse(audioFeature(payload))
+              .getOrElse(fakeDecode(payload)))
         }
       }
   }

@@ -120,6 +120,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(Multimodal.encodePng(4, 4, 1)).isEmpty)
   }
 
+  test("audio features are a real normalized amplitude histogram") {
+    val feat = Multimodal.audioFeature(Multimodal.encodeWav(400, seed = 3)).get
+    assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-6)
+    assert(Multimodal.audioFeature("noise".getBytes).isEmpty)
+    // extractFeatures routes by real sniffing: wav -> audio histogram
+    val assets = Seq((9L, Multimodal.encodeWav(100, 9)))
+      .toDF("asset_id", "payload")
+    val f = Multimodal.extractFeatures(
+      assets.withColumn("media_type", lit("audio/wav"))).collect().head
+    assert(f.feature.toSeq ==
+      Multimodal.audioFeature(Multimodal.encodeWav(100, 9)).get.toSeq)
+  }
+
   test("distributed audio decode yields true format + sample checksums") {
     val metas = Multimodal.decodeAudios(
         Multimodal.synthesizeAudioAssets(Seq(2L, 77L).toDF("doc_id"), "doc_id"))
