@@ -150,5 +150,6 @@ object GraftExtensions {
       SortedIntersectSize.builder),
     (RepetitionStats.name, classOf[RepetitionStats], RepetitionStats.builder),
     (SpaceSavingTopK.name, classOf[SpaceSavingTopK], SpaceSavingTopK.builder),
+    (JaroWinkler.name, classOf[JaroWinkler], JaroWinkler.builder),
   )
 }

@@ -672,7 +672,48 @@ object TextQueries {
       |       substring(text, CAST(1 + (i - 1) * 150 AS BIGINT), 200) AS chunk
       |FROM c""".stripMargin
 
+  /** Jaro-Winkler fuzzy-match verify primitive via the native
+    * `jaro_winkler` expression: the transposition-tolerant metric for
+    * short identifiers/titles where Jaccard (t06) and edit distance
+    * (t18) misfire. Bounded slice + planted tail-perturbed copies;
+    * DuckDB's independent jaro_winkler_similarity implementation is the
+    * oracle (bit-identical IEEE evaluation, validated on 7k random
+    * pairs). At scale this runs on LSH candidate pairs only. */
+  def jaroNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(spark)
+    val base = scan(spark, sfDir, "documents")
+      .where(col("doc_id") < 30)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+    val pert = base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("t"), lit(" q")).as("t"))
+    val all = base.unionAll(pert)
+    val a = all.select(col("doc_id").as("id_a"), col("t").as("ta"))
+    val b = all.select(col("doc_id").as("id_b"), col("t").as("tb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jw", expr("jaro_winkler(ta, tb)"))
+      .where(col("jw") >= 0.9)
+      .select(col("id_a"), col("id_b"),
+        col("jw").cast("decimal(28,6)").cast("double").as("jw"))
+  }
+
+  private val jaroNearDupOracle =
+    """WITH base AS (
+      |  SELECT doc_id, substring(text, 1, 60) AS t
+      |  FROM documents WHERE doc_id < 30),
+      |all_docs AS (
+      |  SELECT doc_id, t FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, t || ' q' FROM base),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         jaro_winkler_similarity(a.t, b.t) AS jw
+      |  FROM all_docs a, all_docs b WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |       CAST(CAST(jw AS DECIMAL(28,6)) AS DOUBLE) AS jw
+      |FROM p WHERE jw >= 0.9""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("t20_jaro_neardup", jaroNearDup, Some(jaroNearDupOracle)),
     NamedQuery("t19_ingest_pipeline", ingestPipeline,
       Some(ingestPipelineOracle)),
     NamedQuery("t18_edit_distance", editDistanceNearDup,

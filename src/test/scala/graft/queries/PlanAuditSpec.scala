@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     // t06/s05 are deliberate bounded all-pairs verifies (doc_id<60 /
     // vec_id<200 slices); everything else must be join-keyed
     val exempt = Set("t06_ngram_jaccard", "s05_cosine_neardup",
-      "t18_edit_distance", // bounded all-pairs verify primitive (30 docs)
+      "t18_edit_distance", // bounded all-pairs verify primitives (30 docs)
+      "t20_jaro_neardup",
       "s01_cosine_topk") // s01 broadcasts a 5-row query set by design
     Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
       val s = Registry.queries(q.name)(spark, sf)
