@@ -30,7 +30,7 @@ class FloatCosineSpec extends SparkSpec {
     (new GraftExtensions).apply(new org.apache.spark.sql.SparkSessionExtensions)
     val b = GraftExtensions.functions.map(f => f._1 -> f._3).toMap
     val s = Literal("x")
-    assert(b.size == 7)
+    assert(b.size == 8)
     // correct arity → the right expression with args in order
     assert(b("float_cosine")(Seq(s, Literal("y")))
       .asInstanceOf[FloatCosine].left == s)
@@ -40,6 +40,8 @@ class FloatCosineSpec extends SparkSpec {
     assert(b("intersect_size_sorted")(Seq(s, Literal("y")))
       .asInstanceOf[SortedIntersectSize].right == Literal("y"))
     assert(b("repetition_stats")(Seq(s)).isInstanceOf[RepetitionStats])
+    assert(b("jaro_winkler")(Seq(s, Literal("y")))
+      .asInstanceOf[JaroWinkler].left == s)
     val agg = b("topk_values")(Seq(s, Literal(5)))
       .asInstanceOf[AggregateExpression]
     assert(agg.aggregateFunction.asInstanceOf[SpaceSavingTopK].k == 5)
