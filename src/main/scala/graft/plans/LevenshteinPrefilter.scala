@@ -32,23 +32,47 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
       Abs(Subtract(Length(lev.left), Length(lev.right))),
       k)
 
-  /** Is `cond` (a conjunct tree) already carrying this guard? */
-  private def hasGuard(cond: Expression, guard: Expression): Boolean = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other     => Seq(other)
+  /** A bare `levenshtein(a,b) <= k` / `< k` comparison eligible for the
+    * guard. (`distance < k  ⇒  gap <= k` is a looser but still sound
+    * guard, so both comparators share one guard shape.) */
+  private def guardable(e: Expression): Option[(Levenshtein, Expression)] =
+    e match {
+      case LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
+          if lev.threshold.isEmpty => Some((lev, k))
+      case LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
+          if lev.threshold.isEmpty => Some((lev, k))
+      case _ => None
     }
-    conjuncts(cond).exists(_.semanticEquals(guard))
+
+  /** Already in the rewritten shape `And(lengthGuard, cmp)`? Detected on
+    * the comparison's direct parent — NOT on the condition's top-level
+    * conjuncts — so the rule converges even when the comparison sits under
+    * OR / NOT, where an added guard is invisible to a conjunct scan and a
+    * top-level check would re-guard on every optimizer fixpoint iteration. */
+  private def alreadyGuarded(e: Expression): Boolean = e match {
+    case And(g, cmp) =>
+      guardable(cmp).exists { case (lev, k) => g.semanticEquals(lengthGuard(lev, k)) }
+    case _ => false
   }
 
-  private def guarded(cond: Expression): Expression = cond.transformUp {
-    case cmp @ LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
-        if lev.threshold.isEmpty && !hasGuard(cond, lengthGuard(lev, k)) =>
-      And(lengthGuard(lev, k), cmp)
-    case cmp @ LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
-        if lev.threshold.isEmpty && !hasGuard(cond, lengthGuard(lev, k)) =>
-      // distance < k  ⇒  gap <= k is still a valid (looser) guard
-      And(lengthGuard(lev, k), cmp)
+  private def guarded(cond: Expression): Expression = {
+    // Conjuncts at the top of the condition: if the user (or a prior pass)
+    // already asserts the guard for the whole predicate, adding it again
+    // next to the comparison would be redundant work per row.
+    def topConjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => topConjuncts(l) ++ topConjuncts(r)
+      case other     => Seq(other)
+    }
+    val top = topConjuncts(cond)
+    def rec(e: Expression): Expression =
+      if (alreadyGuarded(e)) e
+      else guardable(e) match {
+        case Some((lev, k)) =>
+          val g = lengthGuard(lev, k)
+          if (top.exists(_.semanticEquals(g))) e else And(g, e)
+        case None => e.mapChildren(rec)
+      }
+    rec(cond)
   }
 
   // Filter AND Join conditions: predicate pushdown (which runs before the

@@ -185,6 +185,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the length guard must precede the DP in t18's plan:\n$s")
   }
 
+  test("edit distance: the guard conjunct lands in the JOIN condition") {
+    // pushdown moves `levenshtein(...) <= k` into the join condition —
+    // the per-candidate-pair evaluation site. The O(1) length-gap guard
+    // must travel WITH it (same condition), not sit in a leftover filter
+    graft.plans.LevenshteinPrefilter.install(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val opt = Registry.queries("t18_edit_distance")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joinConds = opt.collect {
+      case j: LJoin if j.condition.isDefined => j.condition.get.toString }
+    assert(joinConds.exists(c =>
+        c.contains("levenshtein") && c.contains("abs(") &&
+          c.contains("length(")),
+      s"expected guard+DP in one join condition, got:\n${joinConds.mkString("\n")}")
+  }
+
   test("distinct counts: Expand + partial/final aggregation pair") {
     val s = planStr("e23_distinct_counts")
     assert(s.contains("Expand"), "multi-distinct must plan via Expand")
