@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Failures are loud: a failing query reports -1 and
   * the process exits nonzero; an empty registry is an error, not a 0.0s
   * success. Queries are forced with a noop-format write (computes every
-  * output column; no column-pruning distortion, no driver collect). */
+  * output column; no column-pruning distortion, no driver collect).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * the per-query MEDIAN — single-shot timings on this box drift ±30%
+  * run-to-run (documented in BASELINE.md), which fuzzes every regression
+  * comparison; the median of 3 cuts that band substantially. `value` is
+  * the sum of medians; `wall` is the true end-to-end wall including all
+  * repeats. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,25 +40,33 @@ object Bench {
       w.groupBy("l_returnflag").count().write.mode("overwrite")
         .format("noop").save()
     } catch { case _: Throwable => () }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val wall0 = System.nanoTime()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val t = try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          -1.0
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
+      if (times.contains(-1.0)) failed ::= name
+      // median of the successful runs (all runs, normally)
+      val ok = times.filter(_ >= 0).sorted
+      val t = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       name -> t
     }
+    val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"wall":$wall}"""
     println(json)
     // also land the full JSON in a file: the driver's log-tail capture has
     // truncated the stdout line before (r4 clipped e01/e02); the file is

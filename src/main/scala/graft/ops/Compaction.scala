@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Small-file compaction — the operational sweep every long-lived 100 TB
   * parquet table needs: streaming sinks and frequent small appends leave
@@ -10,56 +12,96 @@ import org.apache.spark.sql.SparkSession
   *
   * `compact` rewrites a directory to ~`targetFileBytes` files: one pass
   * reads the current files, repartitions to ceil(bytes/target), writes to
-  * a staging dir, then atomically swaps directories. Row content is
-  * byte-for-byte preserved (no schema projection, no reordering
-  * semantics claimed — parquet row order was never a contract).
+  * a staging dir, then swaps directories. Row content is byte-for-byte
+  * preserved (no schema projection, no reordering semantics claimed —
+  * parquet row order was never a contract). The row count comes from an
+  * `Observation` on the rewrite itself — no second scan of the input.
   *
-  * The swap is rename-based: on a real object store you would write to a
-  * new versioned location and flip a table pointer (or use a table
-  * format's commit protocol); the directory rename here is the
-  * file-system analogue and keeps the operator dependency-free.
+  * All filesystem work goes through the Hadoop `FileSystem` API resolved
+  * from the path's scheme, so the same operator runs on `file://`, HDFS,
+  * or any mounted Hadoop-compatible store; `_SUCCESS` markers and CRC
+  * sidecars are tolerated (ignored by the listing, retired with the old
+  * directory). Every `rename` is checked — a false return aborts loudly
+  * instead of silently dropping the table.
+  *
+  * Crash safety: the swap is two renames (live → `__retired`, staging →
+  * live). If a previous run died between them, the live directory is
+  * missing and the data sits whole in `__retired` — `compact` detects
+  * that on entry and restores it before doing anything else. A leftover
+  * `__retired` NEXT TO a live directory means an unfinished cleanup or a
+  * concurrent compactor, and aborts. Callers must ensure a single writer
+  * (no appends during the pass): files appended between the listing and
+  * the swap would be silently dropped by the rewrite. On an eventually-
+  * consistent object store without atomic rename you would instead write
+  * to a versioned location and flip a table-format pointer; the rename
+  * swap covers filesystems with rename semantics (local, HDFS).
   */
 object Compaction {
 
   final case class Stats(filesBefore: Int, filesAfter: Int,
                          bytes: Long, rows: Long)
 
-  private def parquetFiles(dir: java.io.File): Array[java.io.File] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def parquetFiles(fs: FileSystem, dir: Path): Array[FileStatus] =
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
-    val dir = new java.io.File(path)
-    val before = parquetFiles(dir)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = new Path(dir.getParent, dir.getName + "__retired")
+    val staging = new Path(dir.getParent, dir.getName + "__compacting")
+
+    // Recover from a crash between the two swap renames: the data is
+    // whole in __retired and the live dir is gone — restore it. If BOTH
+    // exist, a prior cleanup died or another compactor is mid-swap;
+    // refuse rather than guess which copy is current.
+    if (fs.exists(retired)) {
+      if (!fs.exists(dir)) {
+        if (!fs.rename(retired, dir))
+          throw new java.io.IOException(
+            s"crash recovery failed: could not restore $retired to $dir")
+      } else {
+        throw new java.io.IOException(
+          s"leftover $retired next to live $dir — prior compaction crashed " +
+            "during cleanup or another compactor is running; resolve manually")
+      }
+    }
+    // stale staging from an aborted rewrite is safe to discard: the live
+    // dir was never touched before the swap
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new java.io.IOException(s"could not clear stale staging $staging")
+
+    val before = parquetFiles(fs, dir)
     require(before.nonEmpty, s"no parquet files under $path")
-    val bytes = before.map(_.length).sum
+    val bytes = before.map(_.getLen).sum
     val nOut = math.max(1, ((bytes + targetFileBytes - 1) /
       targetFileBytes).toInt)
-    val staging = new java.io.File(dir.getParentFile,
-      dir.getName + "__compacting")
-    val df = spark.read.parquet(path)
-    val rows = df.count()
     // repartition (round-robin) spreads rows evenly across the target
-    // files; coalesce could skew when input files are uneven
-    df.repartition(nOut).write.mode("overwrite")
-      .parquet(staging.getAbsolutePath)
+    // files; coalesce could skew when input files are uneven. The
+    // observation rides the same pass — rows counted as they are written
+    val obs = Observation()
+    spark.read.parquet(path)
+      .observe(obs, count(lit(1)).as("rows"))
+      .repartition(nOut).write.mode("overwrite")
+      .parquet(staging.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
+
     // swap: retire the old dir, promote staging
-    val retired = new java.io.File(dir.getParentFile,
-      dir.getName + "__retired")
-    if (retired.exists()) deleteRec(retired)
-    if (!dir.renameTo(retired))
+    if (!fs.rename(dir, retired))
       throw new java.io.IOException(s"could not retire $dir")
-    if (!staging.renameTo(dir)) {
-      retired.renameTo(dir) // roll back
+    if (!fs.rename(staging, dir)) {
+      if (!fs.rename(retired, dir))
+        throw new java.io.IOException(
+          s"could not promote $staging AND rollback of $retired failed — " +
+            s"data is intact in $retired; restore manually")
       throw new java.io.IOException(s"could not promote $staging")
     }
-    deleteRec(retired)
-    Stats(before.length, parquetFiles(dir).length, bytes, rows)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(); ()
+    if (!fs.delete(retired, true))
+      throw new java.io.IOException(
+        s"compaction succeeded but could not delete $retired; the next " +
+          "run will refuse until it is removed")
+    Stats(before.length, parquetFiles(fs, dir).length, bytes, rows)
   }
 }

@@ -37,4 +37,57 @@ class CompactionSpec extends SparkSpec {
       Compaction.compact(spark, dir.toString)
     }
   }
+
+  test("compaction works through an explicit file:// Hadoop FS path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_fs")
+      .resolve("t").toString
+    (0 until 10).foreach { i =>
+      Seq((i.toLong, s"row-$i")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val stats = Compaction.compact(spark, s"file://$dir",
+      targetFileBytes = 64 * 1024)
+    assert(stats.filesBefore == 10 && stats.rows == 10)
+    assert(stats.filesAfter < 10)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
+    // _SUCCESS marker written by the rewrite must not break a re-run
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val again = Compaction.compact(spark, s"file://$dir",
+      targetFileBytes = 64 * 1024)
+    assert(again.rows == 10)
+  }
+
+  test("crash between the swap renames is recovered on the next run") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_compact_cr")
+    val dir = parent.resolve("t").toString
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"row-$i")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // simulate a crash AFTER `live -> __retired` and BEFORE promote:
+    // the live dir is gone, the data sits whole in __retired
+    val live = new java.io.File(dir)
+    val retired = new java.io.File(parent.toFile, "t__retired")
+    assert(live.renameTo(retired))
+    val stats = Compaction.compact(spark, dir, targetFileBytes = 64 * 1024)
+    assert(stats.rows == 6 && !retired.exists())
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("a leftover __retired NEXT TO a live dir aborts instead of guessing") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_compact_dup")
+    val dir = parent.resolve("t").toString
+    Seq((1L, "a")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val retired = new java.io.File(parent.toFile, "t__retired")
+    assert(retired.mkdirs())
+    val e = intercept[java.io.IOException] {
+      Compaction.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("__retired"))
+    // the live table was not touched
+    assert(spark.read.parquet(dir).count() == 1)
+  }
 }
