@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions.{count, lit}
   * preserved (no schema projection, no reordering semantics claimed —
   * parquet row order was never a contract). The row count comes from an
   * `Observation` on the rewrite itself — no second scan of the input.
+  * (Caveat: observe metrics are accumulator-backed and ride the scan
+  * stage, so a re-executed map task — fetch failure, speculation — can
+  * over-count; `Stats.rows` is an informational stat, not a ledger. On
+  * `local[n]` it is exact.)
   *
   * All filesystem work goes through the Hadoop `FileSystem` API resolved
   * from the path's scheme, so the same operator runs on `file://`, HDFS,
@@ -25,11 +29,16 @@ import org.apache.spark.sql.functions.{count, lit}
   * instead of silently dropping the table.
   *
   * Crash safety: the swap is two renames (live → `__retired`, staging →
-  * live). If a previous run died between them, the live directory is
-  * missing and the data sits whole in `__retired` — `compact` detects
-  * that on entry and restores it before doing anything else. A leftover
-  * `__retired` NEXT TO a live directory means an unfinished cleanup or a
-  * concurrent compactor, and aborts. Callers must ensure a single writer
+  * live), with a `_graft_retired` marker file dropped into `__retired`
+  * between them. If a previous run died between the renames, the live
+  * directory is missing and the data sits whole in `__retired` —
+  * `compact` detects that on entry and restores it before doing anything
+  * else. A leftover `__retired` NEXT TO a live directory carrying the
+  * marker means the swap committed and only the cleanup delete died —
+  * that state is unambiguous (live is the new data), so the leftover is
+  * deleted and the run proceeds. A marker-less `__retired` next to a
+  * live directory is unexplained (manual copy? foreign tool?), and
+  * aborts. Callers must ensure a single writer
   * (no appends during the pass): files appended between the listing and
   * the swap would be silently dropped by the rewrite. On an eventually-
   * consistent object store without atomic rename you would instead write
