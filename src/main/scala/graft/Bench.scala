@@ -14,6 +14,19 @@ import org.apache.spark.sql.SparkSession
   * the sum of medians; `wall` is the true end-to-end wall including all
   * repeats. */
 object Bench {
+  /** Default repeat count — pinned by BenchContractSpec so an env change
+    * can't silently revert the median-of-3 methodology to single-shot. */
+  val DefaultRuns = 3
+
+  /** Per-query reported time: the median of the runs, or -1 if ANY run
+    * failed. A query that fails on some-but-not-all runs is flaky, and a
+    * positive time next to failed>0 would misread as healthy — so a
+    * partial failure reports -1 (and is excluded from the `value` sum)
+    * exactly like a total failure. */
+  def medianOrFail(times: Seq[Double]): Double =
+    if (times.isEmpty || times.exists(_ < 0)) -1.0
+    else { val s = times.sorted; s(s.size / 2) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,7 +53,8 @@ object Bench {
       w.groupBy("l_returnflag").count().write.mode("overwrite")
         .format("noop").save()
     } catch { case _: Throwable => () }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS",
+      DefaultRuns.toString).toInt.max(1)
     val wall0 = System.nanoTime()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -56,10 +70,7 @@ object Bench {
         }
       }
       if (times.contains(-1.0)) failed ::= name
-      // median of the successful runs (all runs, normally)
-      val ok = times.filter(_ >= 0).sorted
-      val t = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
-      name -> t
+      name -> Bench.medianOrFail(times)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

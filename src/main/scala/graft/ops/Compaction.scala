@@ -58,23 +58,37 @@ object Compaction {
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
     val dir = new Path(path)
+    require(dir.getParent != null,
+      s"cannot compact a filesystem root: $path (the swap needs a sibling " +
+        "staging directory)")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val retired = new Path(dir.getParent, dir.getName + "__retired")
     val staging = new Path(dir.getParent, dir.getName + "__compacting")
+    val marker = new Path(retired, "_graft_retired")
 
     // Recover from a crash between the two swap renames: the data is
-    // whole in __retired and the live dir is gone — restore it. If BOTH
-    // exist, a prior cleanup died or another compactor is mid-swap;
-    // refuse rather than guess which copy is current.
+    // whole in __retired and the live dir is gone — restore it (dropping
+    // the commit marker so it doesn't ride back into the live dir). If
+    // BOTH exist, the marker disambiguates: marker present means the swap
+    // committed and only the cleanup delete died (live is the new data —
+    // finish the delete and proceed); marker absent is unexplained
+    // foreign state, so refuse rather than guess which copy is current.
     if (fs.exists(retired)) {
       if (!fs.exists(dir)) {
+        if (fs.exists(marker) && !fs.delete(marker, false))
+          throw new java.io.IOException(
+            s"crash recovery failed: could not drop $marker before restore")
         if (!fs.rename(retired, dir))
           throw new java.io.IOException(
             s"crash recovery failed: could not restore $retired to $dir")
+      } else if (fs.exists(marker)) {
+        if (!fs.delete(retired, true))
+          throw new java.io.IOException(
+            s"could not clear committed leftover $retired")
       } else {
         throw new java.io.IOException(
-          s"leftover $retired next to live $dir — prior compaction crashed " +
-            "during cleanup or another compactor is running; resolve manually")
+          s"leftover $retired next to live $dir without a commit marker — " +
+            "manual copy or foreign tool state; resolve manually")
       }
     }
     // stale staging from an aborted rewrite is safe to discard: the live
@@ -97,11 +111,17 @@ object Compaction {
       .parquet(staging.toString)
     val rows = obs.get("rows").asInstanceOf[Long]
 
-    // swap: retire the old dir, promote staging
+    // swap: retire the old dir, mark it as committed-for-retirement, then
+    // promote staging. The marker lets a later run tell "cleanup died
+    // after a committed swap" apart from foreign state.
     if (!fs.rename(dir, retired))
       throw new java.io.IOException(s"could not retire $dir")
+    if (!fs.createNewFile(marker))
+      System.err.println(s"[compact] warning: could not write $marker — a " +
+        "crash before cleanup would need manual resolution")
     if (!fs.rename(staging, dir)) {
-      if (!fs.rename(retired, dir))
+      val unmarked = fs.delete(marker, false)
+      if (!unmarked || !fs.rename(retired, dir))
         throw new java.io.IOException(
           s"could not promote $staging AND rollback of $retired failed — " +
             s"data is intact in $retired; restore manually")

@@ -76,6 +76,79 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
   }
 
+  test("crash after the commit marker but before promote restores cleanly") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_compact_mk")
+    val dir = parent.resolve("t").toString
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"row-$i")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // simulate: live -> __retired happened, marker written, promote didn't
+    val retired = new java.io.File(parent.toFile, "t__retired")
+    assert(new java.io.File(dir).renameTo(retired))
+    assert(new java.io.File(retired, "_graft_retired").createNewFile())
+    val stats = Compaction.compact(spark, dir, targetFileBytes = 64 * 1024)
+    assert(stats.rows == 4 && !retired.exists())
+    // the marker must not have ridden back into the live dir
+    assert(!new java.io.File(dir, "_graft_retired").exists())
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("a committed __retired leftover (marker present) is auto-cleaned") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_compact_cl")
+    val dir = parent.resolve("t").toString
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"row-$i")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // simulate: swap committed, only the cleanup delete died
+    val retired = new java.io.File(parent.toFile, "t__retired")
+    assert(retired.mkdirs())
+    assert(new java.io.File(retired, "_graft_retired").createNewFile())
+    val stats = Compaction.compact(spark, dir, targetFileBytes = 64 * 1024)
+    assert(stats.rows == 4 && !retired.exists())
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("a failed staging write leaves the live dir untouched; the next " +
+      "run clears the stale staging and succeeds") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_compact_fw")
+    val dir = parent.resolve("t").toString
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"row-$i")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val goodFiles = new java.io.File(dir).listFiles().map(_.getName).toSet
+    // plant a conflicting-schema file: the rewrite's scan fails at
+    // execution time, i.e. mid-write, after staging exists
+    Seq(("not-a-long", "x")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val allFiles = new java.io.File(dir).listFiles().map(_.getName).toSet
+    intercept[Exception] {
+      Compaction.compact(spark, dir, targetFileBytes = 64 * 1024)
+    }
+    // live dir byte-for-byte untouched; no half-swap state
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == allFiles)
+    assert(!new java.io.File(parent.toFile, "t__retired").exists())
+    // heal the input and re-run: entry must clear the stale staging
+    (allFiles -- goodFiles).foreach { f =>
+      assert(new java.io.File(dir, f).delete())
+    }
+    val stats = Compaction.compact(spark, dir, targetFileBytes = 64 * 1024)
+    assert(stats.rows == 4)
+    assert(!new java.io.File(parent.toFile, "t__compacting").exists())
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("compacting a filesystem root is refused with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, "file:///")
+    }
+    assert(e.getMessage.contains("filesystem root"))
+  }
+
   test("a leftover __retired NEXT TO a live dir aborts instead of guessing") {
     val parent = java.nio.file.Files.createTempDirectory("graft_compact_dup")
     val dir = parent.resolve("t").toString
