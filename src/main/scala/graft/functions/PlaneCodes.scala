@@ -130,6 +130,61 @@ case class IvfCell(child: Expression, cents: Array[Array[Double]])
     })
 }
 
+/** Native IVF probe selection: the `nprobe` nearest cells of a query
+  * vector, ordered by (squared distance asc, cell asc) — argmin-k in one
+  * fused pass over the centroid table.
+  *
+  * This replaces the old probe plan that unioned one copy of the query
+  * set per centroid (`centroids.map(q0.withColumn(dist)).reduce(unionAll)`
+  * + a window): correct at 8 toy cells, but the LOGICAL PLAN grew
+  * linearly in the cell count — at a realistic 4k-65k cells the plan
+  * itself blows up before any data moves. Here the plan holds one
+  * projection + explode regardless of cell count.
+  *
+  * Distances accumulate left-to-right like the `aggregate(zip_with(...))`
+  * fold they replace, and ties keep the lower cell (insertion uses strict
+  * `<`, so an equal distance never displaces an earlier cell) — the same
+  * (dist, cell) order the window's row_number produced, so probed cells
+  * are bit-identical and the DuckDB oracle is unchanged. */
+case class IvfCells(child: Expression, cents: Array[Array[Double]],
+                    nprobe: Int) extends UnaryExpression {
+  require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_cells requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+
+  private lazy val flat: Array[Double] = {
+    val dim = cents(0).length
+    val out = new Array[Double](cents.length * dim)
+    cents.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, out, i * dim, dim)
+    }
+    out
+  }
+  private def dim: Int = cents(0).length
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(IvfCellImpl.cells(
+      input.asInstanceOf[ArrayData], flat, cents.length, dim, nprobe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val centsRef = ctx.addReferenceObj("ivfCents", flat, "double[]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.IvfCellImpl.cells(
+         |    $input, $centsRef, ${cents.length}, $dim, $nprobe));
+       """.stripMargin
+    })
+}
+
 object IvfCellImpl {
   def cell(v: ArrayData, cents: Array[Double], k: Int, dim: Int): Int = {
     val n = math.min(v.numElements(), dim)
@@ -149,5 +204,38 @@ object IvfCellImpl {
       c += 1
     }
     bestI
+  }
+
+  /** Top-`nprobe` cells by (squared distance asc, cell asc): a bounded
+    * insertion sort — nprobe is small (2-64), centroid counts reach 65k,
+    * so O(k·nprobe) worst-case is fine and the common case is O(k).
+    * Strict `<` everywhere keeps the earlier (lower) cell on ties,
+    * matching row_number() OVER (ORDER BY dist, cell). */
+  def cells(v: ArrayData, cents: Array[Double], k: Int, dim: Int,
+            nprobe: Int): Array[Int] = {
+    val n = math.min(v.numElements(), dim)
+    val m = math.min(nprobe, k)
+    val bd = Array.fill(m)(Double.PositiveInfinity)
+    val bc = new Array[Int](m)
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v.getDouble(j) - cents(base + j)
+        d += x * x
+        j += 1
+      }
+      if (d < bd(m - 1)) {
+        var i = m - 1
+        while (i > 0 && d < bd(i - 1)) {
+          bd(i) = bd(i - 1); bc(i) = bc(i - 1); i -= 1
+        }
+        bd(i) = d; bc(i) = c
+      }
+      c += 1
+    }
+    bc
   }
 }

@@ -132,18 +132,20 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
-  private def sqDist(v: Column, cent: Array[Double]): Column = {
-    val c = array(cent.map(lit).toIndexedSeq: _*)
-    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, x) => a + x)
-  }
-
   /** IVF top-k: corpus vectors are bucketed by nearest centroid (one
     * narrow map + an equi-join); each query probes its `nprobe` nearest
     * cells only. The 100 TB story: the corpus is scanned once to build
     * cell assignments (in production, persisted + partitioned by cell),
     * and a query touches |corpus|·nprobe/|cells| candidates instead of
-    * the whole corpus. */
+    * the whole corpus.
+    *
+    * Probe selection is the native argmin-k `IvfCells` expression — one
+    * pass over the query side regardless of the centroid count. (The
+    * previous shape unioned one copy of the query set per centroid and
+    * ranked with a window: the logical plan grew linearly in #cells,
+    * which collapses at production 4k-65k cells. Same distances, same
+    * (dist, cell) tie order — probed cells are bit-identical, so the
+    * dump-time oracle is unchanged.) */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Array[Array[Double]], k: Int, nprobe: Int = 2,
               idCol: String = "vec_id",
@@ -153,13 +155,9 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("cell"))
     val q0 = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-    val probed = centroids.zipWithIndex.map { case (cent, i) =>
-      q0.withColumn("cell", lit(i)).withColumn("dist", sqDist(col("qv"), cent))
-    }.reduce(_ unionAll _)
-    val byDist = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell"))
-    val qCells = probed.withColumn("pr", row_number().over(byDist))
-      .where(col("pr") <= nprobe).drop("pr", "dist")
+    val qCells = q0.select(col("query_id"), col("qv"),
+      explode(exprCol(graft.functions.IvfCells(
+        colExpr(col("qv")), centroids, nprobe))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(qCells), Seq("cell"))
@@ -208,26 +206,37 @@ object Similarity {
     cents
   }
 
-  /** Train IVF centroids from a BOUNDED deterministic corpus sample: rows
-    * with id < `maxSample` (at 100 TB swap the predicate for a hash-sample
-    * like pmod(xxhash64(id), m) = 0 — still a pushed-down filter and a
-    * bounded collect, never a full-corpus pull). The sample sorts by id on
-    * the driver so accumulation order — and therefore the trained floats —
-    * reproduce bit-for-bit across runs and partitionings, which is what
-    * lets an oracle embed the trained centroids as literals. */
+  /** Train IVF centroids from a BOUNDED deterministic corpus sample.
+    *
+    * The sample is a hash slice — `pmod(xxhash64(id), sampleMod) = 0`
+    * keeps ~1/sampleMod of the corpus wherever the ids live (the previous
+    * `id < maxSample` predicate assumed dense low ids: on a corpus whose
+    * ids start at 10^9 it collected nothing). The slice is evaluated in
+    * the scan stage (narrow, no shuffle) and capped by an id-ordered
+    * `limit(maxSample)` — TakeOrderedAndProject, per-partition top-k then
+    * a bounded driver merge — so the collect stays bounded even when the
+    * caller's sampleMod underestimates the corpus; at 100 TB pick
+    * sampleMod ≈ |corpus|/maxSample so the cap rarely binds and the slice
+    * stays unbiased. Ids are unique, so the ordered cap is deterministic;
+    * the driver-side id sort fixes accumulation order, so the trained
+    * floats reproduce bit-for-bit across runs and partitionings — which
+    * is what lets an oracle embed the trained centroids as literals. */
   def trainCentroids(corpus: DataFrame, k: Int = 8, maxSample: Int = 1024,
                      iters: Int = 5, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Array[Array[Double]] = {
+                     vecCol: String = "embedding",
+                     sampleMod: Int = 4): Array[Array[Double]] = {
     val sample = corpus
-      .where(col(idCol) < maxSample)
+      .where(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .sort(col("id"))
+      .limit(maxSample)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
     if (sample.isEmpty)
       throw graft.GraftError.NoData(
-        s"trainCentroids: no vectors with $idCol < $maxSample — widen the " +
-          "sample predicate or check the corpus")
+        s"trainCentroids: the 1/$sampleMod hash slice of $idCol matched " +
+          "no vectors — lower sampleMod or check the corpus")
     kmeans(sample, k, iters)
   }
 

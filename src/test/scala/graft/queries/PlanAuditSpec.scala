@@ -98,6 +98,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"expected ≤2 embeddings scans (query+corpus), got $scans:\n$s")
   }
 
+  test("ivf ann: probe side is one query scan — no per-centroid union") {
+    // probe selection is the native argmin-k IvfCells expression; the old
+    // shape unioned one query-set copy per centroid, so the plan grew
+    // linearly in cell count (fatal at production 4k-65k cells)
+    val s = planStr("s07_ann_ivf")
+    assert(!s.contains("Union"), s"probe side must not union per-cell copies:\n$s")
+    assert("Scan parquet".r.findAllIn(s).size <= 2,
+      s"expected ≤2 embeddings scans (query+corpus):\n$s")
+  }
+
   test("dedup groups: single shuffle on the hash key") {
     val s = planStr("t01_dedup_groups")
     assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,

@@ -62,6 +62,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall $recall") // coarse cells, lenient bound
   }
 
+  test("IVF at 64 cells: flat plan, probed cells match the ranked reference") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cents = Similarity.hyperplanes(64, 64, seed = 5L)
+    val queries = emb.where(col("vec_id") < 5)
+    // the plan must not grow with the cell count: one scan per side, no
+    // per-centroid union of the query set
+    val out = Similarity.ivfTopK(queries, emb, cents, k = 5, nprobe = 4)
+    val s = out.queryExecution.executedPlan.toString
+    assert(!s.contains("Union"), s"per-centroid union resurfaced:\n$s")
+    assert("Scan parquet".r.findAllIn(s).size <= 2,
+      s"expected ≤2 scans (query+corpus):\n$s")
+    assert(out.collect().nonEmpty)
+    // probed cells equal the (dist asc, cell asc) top-nprobe selection
+    val probe = ColumnBridge.column(graft.functions.IvfCells(
+      ColumnBridge.expression(Similarity.asDouble(col("embedding"))),
+      cents, 4))
+    val actual = queries.select(col("vec_id"), probe.as("cells")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Int](1).toSeq).toMap
+    val vecs = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long](0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(identity).take(4).map(_._2).toSeq
+      assert(actual(id) == expected, s"query $id probed ${actual(id)}")
+    }
+  }
+
+  test("argmin-k keeps the lower cell on exact distance ties") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the origin is equidistant from the two mirrored centroids 1 and 2;
+    // centroid 0 is farther
+    val cents = Array(Array(0.0, 3.0), Array(1.0, 0.0), Array(-1.0, 0.0))
+    val df = Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def probed(nprobe: Int): Seq[Int] =
+      df.select(ColumnBridge.column(graft.functions.IvfCells(
+          ColumnBridge.expression(Similarity.asDouble(col("embedding"))),
+          cents, nprobe)).as("cells"))
+        .collect().head.getSeq[Int](0).toSeq
+    assert(probed(2) == Seq(1, 2)) // tie at dist 1 → lower cell first
+    assert(probed(1) == Seq(1))
+    // nprobe past the cell count degrades to all cells in (dist, cell) order
+    assert(probed(8) == Seq(1, 2, 0))
+  }
+
   test("kmeans is deterministic and recovers well-separated clusters") {
     val rnd = new scala.util.Random(7)
     // two tight clusters around +10 and -10 in every dim
@@ -101,6 +149,22 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.8, s"trained recall $trained")
     assert(trained >= untrained + 0.1,
       s"trained $trained should beat untrained $untrained by >= 0.1")
+  }
+
+  test("trainCentroids hash-samples: offset ids train, partitioning-invariant") {
+    val rnd = new scala.util.Random(5)
+    // ids start at 10^9 — the old `id < maxSample` predicate collected
+    // nothing here; the xxhash64 slice is id-distribution-agnostic
+    val vecs = (0 until 200).map { i =>
+      (1000000000L + i * 7L, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val c1 = Similarity.trainCentroids(df, k = 4)
+    val c2 = Similarity.trainCentroids(df.repartition(7), k = 4)
+    assert(c1.length == 4)
+    // bit-identical across partitionings: the ordered cap + driver sort
+    // pin accumulation order
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
   test("trainCentroids on an empty sample raises the engine's NoData error") {
