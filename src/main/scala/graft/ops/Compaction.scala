@@ -116,11 +116,18 @@ object Compaction {
     // after a committed swap" apart from foreign state.
     if (!fs.rename(dir, retired))
       throw new java.io.IOException(s"could not retire $dir")
-    if (!fs.createNewFile(marker))
+    // best-effort marker: a single-FILE table retires as a file, which
+    // can't contain a marker (createNewFile under a file THROWS, it does
+    // not return false) — degrade to the round-5 behavior (a crash before
+    // cleanup needs manual resolution) instead of dying mid-swap
+    val marked =
+      try fs.createNewFile(marker)
+      catch { case _: java.io.IOException => false }
+    if (!marked)
       System.err.println(s"[compact] warning: could not write $marker — a " +
         "crash before cleanup would need manual resolution")
     if (!fs.rename(staging, dir)) {
-      val unmarked = fs.delete(marker, false)
+      val unmarked = !fs.exists(marker) || fs.delete(marker, false)
       if (!unmarked || !fs.rename(retired, dir))
         throw new java.io.IOException(
           s"could not promote $staging AND rollback of $retired failed — " +

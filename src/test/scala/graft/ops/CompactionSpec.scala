@@ -142,6 +142,30 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("a single-FILE parquet table compacts into a directory") {
+    // the harness testdata ships each table as ONE bare parquet file —
+    // the retire rename then produces a retired FILE, which cannot hold
+    // the commit marker; the swap must still complete (marker degrades to
+    // a warning, it must not throw mid-swap)
+    val parent = java.nio.file.Files.createTempDirectory("graft_compact_1f")
+    val tmp = parent.resolve("w").toString
+    Seq.tabulate(100)(i => (i.toLong, s"row-$i")).toDF("id", "name")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val table = new java.io.File(parent.toFile, "t.parquet")
+    assert(part.renameTo(table))
+    val before = spark.read.parquet(table.toString).collect()
+      .map(_.toSeq).toSet
+    val stats = Compaction.compact(spark, table.toString,
+      targetFileBytes = 1024)
+    assert(stats.filesBefore == 1 && stats.rows == 100)
+    assert(table.isDirectory, "the compacted table is a directory")
+    assert(!new java.io.File(parent.toFile, "t.parquet__retired").exists())
+    assert(spark.read.parquet(table.toString).collect()
+      .map(_.toSeq).toSet == before)
+  }
+
   test("compacting a filesystem root is refused with a clear error") {
     val e = intercept[IllegalArgumentException] {
       Compaction.compact(spark, "file:///")
