@@ -93,6 +93,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("argmin-k equals the sort-based reference on seeded random inputs") {
+    // 200 random (vector, centroid-set, nprobe) triples, including
+    // planted exact ties (duplicate centroids) — the bounded insertion
+    // sort must reproduce sortBy((dist, cell)).take(nprobe) exactly
+    val rnd = new scala.util.Random(31)
+    (0 until 200).foreach { trial =>
+      val dim = 1 + rnd.nextInt(8)
+      val k = 1 + rnd.nextInt(40)
+      val nprobe = 1 + rnd.nextInt(k + 4) // sometimes past the cell count
+      val cents = Array.fill(k, dim)((rnd.nextInt(7) - 3).toDouble)
+      val v = Array.fill(dim)((rnd.nextInt(7) - 3).toDouble)
+      val got = graft.functions.IvfCellImpl.cells(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        cents.flatten, k, dim, nprobe).toSeq
+      val want = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (x, y) => (y - x) * (y - x) }.sum, i)
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+      assert(got == want, s"trial $trial: k=$k nprobe=$nprobe dim=$dim")
+    }
+  }
+
   test("argmin-k keeps the lower cell on exact distance ties") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // the origin is equidistant from the two mirrored centroids 1 and 2;
