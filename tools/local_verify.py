@@ -2,7 +2,7 @@
 """Local stand-in for the driver's correctness gate: load each Verify
 parquet output, run the oracle SQL in DuckDB over the same tables, compare
 rows (sorted columns by name, sorted rows)."""
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb, pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
@@ -11,7 +11,20 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_verify'
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    src = f'{sfdir}/{t}.parquet'
+    if os.path.isdir(src):  # Spark-written table: a directory of part files
+        src = f'{src}/*.parquet'
+    if t == 'events':
+        # A Spark-rewritten events table stores ts as BIGINT nanos (Spark
+        # timestamps cap at µs). Rebuild a µs timestamp so the epoch_ns/
+        # epoch oracle SQL sees the same µs-truncated instants Spark's
+        # readEvents produces (`ts div 1000`) on the same file.
+        typ = con.sql(f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+        if typ == 'BIGINT':
+            con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+            continue
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracles = json.load(open(f'{outdir}/oracle_sql.json'))
 results = {}
