@@ -68,8 +68,20 @@ object Multimodal {
       while (x < width) { raster.setSample(x, y, 0, grayAt(x, y, seed)); x += 1 }
       y += 1
     }
+    writePng(img)
+  }
+
+  /** PNG-encode through an explicitly MEMORY-cached image stream.
+    * `ImageIO.write(img, fmt, outputStream)` defaults to a
+    * `FileCacheImageOutputStream` — a temp file created, written, read
+    * back, and deleted PER IMAGE. In a hot codec scan that is a disk
+    * round-trip and an inode churn per record (and an outright failure on
+    * a read-only container); payloads here are KBs, so the memory cache
+    * is strictly better. */
+  def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 
@@ -83,9 +95,11 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
     if (bytes == null || bytes.isEmpty) return None
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // memory-cached stream, NOT ImageIO.createImageInputStream: the
+      // factory consults getUseCache() and wraps the byte array in a
+      // FileCacheImageInputStream — a temp file per decoded record
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      if (iis == null) return None
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -119,36 +133,141 @@ object Multimodal {
     ((i.toLong * 37 + seed) % 65536L).toInt - 32768
 
   /** Encode a real 16-bit PCM mono WAV (8 kHz) with `pcmAt` samples.
-    * PCM is lossless: every sample round-trips exactly. */
+    * PCM is lossless: every sample round-trips exactly.
+    *
+    * The 44-byte canonical PCM header is written directly — bit-for-bit
+    * what `AudioSystem.write(..., Type.WAVE, ...)` produces (pinned by
+    * MultimodalSpec), without the per-call writer lookup and stream
+    * plumbing that dominate when each row synthesizes a sub-KB payload. */
   def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
     require(nSamples > 0, s"bad sample count $nSamples")
-    import javax.sound.sampled._
-    val bytes = new Array[Byte](nSamples * 2)
+    val dataLen = nSamples * 2 // 16-bit mono
+    val out = new Array[Byte](44 + dataLen)
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16) // fmt chunk length
+    le16(20, 1) // format tag: integer PCM
+    le16(22, 1) // channels: mono
+    le32(24, 8000) // sample rate
+    le32(28, 16000) // byte rate = rate * blockAlign
+    le16(32, 2) // block align = channels * bits/8
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, dataLen)
     var i = 0
     while (i < nSamples) {
       val s = pcmAt(i, seed)
-      bytes(2 * i) = (s & 0xFF).toByte        // little-endian
-      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      out(44 + 2 * i) = (s & 0xFF).toByte // little-endian
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val fmt = new AudioFormat(8000f, 16, 1, true, false)
-    val ais = new AudioInputStream(
-      new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   final case class DecodedAudio(sample_rate: Int, channels: Int, bits: Int,
                                 n_frames: Long, sample_sum: Long)
 
-  /** Real audio decode: javax.sound.sampled parses the WAV container
-    * (format chunk → rate/channels/bits, data chunk → frames) and the
-    * PCM samples are summed as a lossless integer checksum. None when no
-    * installed reader recognizes the bytes (MP3/OGG have no JDK codec —
-    * those fall back like non-image payloads do). */
+  /** The fmt/data facts of a canonical PCM RIFF/WAVE container, plus the
+    * data chunk's byte range inside the payload. */
+  final case class WavPcm(sampleRate: Int, channels: Int, bits: Int,
+                          dataOff: Int, dataLen: Int) {
+    def frameSize: Int = math.max(1, channels * (bits / 8))
+  }
+
+  /** Minimal RIFF/WAVE chunk walker for the canonical case: format tag 1
+    * (integer PCM), a `fmt ` chunk before `data`. This IS a real
+    * container parse — RIFF magic, WAVE form type, word-aligned chunk
+    * walk, little-endian fmt fields — just without `AudioSystem`'s
+    * per-call provider discovery and stream machinery, which dominate
+    * when payloads are sub-KB rows in a hot scan (each
+    * `getAudioInputStream` call sniffs every registered AudioFileReader).
+    * Returns None for anything non-canonical (compressed WAV, AIFF/AU,
+    * truncated chunks) — callers fall back to the full javax.sound path,
+    * so coverage is unchanged. Parity with that path is property-tested
+    * in MultimodalSpec. */
+  def parseWavPcm(b: Array[Byte]): Option[WavPcm] = {
+    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "ISO-8859-1")
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    while (pos + 8 <= b.length) {
+      val id = tag(pos)
+      val len = u32(pos + 4)
+      if (len < 0 || len > b.length.toLong - pos - 8) {
+        // tolerate only a long-running final data chunk (streams of
+        // unknown length write 0xFFFFFFFF); anything else is malformed
+        if (id == "data" && fmt.isDefined) {
+          val (r, c, bits) = fmt.get
+          return Some(WavPcm(r, c, bits, pos + 8, b.length - pos - 8))
+        }
+        return None
+      }
+      val l = len.toInt
+      if (id == "fmt ") {
+        if (l < 16 || u16(pos + 8) != 1) return None // 1 = integer PCM
+        fmt = Some((u32(pos + 12).toInt, u16(pos + 10), u16(pos + 22)))
+      } else if (id == "data") {
+        if (fmt.isEmpty) return None
+        val (r, c, bits) = fmt.get
+        return Some(WavPcm(r, c, bits, pos + 8, l))
+      }
+      pos += 8 + l + (l & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** Sum of little-endian 16-bit samples over a byte range — the same
+    * lossless integer checksum the javax.sound path computes, a trailing
+    * odd byte ignored identically. */
+  private def sumPcm16(b: Array[Byte], off: Int, len: Int): Long = {
+    var sum = 0L
+    var i = off
+    val end = off + len
+    while (i + 1 < end) {
+      sum += ((b(i) & 0xFF) | (b(i + 1).toInt << 8)).toShort
+      i += 2
+    }
+    sum
+  }
+
+  /** Real audio decode: parse the WAV container (format chunk →
+    * rate/channels/bits, data chunk → frames) and sum the PCM samples as
+    * a lossless integer checksum. Canonical PCM WAVs take the direct
+    * RIFF walk; anything else falls back to javax.sound.sampled, so
+    * every format the JDK can read still decodes. None when neither
+    * recognizes the bytes (MP3/OGG have no JDK codec — those fall back
+    * like non-image payloads do). */
   def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
     if (payload == null || payload.isEmpty) return None
+    parseWavPcm(payload) match {
+      case Some(w) =>
+        val sum = if (w.bits == 16) sumPcm16(payload, w.dataOff, w.dataLen)
+                  else 0L // javax.sound path also sums only 16-bit LE
+        Some(DecodedAudio(w.sampleRate, w.channels, w.bits,
+          w.dataLen.toLong / w.frameSize, sum))
+      case None => decodeAudioJavax(payload)
+    }
+  }
+
+  /** The full javax.sound.sampled decode — the fallback for non-canonical
+    * containers (AIFF, AU, compressed WAV). */
+  private def decodeAudioJavax(payload: Array[Byte]): Option[DecodedAudio] = {
     import javax.sound.sampled._
     try {
       val ais = AudioSystem.getAudioInputStream(
@@ -156,14 +275,10 @@ object Multimodal {
       try {
         val f = ais.getFormat
         val data = ais.readAllBytes()
-        var sum = 0L
-        if (f.getSampleSizeInBits == 16 && !f.isBigEndian) {
-          var i = 0
-          while (i + 1 < data.length) {
-            sum += ((data(i) & 0xFF) | (data(i + 1).toInt << 8)).toShort
-            i += 2
-          }
-        }
+        val sum =
+          if (f.getSampleSizeInBits == 16 && !f.isBigEndian)
+            sumPcm16(data, 0, data.length)
+          else 0L
         Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels,
           f.getSampleSizeInBits,
           data.length.toLong / math.max(1, f.getFrameSize), sum))
@@ -243,27 +358,39 @@ object Multimodal {
       counts.map(c => c.toFloat / n)
     }
 
+  /** 8-bin histogram of little-endian 16-bit amplitude magnitude
+    * (bin = |sample| >> 12), normalized by sample count. */
+  private def pcm16Histogram(b: Array[Byte], off: Int, len: Int): Array[Float] = {
+    val counts = new Array[Long](8)
+    var n = 0L
+    var i = off
+    val end = off + len
+    while (i + 1 < end) {
+      val s = ((b(i) & 0xFF) | (b(i + 1).toInt << 8)).toShort
+      counts(math.min(7, math.abs(s.toInt) >> 12)) += 1
+      n += 1
+      i += 2
+    }
+    counts.map(c => c.toFloat / math.max(1L, n))
+  }
+
   /** Real audio feature: 8-bin histogram of PCM amplitude magnitude
     * (bin = |sample| >> 12 for 16-bit), normalized by frame count. None
-    * for non-audio payloads. */
+    * for non-audio payloads. Canonical PCM WAVs histogram the data chunk
+    * in place; others re-read through javax.sound. */
   def audioFeature(bytes: Array[Byte]): Option[Array[Float]] =
     decodeAudio(bytes).filter(d => d.bits == 16 && d.n_frames > 0).map { _ =>
-      import javax.sound.sampled._
-      val ais = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val data = ais.readAllBytes()
-        val counts = new Array[Long](8)
-        var n = 0L
-        var i = 0
-        while (i + 1 < data.length) {
-          val s = ((data(i) & 0xFF) | (data(i + 1).toInt << 8)).toShort
-          counts(math.min(7, math.abs(s.toInt) >> 12)) += 1
-          n += 1
-          i += 2
-        }
-        counts.map(c => c.toFloat / math.max(1L, n))
-      } finally ais.close()
+      parseWavPcm(bytes) match {
+        case Some(w) => pcm16Histogram(bytes, w.dataOff, w.dataLen)
+        case None =>
+          import javax.sound.sampled._
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val data = ais.readAllBytes()
+            pcm16Histogram(data, 0, data.length)
+          } finally ais.close()
+      }
     }
 
   /** Feature extraction over asset batches: mapPartitions so the codec
@@ -363,9 +490,7 @@ object Multimodal {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            (id, mt, bos.toByteArray, nw, nh, "png")
+            (id, mt, writePng(img), nw, nh, "png")
           case Some(d) => (id, mt, bytes, d.width, d.height, d.format)
           case None    => (id, mt, bytes, -1, -1, null: String)
         }

@@ -198,4 +198,73 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 1, 2))
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 16))
   }
+
+  test("encodeWav header is bit-for-bit what AudioSystem.write produces") {
+    // the hand-written 44-byte canonical PCM header must be EXACTLY the
+    // JDK writer's output — any drift would mean the synth payloads are
+    // no longer "real WAVs as javax.sound writes them"
+    import javax.sound.sampled._
+    def javaxWav(n: Int, seed: Long): Array[Byte] = {
+      val bytes = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = Multimodal.pcmAt(i, seed)
+        bytes(2 * i) = (s & 0xFF).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(500)
+      val seed = rnd.nextLong()
+      assert(Multimodal.encodeWav(n, seed).toSeq == javaxWav(n, seed).toSeq,
+        s"header drift at n=$n seed=$seed")
+    }
+  }
+
+  test("parseWavPcm fast path == javax.sound decode on real WAVs") {
+    // the RIFF walker must agree with AudioSystem field-for-field,
+    // including the sample checksum, on JDK-written containers
+    import javax.sound.sampled._
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(400)
+      val wav = Multimodal.encodeWav(n, rnd.nextLong())
+      val fast = Multimodal.decodeAudio(wav).get
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val f = ais.getFormat
+      val data = ais.readAllBytes()
+      ais.close()
+      assert(fast.sample_rate == f.getSampleRate.toInt)
+      assert(fast.channels == f.getChannels)
+      assert(fast.bits == f.getSampleSizeInBits)
+      assert(fast.n_frames == data.length.toLong / f.getFrameSize)
+      var sum = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        sum += ((data(i) & 0xFF) | (data(i + 1).toInt << 8)).toShort
+        i += 2
+      }
+      assert(fast.sample_sum == sum)
+    }
+  }
+
+  test("parseWavPcm rejects non-canonical bytes; decodeAudio still falls back") {
+    assert(Multimodal.parseWavPcm("RIFFxxxxNOPE".getBytes ++
+      new Array[Byte](40)).isEmpty)
+    assert(Multimodal.parseWavPcm(new Array[Byte](10)).isEmpty)
+    // truncated mid-header
+    assert(Multimodal.parseWavPcm(
+      Multimodal.encodeWav(100, 1L).take(30)).isEmpty)
+    // garbage is None end-to-end (both paths decline)
+    assert(Multimodal.decodeAudio("definitely not audio".getBytes).isEmpty)
+  }
 }
