@@ -68,27 +68,45 @@ object ScaleUp {
   /** One scan → F replicas via a narrow explode; key columns shifted,
     * document text rotated, original column order preserved. Dims (no
     * shifted keys) are returned unchanged; ×1 through the replica path is
-    * the identity (replica 0 = shift 0 = rotation 0). */
-  def scaleTable(df: DataFrame, table: String, factor: Int): DataFrame = {
-    val keys = shiftedKeys.getOrElse(table, Seq.empty)
-    if (keys.isEmpty) return df
+    * the identity (replica 0 = shift 0 = rotation 0).
+    *
+    * `mode` picks which axis grows:
+    *   - `"grow"` (default): 10× the KEYS — every id space (users, docs,
+    *     orders) replicates disjointly and text de-correlates; per-key
+    *     density is unchanged. The "more of the same shape" world.
+    *   - `"hot"`: 10× the DENSITY — row identities (event_id, doc_id, …)
+    *     still shift, but `events.user_id` keeps its original values
+    *     (every user 10× hotter) and document text is copied VERBATIM
+    *     (every text 10× duplicated). The skew/boilerplate world that
+    *     stresses sessionization state and dedup group sizes instead of
+    *     key cardinality. */
+  def scaleTable(df: DataFrame, table: String, factor: Int,
+                 mode: String = "grow"): DataFrame = {
+    require(mode == "grow" || mode == "hot", s"unknown mode $mode")
+    val keys0 = shiftedKeys.getOrElse(table, Seq.empty)
+    if (keys0.isEmpty) return df
+    val keys =
+      if (mode == "hot" && table == "events") keys0.filterNot(_ == "user_id")
+      else keys0
     val wide = df.withColumn("__r",
       explode(lit((0L until factor.toLong).toArray)))
     val shifted = keys.foldLeft(wide) { (d, k) =>
       d.withColumn(k, col(k) + col("__r") * Stride)
     }
     val rotated =
-      if (table == "documents")
+      if (table == "documents" && mode == "grow")
         shifted.withColumn("text", rotateText(col("text"), col("__r")))
       else shifted
     rotated.select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <dstDir> [factor] [grow|hot]")
     val src = new java.io.File(args(0))
     val dst = new java.io.File(args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "grow"
     require(factor >= 1, s"factor must be >= 1, got $factor")
     require(src.isDirectory, s"$src is not a directory")
     require(src.getCanonicalPath != dst.getCanonicalPath,
@@ -106,11 +124,11 @@ object ScaleUp {
       .foreach { t =>
         val table = t.getName.stripSuffix(".parquet")
         val out = scaleTable(spark.read.parquet(t.getAbsolutePath),
-          table, factor)
+          table, factor, mode)
         val nFiles = if (shiftedKeys.contains(table)) 32 else 1
         out.repartition(nFiles).write.mode("overwrite")
           .parquet(new java.io.File(dst, t.getName).getAbsolutePath)
-        println(s"$table: ×$factor -> $nFiles files")
+        println(s"$table: ×$factor ($mode) -> $nFiles files")
       }
     spark.stop()
   }

@@ -71,4 +71,20 @@ class ScaleUpSpec extends SparkSpec {
     val orig = t("documents").select("doc_id", "text")
     assert(r0.exceptAll(orig).isEmpty && orig.exceptAll(r0).isEmpty)
   }
+
+  test("hot mode: row ids shift but users and texts stay identical") {
+    val ev = scaleTable(t("events"), "events", 3, mode = "hot")
+    val src = t("events")
+    // 3x the events, SAME user population (every user 3x hotter)
+    assert(ev.count() === 3 * src.count())
+    assert(ev.select("user_id").distinct().count() ===
+      src.select("user_id").distinct().count())
+    val ids = ev.select("event_id").collect().map(_.getLong(0))
+    assert(ids.toSet.size === ids.length, "event ids must stay unique")
+    // documents: 3x exact duplicates per text, ids still unique
+    val docs = scaleTable(t("documents"), "documents", 3, mode = "hot")
+    val perText = docs.groupBy("text").count().select("count").collect()
+    assert(perText.forall(_.getLong(0) % 3 === 0),
+      "every text must appear in exact multiples of the factor")
+  }
 }
