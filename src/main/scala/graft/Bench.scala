@@ -55,9 +55,16 @@ object Bench {
     } catch { case _: Throwable => () }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS",
       DefaultRuns.toString).toInt.max(1)
+    // optional comma-separated query filter for debugging a single
+    // failure (unset = the full registered surface, the driver's shape)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(selected.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY matched no queries")
     val wall0 = System.nanoTime()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   * dimension tables (`region`, `nation`) are copied unchanged, exactly as
   * a real 10× corpus would behave.
   *
-  * Document TEXT is de-correlated across replicas with a per-replica
-  * alphabet rotation (`translate`, length-preserving, so `n_chars` stays
-  * valid): plain duplication would make every doc an exact dup of F-1
-  * others, and near-dup candidate generation would grow QUADRATICALLY in F
-  * — an artifact of copying, not of scale. Rotated replicas share no
-  * shingles, so dedup/similarity work grows linearly, like a real corpus.
-  * (Rotations repeat past F=26; keys still differ, so only text-dedup
-  * queries would see cross-replica dups beyond that.)
+  * Document TEXT is de-correlated across replicas with a position-keyed
+  * substitution cipher (`cipherText`, length-preserving, so `n_chars`
+  * stays valid): plain duplication would make every doc an exact dup of
+  * F-1 others, and near-dup candidate generation would grow QUADRATICALLY
+  * in F — an artifact of copying, not of scale. Ciphered replicas share
+  * no shingles at ANY factor, so dedup/similarity work grows linearly,
+  * like a real corpus. (An earlier alphabet-rotation scheme repeated past
+  * F=26 and silently turned a ×100 grow world duplicate-heavy — caught by
+  * the ×100 probe itself.)
   *
   * Output layout is FIXED across factors — every scaled table is written
   * as 32 files (dims as 1) regardless of F — so benching a ×1 and a ×10
@@ -52,18 +53,38 @@ object ScaleUp {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private val lower = ('a' to 'z').mkString
-  private val upper = ('A' to 'Z').mkString
-  private def rot(s: String, r: Int): String = s.drop(r) + s.take(r)
+  /** Per-(replica, position) letter shift — a keyed substitution cipher.
+    * A plain per-replica caesar rotation only has 25 distinct non-identity
+    * classes, so past F=26 replicas would repeat texts VERBATIM and the
+    * grow axis would silently become a duplicate-heavy (hot-axis) corpus:
+    * the original ×100 probe run generated ~4 identical copies of every
+    * text, octupling near-dup group sizes and exploding the verify join.
+    * Hashing (replica, position) into the shift makes any two replicas
+    * differ at essentially every letter, for arbitrary F. */
+  def cipherShift(replica: Long, pos: Int): Int = {
+    var h = replica * 0x9E3779B97F4A7C15L + pos * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    ((h % 26 + 26) % 26).toInt
+  }
 
-  /** Per-replica caesar rotation of letters (digits/punct untouched):
-    * replica 0 is the original text, replicas 1..25 share no letter
-    * shingles with it or each other. */
-  private def rotateText(text: Column, replica: Column): Column =
-    (1 until 26).foldLeft(when(pmod(replica, lit(26)) === 0, text)) {
-      (acc, r) => acc.when(pmod(replica, lit(26)) === r,
-        translate(text, lower + upper, rot(lower, r) + rot(upper, r)))
-    }.otherwise(text)
+  /** Length-preserving, deterministic text de-correlation: letters shift
+    * by `cipherShift(replica, position)`, everything else untouched;
+    * replica 0 is the identity. */
+  def cipherText(text: String, replica: Long): String = {
+    if (replica == 0L || text == null) return text
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val s = cipherShift(replica, i)
+      sb.append(
+        if (c >= 'a' && c <= 'z') (((c - 'a' + s) % 26) + 'a').toChar
+        else if (c >= 'A' && c <= 'Z') (((c - 'A' + s) % 26) + 'A').toChar
+        else c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** One scan → F replicas via a narrow explode; key columns shifted,
     * document text rotated, original column order preserved. Dims (no
@@ -95,10 +116,15 @@ object ScaleUp {
     }
     val rotated =
       if (table == "documents" && mode == "grow")
-        shifted.withColumn("text", rotateText(col("text"), col("__r")))
+        shifted.withColumn("text", cipherUdf(col("text"), col("__r")))
       else shifted
     rotated.select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** UDF is fine HERE: this is an offline data-generation tool, not a
+    * registered query — the cipher is position-keyed so no builtin
+    * (translate has one fixed mapping per call) can express it. */
+  private val cipherUdf = udf(cipherText _)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

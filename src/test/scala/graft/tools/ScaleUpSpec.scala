@@ -72,6 +72,33 @@ class ScaleUpSpec extends SparkSpec {
     assert(r0.exceptAll(orig).isEmpty && orig.exceptAll(r0).isEmpty)
   }
 
+  test("text de-correlation holds at ANY factor (no repeat past 26)") {
+    // the original alphabet rotation repeated verbatim at replica 26 —
+    // a ×100 grow world was silently duplicate-heavy; the keyed cipher
+    // must keep every replica pair distinct and length-preserving
+    val t = "The quick brown Fox, jumps over 12 lazy dogs!"
+    val reps = Seq(0L, 1L, 25L, 26L, 52L, 77L, 99L)
+    val texts = reps.map(r => ScaleUp.cipherText(t, r))
+    assert(texts.toSet.size === reps.size, "all replicas must differ")
+    assert(texts.forall(_.length === t.length))
+    assert(ScaleUp.cipherText(t, 0L) === t, "replica 0 is the identity")
+    // non-letters and case classes survive at every replica
+    texts.foreach { c =>
+      assert(c.count(_ == ' ') === t.count(_ == ' '))
+      assert(c.indexOf(',') === t.indexOf(','))
+      assert(c.contains(" 12 "))
+      assert(c.zip(t).forall { case (cc, tc) =>
+        (cc.isLower == tc.isLower) && (cc.isUpper == tc.isUpper) })
+    }
+    // shingle overlap between any two replicas is essentially zero
+    def grams(s: String) = s.sliding(5).toSet
+    val g = texts.map(grams)
+    for (i <- g.indices; j <- g.indices if i < j) {
+      val inter = g(i).intersect(g(j)).size
+      assert(inter <= 3, s"replicas ${reps(i)} and ${reps(j)} share $inter shingles")
+    }
+  }
+
   test("hot mode: row ids shift but users and texts stay identical") {
     val ev = scaleTable(t("events"), "events", 3, mode = "hot")
     val src = t("events")
