@@ -14,9 +14,10 @@ import graft.streaming.StreamOps
   * granularities queried (µs and coarser). */
 object EventQueries {
 
-  /** Normalize the ns-or-timestamp `ts` column to a TimestampType. */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+  /** Normalize the ns-or-timestamp `ts` column to a TimestampType —
+    * shared by the batch reader and the streaming file source
+    * (graft.tools.StreamDrain), which must agree on the instant. */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, NOT `/`: a float division promotes the ~1.7e18 ns
@@ -24,7 +25,10 @@ object EventQueries {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
-  }
+
+  /** Normalize the ns-or-timestamp `ts` column to a TimestampType. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
 
   /** Tumbling 1-hour event-time windows (batch view of the streaming op;
     * identical code path as StreamOps.windowedCounts). */
