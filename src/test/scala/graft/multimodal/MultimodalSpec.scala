@@ -267,4 +267,29 @@ class MultimodalSpec extends SparkSpec {
     // garbage is None end-to-end (both paths decline)
     assert(Multimodal.decodeAudio("definitely not audio".getBytes).isEmpty)
   }
+
+  test("codecs never throw on corrupted bytes: mutate/truncate fuzz") {
+    // a malformed payload in a 100 TB scan must yield None (quarantine),
+    // never an executor-killing exception — fuzz both decoders with
+    // random single-byte mutations and truncations of valid payloads
+    val rnd = new scala.util.Random(13)
+    val wav = Multimodal.encodeWav(200, 5L)
+    val png = Multimodal.encodePng(9, 7, 5L)
+    (1 to 300).foreach { _ =>
+      def mutate(src: Array[Byte]): Array[Byte] = {
+        val b = src.clone()
+        (0 to rnd.nextInt(3)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+        if (rnd.nextBoolean()) b.take(1 + rnd.nextInt(b.length)) else b
+      }
+      // must return (possibly None) without throwing
+      Multimodal.decodeAudio(mutate(wav))
+      Multimodal.parseWavPcm(mutate(wav))
+      Multimodal.decodeImage(mutate(png))
+    }
+    // pure noise is always None
+    val noise = Array.fill(64)(rnd.nextInt(256).toByte)
+    assert(Multimodal.decodeAudio(noise).isEmpty)
+    assert(Multimodal.decodeImage(noise).isEmpty)
+  }
 }
