@@ -26,7 +26,7 @@ import graft.SparkSpec
   * NULLs (the `nullSafeCodeGen` slot), empty arrays/strings, length
   * mismatches, zero norms.
   */
-class CodegenParitySpec extends SparkSpec {
+class CodegenParitySpec extends SparkSpec with graft.IsolatedSession {
 
   private def exprCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     ColumnBridge.column(e)

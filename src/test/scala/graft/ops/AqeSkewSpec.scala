@@ -13,7 +13,7 @@ import graft.SparkSpec
   * skew sizes. This is the regression pin for "AQE stays enabled in our
   * sessions" (Skew.scala's stated contract).
   */
-class AqeSkewSpec extends SparkSpec {
+class AqeSkewSpec extends SparkSpec with graft.IsolatedSession {
   import spark.implicits._
 
   private val tuned = Seq(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-class BucketingSpec extends SparkSpec {
+class BucketingSpec extends SparkSpec with graft.IsolatedSession {
 
   private def withNoBroadcast[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -10,7 +10,7 @@ import graft.SparkSpec
   * turns "shuffle everything then drop 99%" into "drop 99% at the scan".
   * Thresholds are lowered to test scale (the application side here is far
   * under the production 10 GB gate). */
-class RuntimeFilterSpec extends SparkSpec {
+class RuntimeFilterSpec extends SparkSpec with graft.IsolatedSession {
 
   private val tuned = Seq(
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",

@@ -21,7 +21,7 @@ import graft.SparkSpec
   * Rows are compared as sorted multisets: OUTPUT order may legitimately
   * differ across modes (no global ORDER BY contract); values must not.
   */
-class ExecutionModeParitySpec extends SparkSpec {
+class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
 
   private def collectWith(name: String, knobs: Seq[(String, String)]): Seq[String] = {
     val conf = spark.conf

@@ -12,7 +12,7 @@ import graft.SparkSpec
   * default in-memory execution for the shapes that buffer the most:
   * wide aggregation, window top-k/moving frames, sessionization,
   * dedup-by-key, and the two-phase median. */
-class SpillParitySpec extends SparkSpec {
+class SpillParitySpec extends SparkSpec with graft.IsolatedSession {
 
   private val Knobs = Seq(
     // hash aggregation abandons its map and falls back to sort-based
