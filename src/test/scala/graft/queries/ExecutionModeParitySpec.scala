@@ -9,7 +9,8 @@ import graft.SparkSpec
   * results must be independent of HOW the plan executes —
   *
   *   - AQE off vs on (runtime re-planning must not change values), and
-  *   - shuffle partition count 5 vs the session default (4): every
+  *   - shuffle partition count 5 vs 1 (single-partition execution is
+  *     the degenerate ordering that exposes partition-order leaks): every
   *     aggregation order, window frame, and tie-break must be
   *     partitioning-independent. This is the direct test of the repo's
   *     determinism discipline — decimal-exact double sums, total-order

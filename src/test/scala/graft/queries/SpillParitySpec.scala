@@ -7,8 +7,9 @@ import graft.SparkSpec
 /** Memory-pressure parity: at 100 TB the external sorters and window
   * buffers WILL spill — a query whose results depend on whether an
   * operator stayed in memory is broken in a way small-data tests never
-  * see. Force every external sorter to spill after 64 elements (and the
-  * window buffer after 4 rows) and require bit-identical results to the
+  * see. Force the window/session/sort-merge-join buffers to spill after
+  * 32 rows and hash aggregation to abandon its map after 5 rows (the
+  * Knobs list below), and require bit-identical results to the
   * default in-memory execution for the shapes that buffer the most:
   * wide aggregation, window top-k/moving frames, sessionization,
   * dedup-by-key, and the two-phase median. */
@@ -50,25 +51,38 @@ class SpillParitySpec extends SparkSpec with graft.IsolatedSession {
 
   test("the knobs actually bite: forced run reports spill bytes > 0") {
     // without this, a Spark upgrade renaming any knob would turn every
-    // parity test below vacuous (the codegen-parity canary lesson)
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // parity test below vacuous (the codegen-parity canary lesson).
+    // Spill is attributed to THIS suite's jobs only — suites run
+    // concurrently on a shared SparkContext, so an unscoped listener
+    // could be fed spill by a neighbour and pass with dead knobs.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val group = s"spill-canary-${System.nanoTime()}"
+    val ourStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val spilled = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageIds.foreach(ourStages.add(_))
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null && ourStages.contains(t.stageId))
           spilled.addAndGet(t.taskMetrics.memoryBytesSpilled +
             t.taskMetrics.diskBytesSpilled)
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "SpillParitySpec knob canary")
     try {
       Queries.foreach(collectWith(_, Knobs))
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (spilled.get() == 0 && System.nanoTime() < deadline)
         Thread.sleep(100) // task-end events arrive asynchronously
       assert(spilled.get() > 0,
-        "forced-spill run reported zero spill bytes across all queries — " +
-          "knobs are dead")
-    } finally spark.sparkContext.removeSparkListener(listener)
+        "forced-spill run reported zero spill bytes across the canary's " +
+          "own jobs — knobs are dead")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   Queries.foreach { name =>
