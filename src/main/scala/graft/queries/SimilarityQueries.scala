@@ -10,10 +10,13 @@ import graft.sim.Similarity
 /** Similarity-search and near-dup queries over `embeddings` / `documents`.
   *
   * s01 has a DuckDB oracle (double-precision cosine, rank tie-broken by
-  * id). The LSH/MinHash/SimHash queries are NOT SQL-expressible without
-  * replicating seeded hash internals, so they are registered rows-only and
-  * their correctness (recall vs brute force, planted-duplicate detection)
-  * is asserted by ScalaTest specs instead. */
+  * id). The seeded-hash queries are oracled too: s02's hyperplanes are
+  * class-load literals, s07's trained centroids and s03/s04's
+  * MinHash/SimHash signatures are embedded at dump time (HashOracles —
+  * DuckDB BIGINT can't wrap mod 2^64, so the wraparound signatures ride
+  * in as VALUES and everything downstream is recomputed in SQL). Specs
+  * additionally assert recall vs brute force and planted-duplicate
+  * detection. */
 object SimilarityQueries {
 
   /** Brute-force cosine top-10 for a 5-vector query set: the exactness
@@ -94,9 +97,11 @@ object SimilarityQueries {
 
   /** MinHash-LSH near-dup pairs over documents ∪ lightly-perturbed copies
     * (id+1e6) — the perturbed copies guarantee planted near-dups at every
-    * scale factor, so the rows-only signal is meaningful (>0 pairs, each
-    * verified by exact Jaccard ≥ 0.5). */
+    * scale factor. DuckDB-oracled at dump time (HashOracles: embedded
+    * band buckets, candidate join + string-gram Jaccard verify recomputed
+    * by DuckDB). */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    HashOracles.record(spark, sfDir)
     val docs = scan(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val perturbed = docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" perturbed tail")).as("text"))
@@ -105,8 +110,11 @@ object SimilarityQueries {
   }
 
   /** SimHash near-dup candidates over the same planted corpus (Hamming ≤
-    * 3 via the 4×16-bit chunk join). Rows-only. */
+    * 3 via the 4×16-bit chunk join). DuckDB-oracled at dump time
+    * (HashOracles: embedded fingerprints, chunk join + Hamming recomputed
+    * by DuckDB). */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    HashOracles.record(spark, sfDir)
     val docs = scan(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val perturbed = docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text"))
@@ -388,8 +396,10 @@ object SimilarityQueries {
     NamedQuery("s01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     NamedQuery("s02_ann_lsh", annLsh, Some(annLshOracle)),
     NamedQuery("s07_ann_ivf", annIvf, None, oracleFn = Some(() => annIvfOracle)),
-    NamedQuery("s03_minhash_neardup", minhashNearDup, None),
-    NamedQuery("s04_simhash_neardup", simhashNearDup, None),
+    NamedQuery("s03_minhash_neardup", minhashNearDup, None,
+      oracleFn = Some(() => HashOracles.minhashNearDupOracle)),
+    NamedQuery("s04_simhash_neardup", simhashNearDup, None,
+      oracleFn = Some(() => HashOracles.simhashNearDupOracle)),
     NamedQuery("s05_cosine_neardup", cosineNearDup, Some(cosineNearDupOracle)),
     NamedQuery("s06_multimodal_meta", multimodalMeta, Some(multimodalMetaOracle)),
     NamedQuery("s10_image_decode", imageDecode, Some(imageDecodeOracle)),

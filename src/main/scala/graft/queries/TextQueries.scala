@@ -213,12 +213,15 @@ object TextQueries {
 
   /** The composite training-data pipeline, end-to-end: exact dedup →
     * MinHash-LSH near-dup clustering → min-id survivor per cluster →
-    * quality floor → chunking → systematic sample. Rows-only (the LSH
-    * stage is seeded-internal); PipelineCompositionSpec asserts the
-    * dedup/survivor behavior on planted duplicates. This is the query a
-    * 100 TB corpus actually runs: every stage is a narrow map or a
-    * bounded keyed shuffle. */
+    * quality floor → chunking → systematic sample. DuckDB-oracled at dump
+    * time (HashOracles: band buckets embedded; dedup, candidate join,
+    * Jaccard verify, recursive-CTE connected components, survivor
+    * selection, quality/sample/chunk all recomputed in SQL);
+    * PipelineCompositionSpec asserts the dedup/survivor behavior on
+    * planted duplicates. This is the query a 100 TB corpus actually runs:
+    * every stage is a narrow map or a bounded keyed shuffle. */
   def trainingPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    HashOracles.record(spark, sfDir)
     val docs = scan(spark, sfDir, "documents")
     val exact = Dedup.exactDedup(docs, "text", "doc_id")
     val pairs = Dedup.nearDupPairs(exact, "text", "doc_id", threshold = 0.5)
@@ -729,7 +732,8 @@ object TextQueries {
     NamedQuery("t06_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     NamedQuery("t07_chunking", chunking, Some(chunkingOracle)),
     NamedQuery("t08_systematic_sample", sampled, Some(sampledOracle)),
-    NamedQuery("t09_training_pipeline", trainingPipeline, None),
+    NamedQuery("t09_training_pipeline", trainingPipeline, None,
+      oracleFn = Some(() => HashOracles.trainingPipelineOracle)),
     NamedQuery("t10_training_pipeline_exact", trainingPipelineExact,
       Some(trainingPipelineExactOracle)),
     NamedQuery("t11_tfidf_topk", tfidfTopK, Some(tfidfTopKOracle)),
