@@ -55,13 +55,17 @@ object Bench {
     } catch { case _: Throwable => () }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS",
       DefaultRuns.toString).toInt.max(1)
-    // optional comma-separated query filter for debugging a single
-    // failure (unset = the full registered surface, the driver's shape)
+    // optional comma-separated query filters: ONLY for debugging a single
+    // failure, SKIP for scale probes that must exclude a query whose
+    // footprint exceeds the box (documented per-use in BASELINE.md).
+    // Unset = the full registered surface, the driver's shape.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    require(selected.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY matched no queries")
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
+    require(selected.nonEmpty, "SPARK_GRAFT_BENCH_ONLY/SKIP matched no queries")
     val wall0 = System.nanoTime()
     var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
