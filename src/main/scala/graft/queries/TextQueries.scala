@@ -699,6 +699,84 @@ object TextQueries {
         col("jw").cast("decimal(28,6)").cast("double").as("jw"))
   }
 
+  /** Benchmark decontamination — the training-pipeline gate every eval
+    * suite demands: drop any corpus document sharing a long character
+    * n-gram (20 chars ≈ a 13-token span on these corpora) with the eval
+    * set. The 100 TB shape is asymmetric by construction: eval sets are
+    * small (benchmarks are KBs), so their distinct gram set BROADCASTS
+    * and the corpus pays one narrow explode + a broadcast semi-probe +
+    * a keyed anti-join — no shuffle of corpus text, ever. Grams are
+    * hashed by the native GramHashes(k=20) expression (one zero-alloc
+    * byte pass per doc, 8 B broadcast entries instead of 20-char string
+    * copies — the s03 verify-side machinery reused); the oracle joins on
+    * the strings themselves, so the hash path is verified against the
+    * string semantics (identical modulo 64-bit collisions, the s03
+    * argument). Eval slice: doc_id % 97 == 0. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val gramHashes20 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.GramHashes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            lower(trim(c))), k = 20))
+    val docs = scan(spark, sfDir, "documents")
+    val eval = docs.where(col("doc_id") % 97 === 0)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    val evalGrams = eval
+      .select(explode(gramHashes20(col("text"))).as("gh")).distinct()
+    val hits = corpus
+      .select(col("doc_id"), explode(gramHashes20(col("text"))).as("gh"))
+      .join(broadcast(evalGrams), "gh")
+      .select(col("doc_id")).distinct()
+    corpus.join(hits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val decontaminateOracle =
+    """WITH ev AS (
+      |  SELECT lower(trim(text)) AS t FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, source, n_chars, lower(trim(text)) AS t
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |eg AS (
+      |  SELECT DISTINCT unnest(list_transform(
+      |    generate_series(1, greatest(length(t) - 19, 1)),
+      |    i -> substring(t, CAST(i AS BIGINT), 20))) AS g
+      |  FROM ev),
+      |cg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(length(t) - 19, 1)),
+      |    i -> substring(t, CAST(i AS BIGINT), 20))) AS g
+      |  FROM corpus),
+      |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g))
+      |SELECT doc_id, source, n_chars FROM corpus
+      |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
+
+  /** Per-source quota sampling — the C4/Dolma-style cap that stops one
+    * crawl domain from dominating the corpus: keep at most 10 docs per
+    * source, chosen by a deterministic LCG key (same docs on any cluster
+    * size, any partitioning, any engine — never rand()). One shuffle on
+    * source + a window rank; integer-exact ordering with a doc_id
+    * tie-break, so ranks are engine-independent. A pathologically hot
+    * source makes this window the skew point — at 100 TB pre-filter with
+    * an approximate per-source count and the documented salting pattern
+    * before ranking the survivors. */
+  def sourceQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * 48271, lit(97)), col("doc_id"))
+    scan(spark, sfDir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("doc_id"))
+  }
+
+  private val sourceQuotaOracle =
+    """SELECT source, rk, doc_id FROM (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY (doc_id * 48271) % 97, doc_id) AS rk
+      |  FROM documents) WHERE rk <= 10""".stripMargin
+
   private val jaroNearDupOracle =
     """WITH base AS (
       |  SELECT doc_id, substring(text, 1, 60) AS t
@@ -741,5 +819,7 @@ object TextQueries {
     NamedQuery("t13_repetition", repetition, Some(repetitionOracle)),
     NamedQuery("t14_redact", redact, Some(redactOracle)),
     NamedQuery("t15_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
+    NamedQuery("t21_decontaminate", decontaminate, Some(decontaminateOracle)),
+    NamedQuery("t22_source_quota", sourceQuota, Some(sourceQuotaOracle)),
   )
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** t21/t22 behavior on planted data: decontamination must drop exactly
+  * the corpus docs sharing a 20-char gram with the eval slice, and the
+  * per-source quota must keep a deterministic, partitioning-independent
+  * subset. (Value-exactness vs DuckDB is the oracle gate's job; these
+  * pin the SEMANTICS on corpora where the expected outcome is known by
+  * construction.) */
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalText = "the secret benchmark passage nobody may train on today"
+
+  test("decontaminate drops exactly the planted overlaps") {
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    // doc 0: eval (0 % 97 == 0). docs 1-2: contaminated (embed a >=20-char
+    // span of the eval text). docs 3-4: clean.
+    Seq(
+      (0L, evalText, "en", "src0", 1L),
+      (1L, s"prefix $evalText suffix", "en", "src1", 1L),
+      (2L, "xx " + evalText.substring(4, 30) + " yy", "en", "src1", 1L),
+      (3L, "a completely unrelated document with plenty of words", "en", "src2", 1L),
+      (4L, "another clean text that shares nothing long enough", "en", "src2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = TextQueries.decontaminate(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L),
+      s"expected only the clean docs to survive, got $kept")
+  }
+
+  test("source quota keeps <=10 per source, deterministically") {
+    val out = TextQueries.sourceQuota(spark, sf)
+      .as[(String, Int, Long)].collect()
+    val bySource = out.groupBy(_._1)
+    assert(bySource.values.forall(_.length <= 10))
+    // ranks are 1..n contiguous per source
+    bySource.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // partitioning-independent: 1 shuffle partition == default
+    val p1 = spark.newSession()
+    p1.conf.set("spark.sql.shuffle.partitions", "1")
+    val again = TextQueries.sourceQuota(p1, sf)
+      .as[(String, Int, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq,
+      "quota selection depends on partitioning")
+  }
+
+  test("decontaminate plan: eval grams broadcast; corpus anti-join keyed") {
+    val s = TextQueries.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"eval gram probe must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+}
