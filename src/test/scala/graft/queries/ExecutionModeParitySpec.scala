@@ -39,7 +39,10 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
   private val Queries = Seq("e01_q1_agg", "e11_exact_median", "e16_outliers",
     "e17_salted_agg", "e20_quartiles", "ev05_asof_view_click",
     "s08_embedding_pool", "t08_systematic_sample", "t12_stratified_sample",
-    "t15_heavy_hitters")
+    "t15_heavy_hitters",
+    // round-9 additions: broadcast-probe + anti-join (t21) and the LCG
+    // window rank (t22) must also be replan/partitioning-independent
+    "t21_decontaminate", "t22_source_quota")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is
