@@ -57,6 +57,25 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(s.contains("BroadcastHashJoin"),
       s"eval gram probe must broadcast:\n$s")
+    // the contaminated-id set broadcasts into a LeftAnti — corpus rows
+    // are filtered in place, never shuffled
+    assert(s.contains("LeftAnti"), s"anti-join shape lost:\n$s")
     assert(!s.contains("CartesianProduct"))
+    // output scan prunes text: the wide column feeds only the gram pass
+    assert(s.contains("struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"output scan must not read text:\n$s")
+  }
+
+  test("source quota plan: partial WindowGroupLimit before the shuffle") {
+    // Spark's rank-limit pushdown means a pathologically hot source
+    // ships at most ~10 rows per map partition, not its whole partition —
+    // the property that makes the quota skew-safe; pin it so a rewrite
+    // (e.g. rank via join or a non-limit window) can't silently lose it
+    val s = TextQueries.sourceQuota(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(s).size >= 2,
+      s"expected Partial+Final WindowGroupLimit:\n$s")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(s).size == 1,
+      s"expected exactly one shuffle, on source:\n$s")
   }
 }
