@@ -3,7 +3,6 @@ package graft.queries
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.XXH64
 
 /** Dump-time DuckDB oracles for the seeded-hash near-dup queries
   * (s03/s04/t09) — the s07 pattern: constants that DuckDB cannot recompute
@@ -31,11 +30,12 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * `String`/`Array[Byte]` instead of `UTF8String`), from document texts
   * collected off the raw parquet. A defect in the native expressions'
   * byte-walk or codegen would therefore surface as an oracle mismatch, not
-  * be baked into the oracle. Shared with the engine by design: the seed
-  * constants ([[graft.functions.MinHashSig.affineSeeds]]) and the XXH64
-  * band-bucket hash family (catalyst's `XXH64.hashLong` fold — the hash
-  * DEFINITION, pinned against the engine's `bandHashes` in
-  * HashOraclesSpec).
+  * be baked into the oracle. The only piece shared with the engine by
+  * design is configuration: the seed constants
+  * ([[graft.functions.MinHashSig.affineSeeds]]). Even the XXH64
+  * band-bucket hash is reimplemented from the published xxHash spec
+  * ([[xxh64Long]]) rather than calling catalyst's `XXH64` — parity with
+  * the engine's `bandHashes` is pinned in HashOraclesSpec.
   *
   * Queries record their (session, dir) on each run; Verify dumps
   * `oracle_sql.json` after every query has run, so the thunks see the
@@ -104,15 +104,34 @@ object HashOracles {
     mins
   }
 
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  /** XXH64 of ONE 8-byte long — reimplemented from the published xxHash
+    * spec (small-input path: seed init, one 8-byte round, length mix,
+    * avalanche), NOT a call into catalyst's XXH64. */
+  def xxh64Long(value: Long, seed: Long): Long = {
+    def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    var acc = seed + P5 + 8L
+    acc ^= rotl(value * P2, 31) * P1
+    acc = rotl(acc, 27) * P1 + P4
+    acc ^= acc >>> 33; acc *= P2
+    acc ^= acc >>> 29; acc *= P3
+    acc ^ (acc >>> 32)
+  }
+
   /** The engine's `xxhash64(slice(sig, b·r+1, r))` band bucket: Spark's
-    * XxHash64 over an ARRAY<BIGINT> folds `hashLong` element-wise from
-    * seed 42. */
+    * XxHash64 over an ARRAY<BIGINT> folds the per-element hash from
+    * seed 42, each step seeding the next. */
   def bandBuckets(sig: Array[Long], bands: Int = 8): Array[Long] = {
     val r = sig.length / bands
     Array.tabulate(bands) { b =>
       var acc = 42L
       var i = 0
-      while (i < r) { acc = XXH64.hashLong(sig(b * r + i), acc); i += 1 }
+      while (i < r) { acc = xxh64Long(sig(b * r + i), acc); i += 1 }
       acc
     }
   }
