@@ -135,6 +135,14 @@ class CodegenParitySpec extends SparkSpec with graft.IsolatedSession {
         exprCol(GramHashes(ColumnBridge.expression(col("t")), k = 3)).as("r")))
   }
 
+  test("GramHashes k=20 (t21's decontamination width): codegen == interpreted") {
+    // k is interpolated into the generated Java; a wide window exercises
+    // the short-text whole-gram branch on every row of `texts`
+    assertParity("gram_hashes_20",
+      texts.select(col("id"),
+        exprCol(GramHashes(ColumnBridge.expression(col("t")), k = 20)).as("r")))
+  }
+
   test("MinHashSig: codegen == interpreted") {
     assertParity("minhash_sig",
       texts.select(col("id"),
