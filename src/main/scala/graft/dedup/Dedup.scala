@@ -237,8 +237,14 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nbr_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      // the iteration-start label rides along as `old`, so convergence is
+      // read off THIS pass (an Observation on the checkpoint job) instead
+      // of a separate labels⋈next join-and-count — one job per iteration,
+      // and one fewer full pass over the labels table. Re-executed stages
+      // can only over-count the observed sum; the loop tests changed > 0,
+      // which re-execution cannot flip.
       val propagated = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
       // pointer jump: follow the label one more hop through the label
@@ -246,13 +252,18 @@ object Dedup {
       // label resolves; least() keeps monotonicity)
       val parents = propagated
         .select(col("id").as("p_id"), col("cluster_id").as("p_label"))
+      val obs = org.apache.spark.sql.Observation()
       val next = propagated
         .join(parents, col("cluster_id") === col("p_id"))
         .select(col("id"),
-          least(col("cluster_id"), col("p_label")).as("cluster_id"))
+          least(col("cluster_id"), col("p_label")).as("cluster_id"),
+          col("old"))
+        .observe(obs, sum(when(col("cluster_id") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("cluster_id"))
         .localCheckpoint(true) // truncate the growing iterative lineage
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .where(col("cluster_id") =!= col("old")).limit(1).count()
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
       labels = next
       it += 1
     }
