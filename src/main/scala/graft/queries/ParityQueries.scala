@@ -296,12 +296,37 @@ object ParityQueries {
       |       CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
       |FROM nation GROUP BY 1""".stripMargin
 
+  /** XML transport (Spark 4's built-in xml source): the one loss mode no
+    * other roundtrip exercises is ENTITY ESCAPING — a value containing
+    * `< & " '` must be escaped by the writer and unescaped by the reader,
+    * or the payload silently corrupts. The note column plants exactly
+    * those bytes; its round-tripped length is content-dependent, so any
+    * escaping loss (or surrounding-whitespace trim) hash-mismatches
+    * against the oracle computing the same length from the raw table. */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
+    CoreOps.scan(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        concat(col("s_name"), lit(""" <&"'> """), col("s_suppkey")).as("note"))
+      .write.mode("overwrite").option("rowTag", "row").xml(dir)
+    spark.read.option("rowTag", "row").xml(dir)
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        length(col("note")).cast("int").as("note_chars"))
+  }
+
+  private val xmlRoundtripOracle =
+    """SELECT s_suppkey, s_name,
+      |       CAST(length(s_name || ' <&"''> ' || s_suppkey) AS INTEGER)
+      |         AS note_chars
+      |FROM supplier""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("p01_flagship", flagship, Some(flagshipOracle)),
     NamedQuery("p09_orc_roundtrip", orcRoundtrip, Some(orcRoundtripOracle)),
     NamedQuery("p10_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
     NamedQuery("p11_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     NamedQuery("p12_gzip_roundtrip", gzipRoundtrip, Some(gzipRoundtripOracle)),
+    NamedQuery("p13_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripOracle)),
     NamedQuery("p02_default_ds", defaultDs, Some(defaultDsOracle)),
     NamedQuery("p03_tsv_roundtrip", tsvRoundtrip, Some(tsvRoundtripOracle)),
     NamedQuery("p04_missing_col_drop", missingColumnDrop,
