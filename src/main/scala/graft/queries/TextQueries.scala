@@ -777,6 +777,52 @@ object TextQueries {
       |                            ORDER BY (doc_id * 48271) % 97, doc_id) AS rk
       |  FROM documents) WHERE rk <= 10""".stripMargin
 
+  /** Unigram-LM quality score — the statistical stand-in for the KenLM
+    * perplexity filter real pipelines run (CCNet-style): per document,
+    * the mean negative log-probability of its tokens under the corpus's
+    * own unigram distribution. Gibberish and boilerplate score high.
+    *
+    * The 100 TB shape: one token explode feeds BOTH the term-frequency
+    * aggregate (map-side combined) and the per-doc pass; the corpus
+    * total joins in as a broadcast 1-row aggregate (never a driver-side
+    * count baked into the plan). Per the repo's determinism discipline,
+    * each -ln(p) addend is widened to DECIMAL(38,18) before SUM —
+    * double addition is order-dependent across partitionings, decimal
+    * addition is exact — and the mean divides in double at the end
+    * (s08's pattern; ln itself is bit-identical across Spark and DuckDB
+    * on this box, the t11 precedent). */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = scan(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        (sum((-log(col("tf").cast("double") / col("n_total").cast("double")))
+          .cast("decimal(38,18)")).cast("double") / count(lit(1)))
+          .as("nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("nll").cast("decimal(28,6)").cast("double").as("nll"))
+  }
+
+  private val unigramLogprobOracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                            x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(CAST(CAST(SUM(CAST(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))
+      |                            AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+      |            AS DECIMAL(28,6)) AS DOUBLE) AS nll
+      |FROM tok JOIN freq USING (term), tot
+      |GROUP BY doc_id""".stripMargin
+
   private val jaroNearDupOracle =
     """WITH base AS (
       |  SELECT doc_id, substring(text, 1, 60) AS t
@@ -821,5 +867,7 @@ object TextQueries {
     NamedQuery("t15_heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
     NamedQuery("t21_decontaminate", decontaminate, Some(decontaminateOracle)),
     NamedQuery("t22_source_quota", sourceQuota, Some(sourceQuotaOracle)),
+    NamedQuery("t23_unigram_logprob", unigramLogprob,
+      Some(unigramLogprobOracle)),
   )
 }

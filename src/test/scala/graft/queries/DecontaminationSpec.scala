@@ -66,6 +66,25 @@ class DecontaminationSpec extends SparkSpec {
       s"output scan must not read text:\n$s")
   }
 
+  test("unigram nll: repeated tokens score lower than rare ones") {
+    // the whole point of the LM filter: a doc made of corpus-common
+    // tokens has low mean -ln(p); a doc of corpus-unique tokens high
+    val dir = java.nio.file.Files.createTempDirectory("nll").toString
+    val common = "alpha beta gamma alpha beta gamma alpha beta gamma"
+    Seq(
+      (1L, common, "en", "s", 1L), (2L, common, "en", "s", 1L),
+      (3L, common, "en", "s", 1L),
+      (4L, "zq xv jk wm yb pf dg hn lt rc", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nll = TextQueries.unigramLogprob(spark, dir)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(nll(1L) == nll(2L) && nll(2L) == nll(3L),
+      "identical docs must score identically")
+    assert(nll(4L) > nll(1L),
+      s"unique-token doc must score higher: ${nll(4L)} vs ${nll(1L)}")
+  }
+
   test("source quota plan: partial WindowGroupLimit before the shuffle") {
     // Spark's rank-limit pushdown means a pathologically hot source
     // ships at most ~10 rows per map partition, not its whole partition —

@@ -40,9 +40,11 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
     "e17_salted_agg", "e20_quartiles", "ev05_asof_view_click",
     "s08_embedding_pool", "t08_systematic_sample", "t12_stratified_sample",
     "t15_heavy_hitters",
-    // round-9 additions: broadcast-probe + anti-join (t21) and the LCG
-    // window rank (t22) must also be replan/partitioning-independent
-    "t21_decontaminate", "t22_source_quota")
+    // round-9 additions: broadcast-probe + anti-join (t21), the LCG
+    // window rank (t22), and the decimal-summed floating score (t23 —
+    // the shape MOST likely to leak partition order without the
+    // decimal-addend discipline) must be replan/partitioning-independent
+    "t21_decontaminate", "t22_source_quota", "t23_unigram_logprob")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is
