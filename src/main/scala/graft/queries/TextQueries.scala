@@ -711,7 +711,14 @@ object TextQueries {
     * copies — the s03 verify-side machinery reused); the oracle joins on
     * the strings themselves, so the hash path is verified against the
     * string semantics (identical modulo 64-bit collisions, the s03
-    * argument). Eval slice: doc_id % 97 == 0. */
+    * argument).
+    *
+    * Eval slice: doc_id % 97 == 0 AND doc_id < 1e6 — the id cap is what
+    * keeps the broadcast contract honest at scale: benchmarks are
+    * FIXED-size while the corpus grows, so on a ScaleUp world (replica
+    * ids shifted by 1e9) the eval set stays the replica-0 slice instead
+    * of growing as 1/97th of the corpus into an unbroadcastable side. A
+    * real deployment passes a fixed benchmark table here. */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val gramHashes20 = (c: org.apache.spark.sql.Column) =>
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -719,8 +726,9 @@ object TextQueries {
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(
             lower(trim(c))), k = 20))
     val docs = scan(spark, sfDir, "documents")
-    val eval = docs.where(col("doc_id") % 97 === 0)
-    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
+    val eval = docs.where(isEval)
+    val corpus = docs.where(!isEval)
     val evalGrams = eval
       .select(explode(gramHashes20(col("text"))).as("gh")).distinct()
     val hits = corpus
@@ -733,10 +741,11 @@ object TextQueries {
 
   private val decontaminateOracle =
     """WITH ev AS (
-      |  SELECT lower(trim(text)) AS t FROM documents WHERE doc_id % 97 = 0),
+      |  SELECT lower(trim(text)) AS t FROM documents
+      |  WHERE doc_id % 97 = 0 AND doc_id < 1000000),
       |corpus AS (
       |  SELECT doc_id, source, n_chars, lower(trim(text)) AS t
-      |  FROM documents WHERE doc_id % 97 <> 0),
+      |  FROM documents WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)),
       |eg AS (
       |  SELECT DISTINCT unnest(list_transform(
       |    generate_series(1, greatest(length(t) - 19, 1)),
