@@ -699,6 +699,59 @@ object TextQueries {
         col("jw").cast("decimal(28,6)").cast("double").as("jw"))
   }
 
+  /** Sequence packing — the last pre-training step: concatenate chunks
+    * and cut every `budget` tokens (GPT-style packing; sequences fill
+    * the context window, chunks may straddle a cut). Deterministic and
+    * shard-parallel: docs hash into 32 packer shards, a windowed
+    * cumulative token count within each shard (total order by doc_id,
+    * chunk_no) assigns every chunk its pack id and token offset —
+    * integer-only arithmetic, so bit-identical on any engine and any
+    * partitioning. One shuffle on shard; at 100 TB raise the shard
+    * count, the shape is unchanged (packs are shard-local by design —
+    * packers on a real cluster are independent workers). */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 256
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_no"))
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+        col("col").as("chunk"))
+      .withColumn("n_tok", TextOps.bpeishTokenCount(col("chunk")))
+      .withColumn("shard", pmod(col("doc_id"), lit(32)).cast("int"))
+      .withColumn("cum_after", sum(col("n_tok")).over(w))
+      .select(col("shard"), col("doc_id"), col("chunk_no"), col("n_tok"),
+        ((col("cum_after") - col("n_tok")) / budget).cast("int").as("pack_id"),
+        ((col("cum_after") - col("n_tok")) % budget).cast("int")
+          .as("tok_offset"))
+  }
+
+  private val sequencePackOracle =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1,
+      |           CAST(floor((greatest(length(text), 1) - 1) / 150) + 1 AS BIGINT))) AS i
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_no,
+      |         substring(text, CAST(1 + (i - 1) * 150 AS BIGINT), 200) AS chunk
+      |  FROM c),
+      |t AS (
+      |  SELECT doc_id, chunk_no,
+      |         CAST(len(regexp_extract_all(lower(trim(chunk)),
+      |              '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS INTEGER) AS n_tok,
+      |         CAST(doc_id % 32 AS INTEGER) AS shard
+      |  FROM ch),
+      |s AS (
+      |  SELECT shard, doc_id, chunk_no, n_tok,
+      |         SUM(n_tok) OVER (PARTITION BY shard
+      |                          ORDER BY doc_id, chunk_no) AS cum_after
+      |  FROM t)
+      |SELECT shard, doc_id, chunk_no, n_tok,
+      |       CAST((cum_after - n_tok) // 256 AS INTEGER) AS pack_id,
+      |       CAST((cum_after - n_tok) % 256 AS INTEGER) AS tok_offset
+      |FROM s""".stripMargin
+
   /** Benchmark decontamination — the training-pipeline gate every eval
     * suite demands: drop any corpus document sharing a long character
     * n-gram (20 chars ≈ a 13-token span on these corpora) with the eval
@@ -878,5 +931,6 @@ object TextQueries {
     NamedQuery("t22_source_quota", sourceQuota, Some(sourceQuotaOracle)),
     NamedQuery("t23_unigram_logprob", unigramLogprob,
       Some(unigramLogprobOracle)),
+    NamedQuery("t24_sequence_pack", sequencePack, Some(sequencePackOracle)),
   )
 }

@@ -44,7 +44,8 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
     // window rank (t22), and the decimal-summed floating score (t23 —
     // the shape MOST likely to leak partition order without the
     // decimal-addend discipline) must be replan/partitioning-independent
-    "t21_decontaminate", "t22_source_quota", "t23_unigram_logprob")
+    "t21_decontaminate", "t22_source_quota", "t23_unigram_logprob",
+    "t24_sequence_pack")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is
