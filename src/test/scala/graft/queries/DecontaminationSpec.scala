@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** t21/t22 behavior on planted data: decontamination must drop exactly
-  * the corpus docs sharing a 20-char gram with the eval slice, and the
-  * per-source quota must keep a deterministic, partitioning-independent
-  * subset. (Value-exactness vs DuckDB is the oracle gate's job; these
-  * pin the SEMANTICS on corpora where the expected outcome is known by
-  * construction.) */
+/** t21/t22/t23 behavior on planted data: decontamination must drop
+  * exactly the corpus docs sharing a 20-char gram with the eval slice,
+  * the per-source quota must keep a deterministic,
+  * partitioning-independent subset, and the unigram-LM score must rank
+  * corpus-unique tokens above corpus-common ones. (Value-exactness vs
+  * DuckDB is the oracle gate's job; these pin the SEMANTICS on corpora
+  * where the expected outcome is known by construction.) */
 class DecontaminationSpec extends SparkSpec {
   import spark.implicits._
 
