@@ -123,14 +123,76 @@ object Dedup {
       size(array_union(gramsA, gramsB)).cast("double")
 
   /** Near-dup pairs: LSH candidates filtered by exact Jaccard ≥ threshold.
-    * End-to-end: map (signatures) → one shuffle (band join) → verify
-    * against per-doc HASHED gram arrays (xxhash64 per shingle: Jaccard is
-    * identical modulo 64-bit collisions, and long-array set ops are far
-    * cheaper than string-array ones on dense candidate sets). Never
-    * all-pairs. */
+    *
+    * Runs [[nearDupPairsFlat]] behind an EXACT-COLLAPSE pre-pass:
+    * identical normalized texts are grouped (one map-side-combined
+    * shuffle on the 64-bit exact key), LSH + verify run on one
+    * representative per distinct text, and the verified pairs expand back
+    * to the full id space with cheap constant-width joins. This is
+    * output-IDENTICAL to the flat formulation — MinHash signatures and
+    * gram sets are functions of the normalized text alone, so exact
+    * duplicates are always banded together with Jaccard exactly 1.0, and
+    * a cross-group member pair shares its representatives' Jaccard —
+    * while the verify join's shuffle carries gram arrays for DISTINCT
+    * texts only. On a duplicate-heavy corpus (the hot-×100 world: every
+    * text ×100, ~100M candidate pairs × two ~550-long gram arrays ≈
+    * 880 GB of verify shuffle in flat form) the gram shuffle collapses by
+    * the duplication factor and the operator completes where the flat
+    * form cannot fit on scratch disk; on a duplicate-free corpus the
+    * pre-pass costs one extra text shuffle. DedupSpec pins flat ==
+    * collapsed on a planted duplicate-heavy corpus. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("ek", exactKey(col("__text")))
+    val members = keyed.select(col("id"), col("ek"))
+    // one representative (min id, deterministic) per distinct normalized
+    // text; partial agg collapses duplicates map-side, so the only
+    // full-text shuffle ships each distinct text ~once per partition
+    val reps = keyed.groupBy(col("ek"))
+      .agg(min(col("id")).as("id"), min_by(col("__text"), col("id")).as("__text"))
+    val repPairs = nearDupPairsFlat(reps.select(col("id"), col("__text")),
+      "__text", "id", threshold, k, numHashes, bands)
+    // intra-group: identical normalized text ⇒ identical gram set ⇒
+    // Jaccard exactly 1.0 (GramHashes emits ≥1 gram for any non-null
+    // text, so the ratio is never 0/0; null-text docs have a null exact
+    // key and the null-rejecting equi-join drops them, matching the flat
+    // path where a null signature never bands)
+    val intra = members.as("m1")
+      .join(members.as("m2"),
+        col("m1.ek") === col("m2.ek") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= threshold)
+    // cross-group: every verified representative pair expands to all
+    // member pairs of its two groups, sharing the representatives'
+    // jaccard; expansion rows are 3 fixed-width columns — output volume
+    // is the query's result, not an intermediate
+    val groupOf = reps.select(col("id").as("rid"), col("ek"))
+    val cross = repPairs
+      .join(groupOf.as("ka"), col("id_a") === col("ka.rid"))
+      .join(groupOf.as("kb"), col("id_b") === col("kb.rid"))
+      .join(members.as("ma"), col("ma.ek") === col("ka.ek"))
+      .join(members.as("mb"), col("mb.ek") === col("kb.ek"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("jaccard"))
+    intra.unionAll(cross)
+  }
+
+  /** The flat (no exact-collapse) near-dup formulation: map (signatures)
+    * → one shuffle (band join) → verify against per-doc HASHED gram
+    * arrays (xxhash64 per shingle: Jaccard is identical modulo 64-bit
+    * collisions, and long-array set ops are far cheaper than string-array
+    * ones on dense candidate sets). Never all-pairs — but the verify join
+    * ships two full gram arrays per CANDIDATE PAIR, which on a
+    * duplicate-heavy corpus grows with (duplication factor)² per distinct
+    * text; [[nearDupPairs]] bounds that by collapsing exact duplicates
+    * first and is the operator callers should use. */
+  def nearDupPairsFlat(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, k: Int = 5, numHashes: Int = 32,
+                       bands: Int = 8): DataFrame = {
     graft.functions.SortedIntersectSize.register(df.sparkSession)
     graft.functions.GramHashes.register(df.sparkSession)
     val cands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)

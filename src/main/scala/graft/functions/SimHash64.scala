@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * 0L, matching the aggregation form's explode_outer null-token row.
   *
   * Tokenization: ASCII whitespace (space, \\t, \\n, \\r, \\f, \\u000B) —
-  * byte-level equivalent of the `\\s+` split for ASCII corpora; callers
+  * the byte-level twin of `TextOps.WhitespaceClass` (the explicit class
+  * both the engine regexes and the DuckDB oracles spell out); callers
   * pass `lower(trim(text))` to match TextOps.tokens normalization.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {

@@ -40,9 +40,9 @@ import org.apache.spark.sql.SparkSession
   * Queries record their (session, dir) on each run; Verify dumps
   * `oracle_sql.json` after every query has run, so the thunks see the
   * final state (the s07 `lastTrained` contract). If a query never ran in
-  * this JVM the thunk emits a single impossible VALUES row — candidates
-  * come out empty and the compare fails LOUDLY instead of silently
-  * passing.
+  * this JVM the thunk emits a one-row SENTINEL SELECT whose values no
+  * engine run can produce ([[neverRanSql]]) — the compare fails LOUDLY
+  * against any engine output, including the empty one.
   */
 object HashOracles {
 
@@ -181,9 +181,23 @@ object HashOracles {
                             suffix: String): Array[(Long, String)] =
     base ++ base.map { case (id, t) => (id + 1000000L, t + suffix) }
 
-  /** One impossible row — keeps the SQL valid if the query never ran in
-    * this JVM, while guaranteeing a LOUD compare failure. */
-  private val NeverRan = "(-1, -1, 0)"
+  /** Never-ran sentinels: if a query never ran in the dumping JVM, its
+    * oracle is a ONE-ROW literal SELECT whose values no engine run can
+    * produce (negative ids, negative jaccard/hamming, an impossible chunk
+    * text) — a guaranteed rows/values mismatch against ANY engine output,
+    * including the empty one. The earlier scheme (an impossible VALUES row
+    * feeding the real SQL) emptied the candidate set, which for t09
+    * degenerated to the exact-dedup-only pipeline and could SILENTLY
+    * coincide with the engine whenever the corpus has no Jaccard≥0.5 pairs
+    * among exact-dedup survivors. `package private` so the spec pins the
+    * shape. */
+  private[queries] val neverRanSql: Map[String, String] = Map(
+    "s03" -> ("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, " +
+      "CAST(-1 AS DOUBLE) AS jaccard"),
+    "s04" -> ("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, " +
+      "CAST(-1 AS INTEGER) AS hamming"),
+    "t09" -> ("SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS chunk_no, " +
+      "'ORACLE NEVER RAN: query did not execute in the dumping JVM' AS chunk"))
 
   private def bandValues(corpus: Array[(Long, String)]): String =
     corpus.flatMap { case (id, t) =>
@@ -209,10 +223,10 @@ object HashOracles {
 
   /** s03: candidates from embedded band buckets; Jaccard verify, filter,
     * and rounding recomputed by DuckDB from raw text. */
-  def minhashNearDupOracle: String = {
-    val values = docs()
-      .map(d => bandValues(withPerturbed(d, " perturbed tail")))
-      .getOrElse(NeverRan)
+  def minhashNearDupOracle: String = docs() match {
+    case None => neverRanSql("s03")
+    case Some(d) =>
+    val values = bandValues(withPerturbed(d, " perturbed tail"))
     s"""WITH bb(id, band, bucket) AS (VALUES
        |  $values),
        |corpus(id, text) AS (
@@ -241,10 +255,10 @@ object HashOracles {
     * recomputed by DuckDB from the embedded fingerprints (arithmetic `>>`
     * plus the &65535 mask make sign-fill irrelevant, matching Spark's
     * shiftright). */
-  def simhashNearDupOracle: String = {
-    val values = docs()
-      .map(d => simhashValues(withPerturbed(d, " zz")))
-      .getOrElse("(-1, 0)")
+  def simhashNearDupOracle: String = docs() match {
+    case None => neverRanSql("s04")
+    case Some(d) =>
+    val values = simhashValues(withPerturbed(d, " zz"))
     s"""WITH sh(id, h) AS (VALUES
        |  $values),
        |chunks AS (
@@ -260,8 +274,10 @@ object HashOracles {
   /** t09: the full composite pipeline. Connected components as a
     * recursive CTE: reach(src, dst) closes over the verified-pair edges,
     * min(dst) per src is exactly clusterAssign's min-label fixpoint. */
-  def trainingPipelineOracle: String = {
-    val values = docs().map(bandValues).getOrElse(NeverRan)
+  def trainingPipelineOracle: String = docs() match {
+    case None => neverRanSql("t09")
+    case Some(d) =>
+    val values = bandValues(d)
     s"""WITH RECURSIVE bb(id, band, bucket) AS (VALUES
        |  $values),
        |kept AS (
@@ -300,7 +316,7 @@ object HashOracles {
        |  WHERE cl.doc_id = cl.cluster_id),
        |q AS (
        |  SELECT doc_id, text FROM surv
-       |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
        |                        x -> len(x) > 0)) >= 10
        |    AND (doc_id * 48271) % 97 < 50),
        |c AS (

@@ -304,7 +304,11 @@ object ParityQueries {
     * escaping loss (or surrounding-whitespace trim) hash-mismatches
     * against the oracle computing the same length from the raw table. */
   def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
+    // pid suffix: deterministic within a run, but two JVMs running the
+    // suite concurrently (bench + verify) no longer overwrite each
+    // other's staging dir between the write and the read-back
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip_" +
+      ProcessHandle.current().pid()
     CoreOps.scan(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_name"),
         concat(col("s_name"), lit(""" <&"'> """), col("s_suppkey")).as("note"))

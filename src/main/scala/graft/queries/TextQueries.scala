@@ -59,12 +59,12 @@ object TextQueries {
   private val textStatsOracle =
     """WITH t AS (
       |  SELECT doc_id, text,
-      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                    x -> len(x) > 0)) AS n_tokens,
       |    length(text) AS n_chars,
-      |    len(regexp_extract_all(lower(trim(text)), '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS n_bpeish,
+      |    len(regexp_extract_all(lower(trim(text)), '[a-z0-9]{1,4}|[^a-z0-9 \t\n\x0B\f\r]')) AS n_bpeish,
       |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
-      |    len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    len(list_filter(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                                x -> len(x) > 0),
       |        x -> list_contains(['the','and','of','to','is','in'], x))) AS n_stop
       |  FROM documents)
@@ -122,7 +122,7 @@ object TextQueries {
   private val langIdOracle = {
     val scores = TextOps.langStopwords.map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ",", "]")
-      s"""len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      s"""len(list_filter(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
          |                 x -> len(x) > 0),
          |     x -> list_contains($list, x))) AS s_$lang""".stripMargin
     }.mkString(",\n")
@@ -224,7 +224,11 @@ object TextQueries {
     HashOracles.record(spark, sfDir)
     val docs = scan(spark, sfDir, "documents")
     val exact = Dedup.exactDedup(docs, "text", "doc_id")
-    val pairs = Dedup.nearDupPairs(exact, "text", "doc_id", threshold = 0.5)
+    // flat form on purpose: the input is ALREADY exact-deduped one line
+    // up, so nearDupPairs' collapse pre-pass would re-group distinct
+    // texts for nothing (flat == collapsed on duplicate-free input, the
+    // DedupSpec-pinned equivalence)
+    val pairs = Dedup.nearDupPairsFlat(exact, "text", "doc_id", threshold = 0.5)
     val clusters = Dedup.clusterAssign(
       pairs, exact.select(col("doc_id").as("id")))
     val survivors = exact
@@ -261,7 +265,7 @@ object TextQueries {
       |    FROM documents) WHERE doc_id = keep),
       |q AS (
       |  SELECT doc_id, text FROM kept
-      |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                        x -> len(x) > 0)) >= 10
       |    AND (doc_id * 48271) % 97 < 50),
       |c AS (
@@ -305,7 +309,7 @@ object TextQueries {
   private val tfidfTopKOracle =
     """WITH tok AS (
       |  SELECT doc_id,
-      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                            x -> len(x) > 0)) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -366,7 +370,7 @@ object TextQueries {
     """WITH t AS (
       |  SELECT doc_id,
       |         list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines,
-      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                     x -> len(x) > 0) AS toks
       |  FROM documents),
       |u AS (
@@ -437,7 +441,7 @@ object TextQueries {
 
   private val heavyHittersOracle =
     """WITH tok AS (
-      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                            x -> len(x) > 0)) AS term
       |  FROM documents)
       |SELECT term, count(*) AS cnt FROM tok
@@ -500,7 +504,7 @@ object TextQueries {
   private val gopherFilterOracle =
     """WITH t AS (
       |  SELECT doc_id, lang, text,
-      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                x -> len(x) > 0) AS toks,
       |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
       |  FROM documents),
@@ -642,7 +646,7 @@ object TextQueries {
       |  WHERE key NOT IN (SELECT key FROM corp)),
       |t AS (
       |  SELECT doc_id, lang, text,
-      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                x -> len(x) > 0) AS toks,
       |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
       |  FROM fresh),
@@ -709,16 +713,28 @@ object TextQueries {
     * partitioning. One shuffle on shard; at 100 TB raise the shard
     * count, the shape is unchanged (packs are shard-local by design —
     * packers on a real cluster are independent workers). */
-  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
-    val budget = 256
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame =
+    packLayout(
+      scan(spark, sfDir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+          col("col").as("chunk")),
+      shards = 32, budget = 256)
+
+  /** The shard-local packing core behind [[sequencePack]], public and
+    * shard-count-parameterized so the 100 TB story is PINNED rather than
+    * narrated: packs are computed independently per shard (the window
+    * never crosses shards), so raising `shards` changes parallelism
+    * only — the layout invariants are shard-count-independent and the
+    * total pack count stays within one partial tail pack per shard of
+    * ceil(totalTokens/budget). `SequencePackSpec` asserts both at 32 and
+    * 128 shards. Input: (doc_id, chunk_no, chunk). */
+  def packLayout(chunks: DataFrame, shards: Int, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_no"))
-    scan(spark, sfDir, "documents")
-      .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
-      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
-        col("col").as("chunk"))
+    chunks
       .withColumn("n_tok", TextOps.bpeishTokenCount(col("chunk")))
-      .withColumn("shard", pmod(col("doc_id"), lit(32)).cast("int"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
       .withColumn("cum_after", sum(col("n_tok")).over(w))
       .select(col("shard"), col("doc_id"), col("chunk_no"), col("n_tok"),
         ((col("cum_after") - col("n_tok")) / budget).cast("int").as("pack_id"),
@@ -739,7 +755,7 @@ object TextQueries {
       |t AS (
       |  SELECT doc_id, chunk_no,
       |         CAST(len(regexp_extract_all(lower(trim(chunk)),
-      |              '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS INTEGER) AS n_tok,
+      |              '[a-z0-9]{1,4}|[^a-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_tok,
       |         CAST(doc_id % 32 AS INTEGER) AS shard
       |  FROM ch),
       |s AS (
@@ -873,7 +889,7 @@ object TextQueries {
   private val unigramLogprobOracle =
     """WITH tok AS (
       |  SELECT doc_id,
-      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                            x -> len(x) > 0)) AS term
       |  FROM documents),
       |freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),

@@ -9,17 +9,24 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The whitespace class spelled explicitly — Java's `\s` is
+    * `[ \t\n\x0B\f\r]` but DuckDB's RE2 `\s` is only `[ \t\n\f\r]`
+    * (no vertical tab), so a `\x0B` byte in a document would tokenize
+    * differently on the two sides of the oracle compare. Both the engine
+    * regexes here and every oracle's RE2 use this class verbatim. */
+  val WhitespaceClass = " \\t\\n\\x0B\\f\\r"
+
   /** Whitespace tokens of the lowercased, trimmed text; empty tokens
     * dropped (split on leading separators yields ""). */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    filter(split(lower(trim(text)), s"[$WhitespaceClass]+"), t => length(t) > 0)
 
   /** BPE-ish subword-count proxy: word characters grouped into runs of ≤4
     * plus single non-space punctuation — a deterministic regex stand-in for
     * a real tokenizer's token count. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(trim(text)),
-      lit("[a-z0-9]{1,4}|[^a-z0-9\\s]"), lit(0)))
+      lit(s"[a-z0-9]{1,4}|[^a-z0-9$WhitespaceClass]"), lit(0)))
 
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,!?;:]", ""))

@@ -24,6 +24,14 @@ import graft.streaming.StreamOps
   *
   * Usage: `runMain graft.tools.StreamDrain <dir> [filesPerTrigger]`
   * Prints one JSON line {rows, batches, sec, match}; exits 1 on mismatch.
+  * `batches` is the TOTAL number of micro-batches executed
+  * (`lastProgress.batchId + 1`), INCLUDING empty/no-data batches — not
+  * the count of batches that processed rows. The old non-empty-batch
+  * count read `recentProgress`, which caps at
+  * `spark.sql.streaming.numRecentProgressUpdates` (100) and silently
+  * undercounts long drains; the total is exact at any drain length.
+  * (BASELINE.md's recorded "8 batches" figures carry the same meaning:
+  * AvailableNow drains of a fixed file set execute no empty batches.)
   */
 object StreamDrain {
 

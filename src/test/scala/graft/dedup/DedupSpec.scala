@@ -36,6 +36,43 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((4L, 5L)) && !cands.contains((5L, 4L)))
   }
 
+  test("exact-collapse near-dup == flat formulation on a duplicate-heavy corpus") {
+    // the hot-×100 world in miniature: every distinct text appears many
+    // times (with normalization variants), near-dups exist ACROSS groups,
+    // one doc is unique, one has null text. The collapsed default must
+    // reproduce the flat formulation's output exactly — ids, pairing,
+    // jaccard values — including intra-group pairs at jaccard 1.0 and
+    // cross-group member pairs inheriting their representatives' jaccard.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat", // near-dup of ^
+      "completely different content about spark engines and parquet files",
+      "completely different content about spark engines and parquet piles", // near-dup of ^
+      "a unique unduplicated document about streaming watermarks")
+    val rows = texts.zipWithIndex.flatMap { case (t, g) =>
+      (0 until 4).map { c =>
+        val variant = c % 3 match {
+          case 0 => t
+          case 1 => t.toUpperCase
+          case 2 => s"  $t "
+        }
+        (g * 100L + c, variant)
+      }
+    } :+ (999L, null: String)
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.nearDupPairs(df, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.nearDupPairsFlat(df, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"collapsed=${got.size} flat=${want.size}; " +
+      s"onlyCollapsed=${(got -- want).take(5)} onlyFlat=${(want -- got).take(5)}")
+    // sanity: duplication actually exercised — intra-group 1.0 pairs and
+    // cross-group expanded pairs are both present
+    assert(got.exists(_._3 == 1.0))
+    assert(got.exists(p => p._1 / 100 != p._2 / 100 && p._3 < 1.0))
+    assert(!got.exists(p => p._1 == 999L || p._2 == 999L))
+  }
+
   test("jaccard is 1 for identical, 0 for disjoint shingle sets") {
     val df = Seq(("abcdefgh", "abcdefgh", "zzzzzzzz")).toDF("a", "b", "c")
     val r = df.select(

@@ -61,10 +61,29 @@ class HashOraclesSpec extends SparkSpec {
   }
 
   test("oracle thunks degrade loudly when the query never ran") {
-    // fresh-JVM state can't be simulated here (record() may have run),
-    // but the never-ran SQL constant must stay an impossible row — the
-    // degradation contract is that candidates come out EMPTY and the
-    // driver compare fails, never silently passes
+    // fresh-JVM state can't be simulated here (record() may have run), so
+    // the contract is pinned on the sentinel SQL itself: ONE row whose
+    // values no engine run can produce — a guaranteed rows/values
+    // mismatch against any engine output, including the empty one (the
+    // old empty-candidates degradation silently coincided with the
+    // engine for t09 on corpora without near-dup pairs). The sentinels
+    // are ANSI enough to execute under Spark, so schema and values are
+    // asserted by running them.
+    val wantCols = Map(
+      "s03" -> Seq("id_a", "id_b", "jaccard"),
+      "s04" -> Seq("id_a", "id_b", "hamming"),
+      "t09" -> Seq("doc_id", "chunk_no", "chunk"))
+    HashOracles.neverRanSql.foreach { case (q, sql) =>
+      val df = spark.sql(sql)
+      assert(df.columns.toSeq == wantCols(q),
+        s"$q sentinel columns must match the query output schema")
+      val rows = df.collect()
+      assert(rows.length == 1, s"$q sentinel must be exactly one row")
+      // first column is an id in every query — ids are non-negative in
+      // every corpus (raw doc_id ≥ 0, perturbed += 1e6), so -1 can never
+      // be produced by an engine run
+      assert(rows.head.getLong(0) == -1L, s"$q sentinel id must be impossible")
+    }
     assert(HashOracles.minhashNearDupOracle.nonEmpty)
     assert(HashOracles.simhashNearDupOracle.nonEmpty)
     assert(HashOracles.trainingPipelineOracle.nonEmpty)

@@ -24,4 +24,42 @@ class SequencePackSpec extends SparkSpec {
       }
     }
   }
+
+  test("raising the shard count keeps the shape: invariants hold and pack count tracks tokens/budget") {
+    // the 100 TB story — packs are shard-local, so more shards = more
+    // parallelism, same layout logic — pinned by running the SAME core
+    // at 32 and 128 shards and checking (a) the gapless/in-budget
+    // invariants are shard-count-independent, and (b) per-shard packs
+    // are exactly the windowed-cumsum arithmetic, so the TOTAL pack
+    // count stays within one partial tail pack per shard of the
+    // data-determined floor ceil(totalTokens/budget)
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(graft.text.TextOps.chunkWindows(col("text"))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+        col("col").as("chunk"))
+    val budget = 256
+    Seq(32, 128).foreach { shards =>
+      val rows = TextQueries.packLayout(base, shards, budget)
+        .as[(Int, Long, Int, Int, Int, Int)].collect()
+        .sortBy(r => (r._1, r._2, r._3))
+      assert(rows.map(_._1).distinct.forall(s => s >= 0 && s < shards))
+      var totalTok = 0L
+      var totalPacks = 0L
+      rows.groupBy(_._1).values.foreach { shard =>
+        var cum = 0L
+        shard.foreach { case (_, _, _, nTok, packId, tokOffset) =>
+          assert(packId == cum / budget && tokOffset == cum % budget,
+            s"shards=$shards: gap at cum=$cum")
+          cum += nTok
+        }
+        totalTok += cum
+        totalPacks += shard.map(_._5).max + 1
+      }
+      val floor = (totalTok + budget - 1) / budget // ceil(tokens/budget)
+      assert(totalPacks >= floor && totalPacks <= floor + shards,
+        s"shards=$shards: packs=$totalPacks outside [$floor, ${floor + shards}]")
+    }
+  }
 }

@@ -93,6 +93,64 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF at 4096 cells: the probe plan stays flat at production cell counts") {
+    // the 64-cell pin proved no per-centroid union; this is the same
+    // assertion at a production-shaped cell count (the 4k-65k range the
+    // scaladoc claims). Data stays tiny — the property under test is
+    // PLAN SIZE as a function of the centroid count: the centroids ride
+    // inside the single native IvfCells/IvfCell expressions, so the node
+    // count must be IDENTICAL to the 64-cell plan, not merely Union-free
+    def planOf(cells: Int) = {
+      val cents = Similarity.hyperplanes(cells, 64, seed = 5L)
+      Similarity.ivfTopK(emb.where(col("vec_id") < 3), emb.limit(50),
+        cents, k = 5, nprobe = 4).queryExecution.executedPlan
+    }
+    val at64 = planOf(64)
+    val at4096 = planOf(4096)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect { case n => n }.size
+    assert(!at4096.toString.contains("Union"),
+      "per-centroid union resurfaced at 4096 cells")
+    assert("Scan parquet".r.findAllIn(at4096.toString).size <= 2,
+      "expected ≤2 scans (query+corpus) at 4096 cells")
+    assert(nodes(at4096) == nodes(at64),
+      s"plan must not grow with cell count: ${nodes(at64)} nodes at 64 " +
+        s"vs ${nodes(at4096)} at 4096")
+  }
+
+  test("lshTopK at the prescribed 8-16 planes: high recall, small candidate fraction") {
+    // the scaladoc prescribes 8-16 planes per table for true near-dup
+    // corpora (high intra-cluster cosine); this pins BOTH halves of that
+    // claim on a clustered corpus — recall stays high because per-plane
+    // agreement is high, and buckets shrink so each query compares
+    // against a small fraction of the corpus (the property that makes
+    // LSH viable at 100 TB). k = MaxValue keeps every candidate pair
+    // through ranking (the AnnScale trick), so the output row count IS
+    // the candidate-set size.
+    val rnd = new scala.util.Random(123)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextDouble() * 10 - 5))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(queries, df, k = 10,
+      planesPerTable = 12, tables = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall at 12 planes × 8 tables")
+    val candidates = Similarity.lshTopK(queries, df, k = Int.MaxValue,
+      planesPerTable = 12, tables = 8).count()
+    val fraction = candidates.toDouble / (5.0 * 400.0)
+    // clusters are 1/8 = 0.125 of the corpus; tight buckets must keep
+    // the candidate set near the cluster, far from all-pairs
+    assert(fraction <= 0.30, s"candidate fraction $fraction")
+    info(f"measured: recall@10 = $recall%.3f, candidate fraction = $fraction%.4f")
+  }
+
   test("argmin-k equals the sort-based reference on seeded random inputs") {
     // 200 random (vector, centroid-set, nprobe) triples, including
     // planted exact ties (duplicate centroids) — the bounded insertion
