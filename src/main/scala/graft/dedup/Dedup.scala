@@ -143,41 +143,64 @@ object Dedup {
     * collapsed on a planted duplicate-heavy corpus. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 5, numHashes: Int = 32,
-                   bands: Int = 8): DataFrame = {
+                   bands: Int = 8): DataFrame =
+    collapseExpand(df, textCol, idCol,
+      reps => nearDupPairsFlat(reps, "__text", "id",
+        threshold, k, numHashes, bands),
+      intraCols = Seq(lit(1.0).as("jaccard")),
+      intraKeep = lit(1.0) >= threshold)
+
+  /** The exact-collapse harness shared by the near-dup operators
+    * ([[nearDupPairs]], [[simhashCandidates]]): group identical
+    * normalized texts (one map-side-combined shuffle on the 64-bit exact
+    * key — the only full-text shuffle), run `repPairs` over ONE
+    * representative (min id) per distinct text, and expand verified
+    * rep-level pairs back to the full id space with constant-width
+    * joins. Signatures (MinHash bands, SimHash fingerprints) and gram
+    * sets are functions of the normalized text alone, so:
+    *
+    *   - an intra-group pair (identical texts) is ALWAYS a candidate in
+    *     the flat form and carries the degenerate payload (`intraCols`:
+    *     jaccard exactly 1.0 / hamming 0), guarded by `intraKeep` for
+    *     exactness against pathological thresholds;
+    *   - a cross-group member pair is a candidate iff its representative
+    *     pair is, and shares its payload verbatim;
+    *   - null-text docs have a null exact key: the null-rejecting
+    *     equi-joins drop them, matching the flat path where a null
+    *     signature never bands/chunks.
+    *
+    * Output is therefore IDENTICAL to the flat formulation (DedupSpec
+    * pins both operators on a planted duplicate-heavy corpus) while the
+    * expensive pair machinery — the verify join's gram arrays, the
+    * chunk join's in-group quadratic — touches DISTINCT texts only.
+    * Expansion rows are fixed-width id/payload columns: output volume is
+    * the query's result, not an intermediate. */
+  private def collapseExpand(df: DataFrame, textCol: String, idCol: String,
+                             repPairs: DataFrame => DataFrame,
+                             intraCols: Seq[Column],
+                             intraKeep: Column): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("ek", exactKey(col("__text")))
     val members = keyed.select(col("id"), col("ek"))
-    // one representative (min id, deterministic) per distinct normalized
-    // text; partial agg collapses duplicates map-side, so the only
-    // full-text shuffle ships each distinct text ~once per partition
     val reps = keyed.groupBy(col("ek"))
       .agg(min(col("id")).as("id"), min_by(col("__text"), col("id")).as("__text"))
-    val repPairs = nearDupPairsFlat(reps.select(col("id"), col("__text")),
-      "__text", "id", threshold, k, numHashes, bands)
-    // intra-group: identical normalized text ⇒ identical gram set ⇒
-    // Jaccard exactly 1.0 (GramHashes emits ≥1 gram for any non-null
-    // text, so the ratio is never 0/0; null-text docs have a null exact
-    // key and the null-rejecting equi-join drops them, matching the flat
-    // path where a null signature never bands)
+    val rp = repPairs(reps.select(col("id"), col("__text")))
+    val payload = rp.columns.filterNot(c => c == "id_a" || c == "id_b")
+      .map(col).toSeq
     val intra = members.as("m1")
       .join(members.as("m2"),
         col("m1.ek") === col("m2.ek") && col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        lit(1.0).as("jaccard"))
-      .where(lit(1.0) >= threshold)
-    // cross-group: every verified representative pair expands to all
-    // member pairs of its two groups, sharing the representatives'
-    // jaccard; expansion rows are 3 fixed-width columns — output volume
-    // is the query's result, not an intermediate
+      .select(Seq(col("m1.id").as("id_a"), col("m2.id").as("id_b")) ++
+        intraCols: _*)
+      .where(intraKeep)
     val groupOf = reps.select(col("id").as("rid"), col("ek"))
-    val cross = repPairs
+    val cross = rp
       .join(groupOf.as("ka"), col("id_a") === col("ka.rid"))
       .join(groupOf.as("kb"), col("id_b") === col("kb.rid"))
       .join(members.as("ma"), col("ma.ek") === col("ka.ek"))
       .join(members.as("mb"), col("mb.ek") === col("kb.ek"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"),
-        col("jaccard"))
+      .select(Seq(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b")) ++ payload: _*)
     intra.unionAll(cross)
   }
 
@@ -336,12 +359,28 @@ object Dedup {
     labels
   }
 
-  /** SimHash candidate pairs by the standard 4×16-bit chunk trick: two
-    * 64-bit prints within Hamming distance 3 must agree exactly on at
-    * least one of the 4 chunks, so candidates come from an equi-join on
-    * (chunk index, chunk value) — never all-pairs. */
+  /** SimHash candidate pairs by the standard 4×16-bit chunk trick, behind
+    * the same exact-collapse pre-pass as [[nearDupPairs]]: identical
+    * normalized texts share their SimHash, so the chunk equi-join — whose
+    * in-group quadratic was the dominant hot-×100 cost (every duplicate
+    * group of d texts yields d²/2 candidate rows, measured 75 s at ×100
+    * duplication) — runs on distinct texts only, and member pairs expand
+    * back with hamming 0 (intra) or their representatives' hamming
+    * (cross). Output-identical to [[simhashCandidatesFlat]]
+    * (DedupSpec-pinned). */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3): DataFrame =
+    collapseExpand(df, textCol, idCol,
+      reps => simhashCandidatesFlat(reps, "__text", "id", maxHamming),
+      intraCols = Seq(lit(0).as("hamming")),
+      intraKeep = lit(0) <= maxHamming)
+
+  /** The flat SimHash candidate formulation: two 64-bit prints within
+    * Hamming distance 3 must agree exactly on at least one of the 4
+    * 16-bit chunks, so candidates come from an equi-join on
+    * (chunk index, chunk value) — never all-pairs. */
+  def simhashCandidatesFlat(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3): DataFrame = {
     val sh = simhashes(df, textCol, idCol)
       .select(col("id"), col("simhash").as("sh"))
     val chunked = sh.withColumn("chunk", explode(expr(

@@ -71,6 +71,16 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_._3 == 1.0))
     assert(got.exists(p => p._1 / 100 != p._2 / 100 && p._3 < 1.0))
     assert(!got.exists(p => p._1 == 999L || p._2 == 999L))
+    // same equivalence for the SimHash operator (same collapse harness,
+    // hamming payload): intra pairs at hamming 0, cross pairs inheriting
+    // their representatives' hamming
+    val gotSh = Dedup.simhashCandidates(df, "text", "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    val wantSh = Dedup.simhashCandidatesFlat(df, "text", "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotSh == wantSh, s"simhash collapsed=${gotSh.size} flat=${wantSh.size}; " +
+      s"onlyCollapsed=${(gotSh -- wantSh).take(5)} onlyFlat=${(wantSh -- gotSh).take(5)}")
+    assert(gotSh.exists(_._3 == 0) && !gotSh.exists(p => p._1 == 999L))
   }
 
   test("jaccard is 1 for identical, 0 for disjoint shingle sets") {
