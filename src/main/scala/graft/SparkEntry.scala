@@ -14,8 +14,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Registry.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops (seeded
-    * LSH/MinHash/SimHash internals) → driver records rows-only. */
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables — since round 9 EVERY query has one: the seeded
+    * LSH/MinHash/SimHash internals are oracled via dump-time VALUES
+    * literals (queries.HashOracles), so no rows-only entries remain. */
   def oracleSql: Map[String, String] = graft.queries.Registry.oracleSql
 }
