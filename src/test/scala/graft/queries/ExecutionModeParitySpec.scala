@@ -45,7 +45,12 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
     // the shape MOST likely to leak partition order without the
     // decimal-addend discipline) must be replan/partitioning-independent
     "t21_decontaminate", "t22_source_quota", "t23_unigram_logprob",
-    "t24_sequence_pack")
+    "t24_sequence_pack",
+    // round-10 additions: the exact-collapse near-dup shapes — rep
+    // grouping (min-id/min_by), band/chunk joins on reps, and the
+    // intra/cross pair expansion union must be replan- and
+    // partitioning-independent
+    "s03_minhash_neardup", "s04_simhash_neardup")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is
