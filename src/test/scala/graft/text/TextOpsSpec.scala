@@ -10,6 +10,27 @@ class TextOpsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column, text: String): Double =
     Seq(Tuple1(text)).toDF("t").select(c.as("v")).as[Double].collect().head
 
+  test("the explicit whitespace class splits every Java \\s character, incl. \\x0B") {
+    // TextOps.WhitespaceClass exists because Java's \s includes vertical
+    // tab while DuckDB RE2's does not; both the engine and the oracles
+    // now spell [ \t\n\x0B\f\r] verbatim. Pin the ENGINE half: every
+    // character of the class acts as a token separator, so a \x0B-bearing
+    // doc can never tokenize differently from what the oracle SQL (same
+    // class, same RE2 escape) computes.
+    val seps = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    seps.foreach { s =>
+      val toks = Seq(Tuple1(s"ab${s}cd")).toDF("t")
+        .select(TextOps.tokens(col("t")).as("v"))
+        .as[Seq[String]].collect().head
+      assert(toks == Seq("ab", "cd"), s"separator 0x${s.toInt.toHexString}")
+    }
+    // and the BPE-ish count treats them as non-tokens, not punctuation
+    val n = Seq(Tuple1("ab\u000Bcd")).toDF("t")
+      .select(TextOps.bpeishTokenCount(col("t")).as("v"))
+      .as[Int].collect().head
+    assert(n == 2, s"bpeish count $n")
+  }
+
   test("dupLineCharFraction counts all copies of duplicated lines") {
     // lines: "aaaa" (x2, 8 chars) + "bb" (1, 2 chars) -> 8/10
     val v = one(TextOps.dupLineCharFraction(col("t")), "aaaa\nbb\naaaa")
