@@ -174,7 +174,17 @@ object Dedup {
     * expensive pair machinery — the verify join's gram arrays, the
     * chunk join's in-group quadratic — touches DISTINCT texts only.
     * Expansion rows are fixed-width id/payload columns: output volume is
-    * the query's result, not an intermediate. */
+    * the query's result, not an intermediate.
+    *
+    * The collapse costs exactly ONE text shuffle (the min_by groupBy) —
+    * and that is the scale-correct choice, deliberately: the tempting
+    * alternative (shuffle only (id, ek) to pick rep ids, then semi-join
+    * the text back) avoids the text shuffle only while the rep-id set
+    * broadcasts; at 100 TB the distinct-text set can be billions of
+    * rows, the semi-join falls back to a shuffled join, and the text
+    * moves anyway — after a second full scan. One groupBy that
+    * partial-combines duplicates map-side is strictly better on every
+    * corpus shape. */
   private def collapseExpand(df: DataFrame, textCol: String, idCol: String,
                              repPairs: DataFrame => DataFrame,
                              intraCols: Seq[Column],
