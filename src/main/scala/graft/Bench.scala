@@ -18,6 +18,18 @@ object Bench {
     * can't silently revert the median-of-3 methodology to single-shot. */
   val DefaultRuns = 3
 
+  /** Where a run's JSON lands. BENCH_LOCAL.json is the NUMBER OF RECORD —
+    * BASELINE.md quotes it verbatim — so only a full-surface, >=3-run
+    * invocation may write it; an ONLY/SKIP-filtered or reduced-run
+    * invocation is a probe and is diverted to BENCH_PROBE.json (three
+    * rounds of judge/builder number reconciliation came from probes
+    * clobbering the record). SPARK_GRAFT_BENCH_OUT still overrides both. */
+  def outFileFor(explicitOut: Option[String], filtered: Boolean,
+                 runs: Int): String =
+    explicitOut.getOrElse(
+      if (filtered || runs < DefaultRuns) "BENCH_PROBE.json"
+      else "BENCH_LOCAL.json")
+
   /** Per-query reported time: the median of the runs, or -1 if ANY run
     * failed. A query that fails on some-but-not-all runs is flaky, and a
     * positive time next to failed>0 would misread as healthy — so a
@@ -93,7 +105,8 @@ object Bench {
     // also land the full JSON in a file: the driver's log-tail capture has
     // truncated the stdout line before (r4 clipped e01/e02); the file is
     // the lossless record
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val outFile = outFileFor(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
+      filtered = only.nonEmpty || skip.nonEmpty, runs = runs)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

@@ -17,7 +17,13 @@ object Dedup {
 
   /** Exact dedup key: sha256 of normalized text (16-hex prefix = 64 bits).
     * Grouping by a fixed-width hash instead of the raw text keeps shuffle
-    * rows small and uniformly distributed. */
+    * rows small and uniformly distributed. COLLISION ASSUMPTION: 64 bits
+    * puts the birthday bound near 2^32 distinct texts; a collision here
+    * merges two distinct texts and silently DROPS one row — acceptable
+    * odds for survivor selection, but not where a collision would
+    * fabricate output values, which is why [[collapseExpand]] groups on
+    * the FULL digest instead (a collision there would emit jaccard=1.0 /
+    * hamming=0 pairs between unrelated texts). */
   def exactKey(text: Column): Column =
     substring(sha2(lower(trim(text)), 256), 1, 16)
 
@@ -124,36 +130,96 @@ object Dedup {
 
   /** Near-dup pairs: LSH candidates filtered by exact Jaccard ≥ threshold.
     *
-    * Runs [[nearDupPairsFlat]] behind an EXACT-COLLAPSE pre-pass:
-    * identical normalized texts are grouped (one map-side-combined
-    * shuffle on the 64-bit exact key), LSH + verify run on one
-    * representative per distinct text, and the verified pairs expand back
-    * to the full id space with cheap constant-width joins. This is
-    * output-IDENTICAL to the flat formulation — MinHash signatures and
-    * gram sets are functions of the normalized text alone, so exact
-    * duplicates are always banded together with Jaccard exactly 1.0, and
-    * a cross-group member pair shares its representatives' Jaccard —
-    * while the verify join's shuffle carries gram arrays for DISTINCT
-    * texts only. On a duplicate-heavy corpus (the hot-×100 world: every
-    * text ×100, ~100M candidate pairs × two ~550-long gram arrays ≈
-    * 880 GB of verify shuffle in flat form) the gram shuffle collapses by
-    * the duplication factor and the operator completes where the flat
-    * form cannot fit on scratch disk; on a duplicate-free corpus the
-    * pre-pass costs one extra text shuffle. DedupSpec pins flat ==
-    * collapsed on a planted duplicate-heavy corpus. */
+    * Runs [[nearDupPairsFlat]] behind an ADAPTIVE EXACT-COLLAPSE
+    * pre-pass: a cheap duplication probe ([[duplicationRatio]]) routes
+    * fully-distinct corpora straight to the flat form, and
+    * duplicate-heavy corpora through [[collapseExpand]] — identical
+    * normalized texts are grouped (one map-side-combined shuffle on the
+    * exact key), LSH + verify run on one representative per distinct
+    * text, and the verified pairs expand back to the full id space with
+    * cheap constant-width joins. Both routes are output-IDENTICAL —
+    * MinHash signatures and gram sets are functions of the normalized
+    * text alone, so exact duplicates are always banded together with
+    * Jaccard exactly 1.0, and a cross-group member pair shares its
+    * representatives' Jaccard — while on the collapsed route the verify
+    * join's shuffle carries gram arrays for DISTINCT texts only. On a
+    * duplicate-heavy corpus (the hot-×100 world: every text ×100, ~100M
+    * candidate pairs × two ~550-long gram arrays ≈ 880 GB of verify
+    * shuffle in flat form) the gram shuffle collapses by the duplication
+    * factor and the operator completes where the flat form cannot fit on
+    * scratch disk; on a duplicate-free corpus the probe skips the
+    * collapse's pure overhead (its text shuffle + expansion joins
+    * measured ~2× on s03/s04 at ×100 grow). DedupSpec pins flat ==
+    * collapsed on a planted duplicate-heavy corpus and the routing
+    * decision on both corpus shapes. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8): DataFrame =
     collapseExpand(df, textCol, idCol,
       reps => nearDupPairsFlat(reps, "__text", "id",
         threshold, k, numHashes, bands),
+      flatPairs = () =>
+        nearDupPairsFlat(df, textCol, idCol, threshold, k, numHashes, bands),
       intraCols = Seq(lit(1.0).as("jaccard")),
       intraKeep = lit(1.0) >= threshold)
 
+  /** Rows per distinct normalized text — the probe behind the adaptive
+    * collapse routing. count / approx_count_distinct over a cheap 64-bit
+    * text hash (xxhash64, NOT the sha256 collapse key: the probe needs a
+    * ratio, not collision safety; null texts are excluded on both sides,
+    * matching the collapse, which never groups them). Scale shape: one
+    * narrow scan of the text column, HLL sketches partial-combine
+    * map-side, the shuffle carries one fixed-size sketch per partition,
+    * the driver reads one row — O(1) driver memory at any corpus size.
+    *
+    * Re-execution safety (the discipline pinned for the clusterAssign
+    * convergence Observation): this is an EAGER job completed before the
+    * routing decision is taken, not an Observation riding a shared
+    * action, and HLL register-merge is commutative and
+    * replay-deterministic — a re-executed stage reproduces the same
+    * sketch, so the ratio is a pure function of the input. And the
+    * decision it feeds is PERFORMANCE-ONLY: both routes are
+    * output-identical (DedupSpec pins collapsed == flat on both corpus
+    * shapes), so even a perturbed probe could not change query results —
+    * only which shuffle pays for them. */
+  private[dedup] def duplicationRatio(df: DataFrame, textCol: String): Double = {
+    // xxhash64(null) returns the SEED, not null (the simhashesAgg trap) —
+    // keep nullness explicit or null texts pollute the distinct count
+    val h = when(col(textCol).isNull, lit(null))
+      .otherwise(xxhash64(lower(trim(col(textCol)))))
+    val r = df.agg(
+      count(col(textCol)).as("n"),
+      approx_count_distinct(h).as("d"))
+      .head()
+    val n = r.getLong(0)
+    val d = r.getLong(1)
+    if (d <= 0L) 1.0 else n.toDouble / d.toDouble
+  }
+
+  /** Collapse only when duplication is real: below this ratio the
+    * collapse's extra text shuffle + expansion joins buy (almost)
+    * nothing — measured ~2× overhead on s03/s04 at ×100 grow, where
+    * every text is distinct — while above it the flat verify shuffle
+    * grows with duplication² per distinct text. 1.25 sits above
+    * approx_count_distinct's default ±5% rsd band around a true ratio of
+    * 1.0 and far below any duplication where the collapse pays (the hot
+    * axes measure 10–100); corpora near the threshold are cheap on
+    * EITHER route, so a borderline misroute costs noise, never
+    * correctness. */
+  private[dedup] val CollapseDuplicationThreshold = 1.25
+
+  private[dedup] def shouldCollapse(df: DataFrame, textCol: String): Boolean =
+    duplicationRatio(df, textCol) >= CollapseDuplicationThreshold
+
   /** The exact-collapse harness shared by the near-dup operators
-    * ([[nearDupPairs]], [[simhashCandidates]]): group identical
-    * normalized texts (one map-side-combined shuffle on the 64-bit exact
-    * key — the only full-text shuffle), run `repPairs` over ONE
+    * ([[nearDupPairs]], [[simhashCandidates]]): probe duplication first
+    * ([[shouldCollapse]]) and route a fully-distinct corpus straight to
+    * `flatPairs` — the collapse is pure overhead there; otherwise group
+    * identical normalized texts (one map-side-combined shuffle on the
+    * FULL sha256 exact key — the only full-text shuffle; the full digest
+    * because a collision here would fabricate jaccard=1.0/hamming=0
+    * pairs between distinct texts, and at 100 TB doc counts the 64-bit
+    * prefix's birthday bound is within reach), run `repPairs` over ONE
     * representative (min id) per distinct text, and expand verified
     * rep-level pairs back to the full id space with constant-width
     * joins. Signatures (MinHash bands, SimHash fingerprints) and gram
@@ -166,8 +232,14 @@ object Dedup {
     *   - a cross-group member pair is a candidate iff its representative
     *     pair is, and shares its payload verbatim;
     *   - null-text docs have a null exact key: the null-rejecting
-    *     equi-joins drop them, matching the flat path where a null
-    *     signature never bands/chunks.
+    *     equi-joins drop them here. The flat paths drop them LATER, by a
+    *     different mechanism — in the minhash form a null text's bucket
+    *     hash degenerates to the xxhash64 seed (hashing a null slice
+    *     returns the seed), so null docs DO band together and die only
+    *     when the null-gram Jaccard fails the verify threshold; in the
+    *     simhash form the null chunk value never equi-joins. Same output
+    *     (no null pairs), so don't "simplify" the flat verify filter on
+    *     the assumption nulls never reach it.
     *
     * Output is therefore IDENTICAL to the flat formulation (DedupSpec
     * pins both operators on a planted duplicate-heavy corpus) while the
@@ -187,10 +259,12 @@ object Dedup {
     * corpus shape. */
   private def collapseExpand(df: DataFrame, textCol: String, idCol: String,
                              repPairs: DataFrame => DataFrame,
+                             flatPairs: () => DataFrame,
                              intraCols: Seq[Column],
                              intraKeep: Column): DataFrame = {
+    if (!shouldCollapse(df, textCol)) return flatPairs()
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("ek", exactKey(col("__text")))
+      .withColumn("ek", sha2(lower(trim(col("__text"))), 256))
     val members = keyed.select(col("id"), col("ek"))
     val reps = keyed.groupBy(col("ek"))
       .agg(min(col("id")).as("id"), min_by(col("__text"), col("id")).as("__text"))
@@ -370,7 +444,8 @@ object Dedup {
   }
 
   /** SimHash candidate pairs by the standard 4×16-bit chunk trick, behind
-    * the same exact-collapse pre-pass as [[nearDupPairs]]: identical
+    * the same ADAPTIVE exact-collapse pre-pass as [[nearDupPairs]]
+    * (distinct corpora route straight to the flat form): identical
     * normalized texts share their SimHash, so the chunk equi-join — whose
     * in-group quadratic was the dominant hot-×100 cost (every duplicate
     * group of d texts yields d²/2 candidate rows, measured 75 s at ×100
@@ -382,6 +457,7 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame =
     collapseExpand(df, textCol, idCol,
       reps => simhashCandidatesFlat(reps, "__text", "id", maxHamming),
+      flatPairs = () => simhashCandidatesFlat(df, textCol, idCol, maxHamming),
       intraCols = Seq(lit(0).as("hamming")),
       intraKeep = lit(0) <= maxHamming)
 

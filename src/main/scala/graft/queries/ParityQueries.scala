@@ -306,9 +306,14 @@ object ParityQueries {
   def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     // pid suffix: deterministic within a run, but two JVMs running the
     // suite concurrently (bench + verify) no longer overwrite each
-    // other's staging dir between the write and the read-back
+    // other's staging dir between the write and the read-back. The read
+    // is LAZY (bench/verify act on the returned frame much later), so
+    // the dir can't be deleted here — a shutdown hook reclaims it when
+    // this JVM exits, otherwise repeated runs accumulate supplier copies
+    // on the scratch-limited disk.
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip_" +
       ProcessHandle.current().pid()
+    registerStagingCleanup(dir)
     CoreOps.scan(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_name"),
         concat(col("s_name"), lit(""" <&"'> """), col("s_suppkey")).as("note"))
@@ -317,6 +322,23 @@ object ParityQueries {
       .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
         length(col("note")).cast("int").as("note_chars"))
   }
+
+  /** One shutdown hook per JVM deleting this JVM's own pid-keyed staging
+    * dir (children first). Hook registration, not eager delete: the xml
+    * read-back is lazy, so the files must outlive every action on the
+    * returned frame — JVM exit is the first point that's guaranteed. */
+  private val xmlCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerStagingCleanup(dir: String): Unit =
+    if (xmlCleanupRegistered.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
 
   private val xmlRoundtripOracle =
     """SELECT s_suppkey, s_name,

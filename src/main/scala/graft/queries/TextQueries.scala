@@ -725,9 +725,15 @@ object TextQueries {
     * shard-count-parameterized so the 100 TB story is PINNED rather than
     * narrated: packs are computed independently per shard (the window
     * never crosses shards), so raising `shards` changes parallelism
-    * only — the layout invariants are shard-count-independent and the
-    * total pack count stays within one partial tail pack per shard of
-    * ceil(totalTokens/budget). `SequencePackSpec` asserts both at 32 and
+    * only — the layout invariants are shard-count-independent, and each
+    * shard produces exactly floor((shardTokens − lastChunkTokens) /
+    * budget) + 1 packs (a chunk belongs to the pack of its START offset,
+    * so a chunk straddling a cut makes its pack carry MORE than `budget`
+    * tokens — the total pack count can therefore dip below
+    * ceil(totalTokens/budget), bounded below by
+    * ceil(totalTokens/(budget + maxChunkTokens − 1)), and never exceeds
+    * it by more than one partial tail pack per shard).
+    * `SequencePackSpec` asserts the identity and both bounds at 32 and
     * 128 shards. Input: (doc_id, chunk_no, chunk). */
   def packLayout(chunks: DataFrame, shards: Int, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

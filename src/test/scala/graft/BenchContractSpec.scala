@@ -30,6 +30,13 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.medianOrFail(Seq.empty) == -1.0)
   }
 
+  test("probe invocations (filtered or <3 runs) cannot overwrite the record artifact") {
+    assert(Bench.outFileFor(None, filtered = false, runs = 3) == "BENCH_LOCAL.json")
+    assert(Bench.outFileFor(None, filtered = true, runs = 3) == "BENCH_PROBE.json")
+    assert(Bench.outFileFor(None, filtered = false, runs = 1) == "BENCH_PROBE.json")
+    assert(Bench.outFileFor(Some("X.json"), filtered = true, runs = 1) == "X.json")
+  }
+
   test("a recorded local bench JSON (if present) is >= 3 runs, 0 failed") {
     val f = new java.io.File("BENCH_LOCAL.json")
     if (f.exists()) {

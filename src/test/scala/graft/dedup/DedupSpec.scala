@@ -60,6 +60,10 @@ class DedupSpec extends SparkSpec {
       }
     } :+ (999L, null: String)
     val df = rows.toDF("doc_id", "text")
+    // the adaptive probe must route THIS corpus through the collapse —
+    // otherwise the equality below would vacuously compare flat to flat
+    assert(Dedup.shouldCollapse(df, "text"),
+      s"planted corpus must collapse (ratio=${Dedup.duplicationRatio(df, "text")})")
     val got = Dedup.nearDupPairs(df, "text", "doc_id", threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet
     val want = Dedup.nearDupPairsFlat(df, "text", "doc_id", threshold = 0.5)
@@ -81,6 +85,42 @@ class DedupSpec extends SparkSpec {
     assert(gotSh == wantSh, s"simhash collapsed=${gotSh.size} flat=${wantSh.size}; " +
       s"onlyCollapsed=${(gotSh -- wantSh).take(5)} onlyFlat=${(wantSh -- gotSh).take(5)}")
     assert(gotSh.exists(_._3 == 0) && !gotSh.exists(p => p._1 == 999L))
+  }
+
+  test("adaptive routing: distinct corpora go flat, duplicate-heavy corpora collapse") {
+    // 400 distinct texts -> ratio ~1.0 (inside HLL's ±5% band) -> flat;
+    // 400 rows over 20 distinct texts -> ratio ~20 -> collapse
+    val distinct = (1L to 400L)
+      .map(i => (i, s"unique document number $i about topic ${i * 7} and subject ${i * 13}"))
+      .toDF("doc_id", "text")
+    val dupHeavy = (1L to 400L)
+      .map(i => (i, s"boilerplate legal footer variant ${i % 20} all rights reserved"))
+      .toDF("doc_id", "text")
+    assert(!Dedup.shouldCollapse(distinct, "text"),
+      s"distinct corpus must route flat (ratio=${Dedup.duplicationRatio(distinct, "text")})")
+    assert(Dedup.shouldCollapse(dupHeavy, "text"),
+      s"duplicate-heavy corpus must collapse (ratio=${Dedup.duplicationRatio(dupHeavy, "text")})")
+    // the probe is deterministic under re-evaluation (HLL register-merge
+    // is commutative and replay-deterministic): same input -> same ratio
+    assert(Dedup.duplicationRatio(dupHeavy, "text") ==
+      Dedup.duplicationRatio(dupHeavy, "text"))
+    // ratio lands near truth: 400/20 = 20, HLL rsd ±5%
+    val r = Dedup.duplicationRatio(dupHeavy, "text")
+    assert(r > 15.0 && r < 25.0, s"ratio $r far from 20")
+    // null texts count on neither side of the ratio (they never collapse)
+    val withNulls = dupHeavy.unionAll(
+      Seq((9001L, null: String), (9002L, null: String)).toDF("doc_id", "text"))
+    assert(Dedup.duplicationRatio(withNulls, "text") ==
+      Dedup.duplicationRatio(dupHeavy, "text"))
+    // routing is performance-only: the flat route's output IS the
+    // operator's output on the distinct corpus (trivial equality by
+    // construction, asserted so a future routing change that altered
+    // output column shape would fail here)
+    val viaOp = Dedup.nearDupPairs(distinct, "text", "doc_id", threshold = 0.5)
+    val viaFlat = Dedup.nearDupPairsFlat(distinct, "text", "doc_id", threshold = 0.5)
+    assert(viaOp.columns.toSeq == viaFlat.columns.toSeq)
+    assert(viaOp.as[(Long, Long, Double)].collect().toSet ==
+      viaFlat.as[(Long, Long, Double)].collect().toSet)
   }
 
   test("jaccard is 1 for identical, 0 for disjoint shingle sets") {

@@ -47,6 +47,7 @@ class SequencePackSpec extends SparkSpec {
       assert(rows.map(_._1).distinct.forall(s => s >= 0 && s < shards))
       var totalTok = 0L
       var totalPacks = 0L
+      var maxTok = 0L
       rows.groupBy(_._1).values.foreach { shard =>
         var cum = 0L
         shard.foreach { case (_, _, _, nTok, packId, tokOffset) =>
@@ -54,12 +55,27 @@ class SequencePackSpec extends SparkSpec {
             s"shards=$shards: gap at cum=$cum")
           cum += nTok
         }
+        // exact per-shard identity: a chunk belongs to the pack of its
+        // START offset, so the last chunk's pack is
+        // floor((shardTok - lastChunkTok)/budget) and packs = that + 1
+        val lastTok = shard.last._4
+        val packs = shard.map(_._5).max + 1L
+        assert(packs == (cum - lastTok) / budget + 1,
+          s"shards=$shards: packs=$packs != identity for shardTok=$cum last=$lastTok")
         totalTok += cum
-        totalPacks += shard.map(_._5).max + 1
+        totalPacks += packs
+        maxTok = maxTok.max(shard.map(_._4.toLong).max)
       }
-      val floor = (totalTok + budget - 1) / budget // ceil(tokens/budget)
-      assert(totalPacks >= floor && totalPacks <= floor + shards,
-        s"shards=$shards: packs=$totalPacks outside [$floor, ${floor + shards}]")
+      // upper bound IS a theorem (<= one partial tail pack per shard);
+      // the naive lower bound ceil(totalTok/budget) is NOT — a chunk
+      // straddling a budget cut makes its pack carry more than `budget`
+      // tokens — so the floor must be collision-aware: every pack holds
+      // at most budget + maxChunkTok - 1 tokens
+      val ceilTotal = (totalTok + budget - 1) / budget
+      val looseFloor =
+        (totalTok + budget + maxTok - 2) / (budget + maxTok - 1)
+      assert(totalPacks >= looseFloor && totalPacks <= ceilTotal + shards,
+        s"shards=$shards: packs=$totalPacks outside [$looseFloor, ${ceilTotal + shards}]")
     }
   }
 }
