@@ -923,6 +923,136 @@ object TextQueries {
       |       CAST(CAST(jw AS DECIMAL(28,6)) AS DOUBLE) AS jw
       |FROM p WHERE jw >= 0.9""".stripMargin
 
+  /** Exact substring-window dedup (the scalable stand-in for
+    * suffix-array substring dedup, Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better"): every W-token
+    * sliding window is hashed; a window OCCURRENCE is duplicated when
+    * its window text occurs more than once corpus-wide (same doc or
+    * not), and a document whose duplicated-occurrence fraction reaches
+    * 0.5 is flagged for drop. W = 4 here — sized to the synthetic
+    * corpus's ~30-word vocabulary so the signal is non-vacuous
+    * (real pipelines use ~50-token windows on natural text).
+    *
+    * The 100 TB shape: the window explode is narrow (higher-order
+    * `transform` over the token split, codegen'd, one xxhash64 per
+    * window — text itself never leaves the scan); everything after
+    * moves only 8-byte hashes. Both aggregates are map-side combined,
+    * and the global-count join is a shuffle join on the hash key —
+    * deliberately NOT a `count(*) OVER (PARTITION BY w)` window, which
+    * would buffer an entire boilerplate-hot window's occurrence list in
+    * one task; hot keys here hit AQE's skew-split instead. Corpus-wide
+    * counts compare equal to the oracle's string-keyed counts under the
+    * repo's documented 64-bit no-collision assumption (exactKey's). */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 4
+    // tokens materialize in their own projection FIRST: an expression
+    // referenced inside a higher-order lambda is re-evaluated per
+    // element (no CSE across the lambda boundary), so inlining the
+    // regex split here would tokenize the text once per WINDOW —
+    // O(tokens²) work per doc (measured 5.3 s → 1.5 s at sf0.1)
+    val ts = col("ts")
+    val wins = when(size(ts) >= W,
+      transform(sequence(lit(1), size(ts) - lit(W - 1)),
+        i => xxhash64(concat_ws(" ", slice(ts, i, lit(W))))))
+      .otherwise(array().cast("array<bigint>"))
+    val occ = scan(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode_outer(wins).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(col("w")).as("occ")) // occ = 0 on the null row of a windowless doc
+    val global = occ.where(col("w").isNotNull)
+      .groupBy(col("w")).agg(sum(col("occ")).as("cnt"))
+    occ.join(global, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).cast("long").as("n_windows"),
+        sum(when(col("cnt") > 1, col("occ")).otherwise(lit(0L)))
+          .cast("long").as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep_flag",
+        when(col("dup_frac") < 0.5, lit(1)).otherwise(lit(0)))
+  }
+
+  private val spanDedupOracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                     x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ts) >= 4
+      |              THEN list_transform(generate_series(1, len(ts) - 3),
+      |                                  i -> array_to_string(ts[i:i+3], ' '))
+      |              ELSE [] END AS ws
+      |  FROM tok),
+      |e AS (SELECT doc_id, unnest(ws) AS w FROM wins),
+      |occ AS (SELECT doc_id, w, count(*) AS occ FROM e GROUP BY 1, 2),
+      |gw AS (SELECT w, sum(occ) AS cnt FROM occ GROUP BY 1),
+      |perdoc AS (
+      |  SELECT o.doc_id, sum(o.occ) AS n_windows,
+      |         sum(CASE WHEN g.cnt > 1 THEN o.occ ELSE 0 END) AS n_dup
+      |  FROM occ o JOIN gw g USING (w) GROUP BY 1)
+      |SELECT doc_id, n_windows, n_dup_windows, dup_frac,
+      |       CASE WHEN dup_frac < 0.5 THEN 1 ELSE 0 END AS keep_flag
+      |FROM (
+      |  SELECT t.doc_id,
+      |         CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+      |         CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+      |         CASE WHEN coalesce(p.n_windows, 0) > 0
+      |              THEN round(CAST(p.n_dup AS DOUBLE) / p.n_windows, 6)
+      |              ELSE 0.0 END AS dup_frac
+      |  FROM tok t LEFT JOIN perdoc p USING (doc_id))""".stripMargin
+
+  /** Token-budgeted source mixing — the weighted sibling of t22's
+    * row-count quota and the operation that actually builds a
+    * pre-training mix: each source contributes documents, in a
+    * deterministic pseudo-random order, until its TOKEN budget is
+    * reached. A document is admitted iff it STARTS below the budget
+    * (packLayout's start-offset rule — the admitted set is therefore
+    * exact under any partitioning, and the last admitted doc may
+    * straddle the budget).
+    *
+    * The 100 TB shape: one shuffle, partitioned by source; the window
+    * carries a single running long. Like t22, per-source work is
+    * independent — a hot source bounds its own partition only, and the
+    * admitted prefix means map-side WindowGroupLimit-style early-out is
+    * available to the planner. Integer-only arithmetic end to end. */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 700L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * 48271, lit(97)), col("doc_id"))
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .where(col("start_tok") < budget)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("start_tok"))
+  }
+
+  private val tokenBudgetMixOracle =
+    """SELECT source, doc_id, n_tok, start_tok FROM (
+      |  SELECT source, doc_id, n_tok,
+      |         CAST(coalesce(sum(n_tok) OVER (
+      |           PARTITION BY source
+      |           ORDER BY (doc_id * 48271) % 97, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         AS BIGINT) AS start_tok
+      |  FROM (
+      |    SELECT source, doc_id,
+      |           CAST(len(list_filter(
+      |             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |             x -> len(x) > 0)) AS BIGINT) AS n_tok
+      |    FROM documents))
+      |WHERE start_tok < 700""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("t20_jaro_neardup", jaroNearDup, Some(jaroNearDupOracle)),
     NamedQuery("t19_ingest_pipeline", ingestPipeline,
@@ -954,5 +1084,8 @@ object TextQueries {
     NamedQuery("t23_unigram_logprob", unigramLogprob,
       Some(unigramLogprobOracle)),
     NamedQuery("t24_sequence_pack", sequencePack, Some(sequencePackOracle)),
+    NamedQuery("t25_span_dedup", spanDedup, Some(spanDedupOracle)),
+    NamedQuery("t26_token_budget_mix", tokenBudgetMix,
+      Some(tokenBudgetMixOracle)),
   )
 }
