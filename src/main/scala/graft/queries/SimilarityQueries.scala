@@ -392,6 +392,106 @@ object SimilarityQueries {
       |       CAST(list_max(qv) AS BIGINT) AS q_max
       |FROM q""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): pairwise cosine runs
+    * only WITHIN coarse k-means cells — the cluster count is what
+    * bounds the quadratic (the paper runs ~10⁵ clusters at 5B docs;
+    * here the s07-shared k=8 quantizer). A vector is a semantic
+    * duplicate when some LOWER-id member of its cell has cosine ≥ 0.8
+    * with it (min-id survivor, t01's rule); the documented SemDeDup
+    * blind spot — near-dups split across a cell boundary are never
+    * compared — applies identically to engine and oracle.
+    *
+    * The shipped embeddings are random (max corpus cosine ≈ 0.48), so
+    * like s04 the query plants its own positives: each vector gets a
+    * +0.01-per-component replica (id + 1000000; the embeddings are
+    * unit-norm, so the +0.1 first cut dipped to cosine 0.675 — +0.01
+    * keeps self-cosine ≥ 0.997, ≈ 0 to everything else) — the 0.8 threshold
+    * sits in a wide gap, so engine/DuckDB last-ulp cosine divergence
+    * cannot flip a pair.
+    *
+    * The 100 TB shape: assignment is one narrow pass (native IvfCell
+    * argmin, centroids broadcast inside the expression); the only
+    * shuffle is the cell equi-join; the in-cell quadratic is bounded by
+    * cell size, which the cluster count controls. Oracled via the s07
+    * dump-time pattern: the trained centroids are embedded as VALUES
+    * and DuckDB recomputes assignment, in-cell pairs, cosine, and the
+    * survivor rule independently. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.FloatCosine.register(spark)
+    val emb = scan(spark, sfDir, "embeddings")
+    // v (double) drives the cell argmin; vf (float) drives the pair
+    // cosine through the native fused FloatCosine — the interpreted
+    // zip_with/aggregate fold was the whole cost at bench scale
+    // (19.7 → ~1.0 s at sf0.1). The replica perturbs in double and
+    // IEEE-rounds back to float, which DuckDB mirrors exactly as
+    // CAST(... AS REAL[]); FloatCosine accumulates in double, so
+    // list_cosine_similarity over the ::DOUBLE[] of the same floats is
+    // bit-identical.
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"),
+      col("embedding").as("vf"))
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), x => x + lit(0.01)).as("v"))
+      .withColumn("vf", col("v").cast("array<float>"))
+    val assigned = base.unionByName(planted)
+      .withColumn("cell",
+        Similarity.assignCell(col("v"), trainedCentroids(spark, sfDir)))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("vf").as("vfa"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("vf").as("vfb"))
+    val lowerDups = a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .where(expr("float_cosine(vfa, vfb)") >= 0.8)
+      .groupBy(col("id_b")).agg(count(lit(1)).as("n_dups"))
+    assigned.join(lowerDups, assigned("vec_id") === lowerDups("id_b"), "left")
+      .select(assigned("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_sem_dups"),
+        when(col("n_dups").isNull, lit(1)).otherwise(lit(0)).as("keep_flag"))
+  }
+
+  /** DuckDB twin of semanticDedup, built at dump time from the same
+    * trained centroids as s07 (the `lastTrained` contract): assignment
+    * argmin (ties → lowest cell, matching IvfCell's strict <), the
+    * planted +0.1 replicas, in-cell lower-id pair counts, the 0.8
+    * threshold, and the keep flag — all recomputed independently. */
+  private def semanticDedupOracle: String = {
+    val cents = lastTrained.getOrElse(Similarity.hyperplanes(8, 64, 11L))
+    val rows = cents.zipWithIndex.map {
+      case (c, i) => s"($i, ${vecLit(c)})"
+    }
+    s"""WITH cents(cell, c) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |all_e AS (
+       |  SELECT vec_id, v, v AS vf FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01) AS v,
+       |         CAST(list_transform(v, x -> x + 0.01) AS REAL[])::DOUBLE[] AS vf
+       |  FROM base),
+       |dists AS (
+       |  SELECT e.vec_id, ct.cell, list_distance(e.v, ct.c) AS dist
+       |  FROM all_e e, cents ct),
+       |assign AS (
+       |  SELECT d.vec_id, d.cell, e.vf FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM dists) d
+       |  JOIN all_e e USING (vec_id) WHERE d.rn = 1),
+       |p AS (
+       |  SELECT b.vec_id, count(*) AS n
+       |  FROM assign a JOIN assign b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.vf, b.vf) >= 0.8
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_sem_dups,
+       |       CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS keep_flag
+       |FROM assign a LEFT JOIN p USING (vec_id)""".stripMargin
+  }
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("s01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     NamedQuery("s02_ann_lsh", annLsh, Some(annLshOracle)),
@@ -408,5 +508,7 @@ object SimilarityQueries {
     NamedQuery("s08_embedding_pool", embeddingPool, Some(embeddingPoolOracle)),
     NamedQuery("s09_embedding_quantize", embeddingQuantize,
       Some(embeddingQuantizeOracle)),
+    NamedQuery("s13_semantic_dedup", semanticDedup, None,
+      oracleFn = Some(() => semanticDedupOracle)),
   )
 }

@@ -244,6 +244,12 @@ object Similarity {
     * `centroids` (tiny, broadcast). Centroids would come from a
     * sample-and-kmeans step in production; any fixed centroid set works
     * for the plumbing. */
+  /** The IvfCell argmin as a bare Column — for callers that need the
+    * cell WITHOUT ivfAssign's (id, v, cell) projection (e.g. s13 keeps
+    * a float copy of the vector alongside for the native cosine). */
+  def assignCell(v: Column, centroids: Array[Array[Double]]): Column =
+    exprCol(graft.functions.IvfCell(colExpr(v), centroids))
+
   def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {

@@ -261,4 +261,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(c => c >= 0 && c < 4))
     assert(out.toSet.size > 1) // not everything in one cell
   }
+
+  test("semantic dedup drops exactly the co-celled planted replicas") {
+    // The corpus embeddings are random (max pairwise cosine ≈ 0.48 <
+    // 0.8), so the only pairs above threshold are (base, base+0.1
+    // replica) — and only when the two land in the SAME cell (the
+    // documented SemDeDup cross-cell blind spot applies to both engine
+    // and oracle). Every base (lower id of its pair) must survive;
+    // every replica must be dropped iff co-celled with its base.
+    val out = graft.queries.SimilarityQueries.semanticDedup(spark, sf)
+      .select("vec_id", "cell", "n_sem_dups", "keep_flag")
+      .as[(Long, Int, Long, Int)].collect()
+    val n = out.count(_._1 < 1000000L)
+    assert(out.length == 2 * n, "one planted replica per base vector")
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    out.filter(_._1 < 1000000L).foreach { r =>
+      assert(r._4 == 1, s"base ${r._1} must survive, got $r")
+    }
+    out.filter(_._1 >= 1000000L).foreach { r =>
+      val coCelled = cellOf(r._1 - 1000000L) == r._2
+      assert(r._4 == (if (coCelled) 0 else 1),
+        s"replica ${r._1}: co-celled=$coCelled but keep=${r._4}")
+      assert((r._3 > 0) == coCelled,
+        s"replica ${r._1}: n_sem_dups=${r._3} vs co-celled=$coCelled")
+    }
+    // the planted signal is non-vacuous: most replicas stay co-celled
+    val dropped = out.count(_._4 == 0)
+    assert(dropped > n / 2,
+      s"expected most of the $n replicas dropped, got $dropped")
+  }
+
+  test("semantic dedup is partitioning-independent") {
+    val base = graft.queries.SimilarityQueries.semanticDedup(spark, sf)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    val p1 = spark.newSession()
+    p1.conf.set("spark.sql.shuffle.partitions", "1")
+    val again = graft.queries.SimilarityQueries.semanticDedup(p1, sf)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(base == again, "semantic dedup depends on partitioning")
+  }
 }
