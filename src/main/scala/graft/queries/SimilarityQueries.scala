@@ -417,6 +417,30 @@ object SimilarityQueries {
     * dump-time pattern: the trained centroids are embedded as VALUES
     * and DuckDB recomputes assignment, in-cell pairs, cosine, and the
     * survivor rule independently. */
+  /** s13's own quantizer cache: unlike s07's fixed k=8 (whose 64-vs-4096
+    * plan pins depend on that contract), the SemDeDup cluster count is
+    * THE scale knob — k = clamp(8, 1024, N/1000), so cells stay
+    * ~1000-membered and the in-cell quadratic is corpus-linear (at a
+    * fixed k it grows N²/k: the ×100-hot world would be ~10B pairs at
+    * k=8, ~400M at the adaptive k=200). k depends only on the corpus
+    * count — deterministic, and the oracle embeds whatever was
+    * trained. */
+  private val semCache =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  @volatile private var lastTrainedSem: Option[Array[Array[Double]]] = None
+
+  private def semCentroids(spark: SparkSession,
+                           sfDir: String): Array[Array[Double]] = {
+    val cents = semCache.getOrElseUpdate(sfDir, {
+      val emb = scan(spark, sfDir, "embeddings")
+      val k = math.max(8L, math.min(1024L, emb.count() / 1000L)).toInt
+      Similarity.trainCentroids(emb, k = k,
+        maxSample = math.max(1024, 16 * k))
+    })
+    lastTrainedSem = Some(cents)
+    cents
+  }
+
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.FloatCosine.register(spark)
     val emb = scan(spark, sfDir, "embeddings")
@@ -436,7 +460,7 @@ object SimilarityQueries {
       .withColumn("vf", col("v").cast("array<float>"))
     val assigned = base.unionByName(planted)
       .withColumn("cell",
-        Similarity.assignCell(col("v"), trainedCentroids(spark, sfDir)))
+        Similarity.assignCell(col("v"), semCentroids(spark, sfDir)))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("vf").as("vfa"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -451,13 +475,14 @@ object SimilarityQueries {
         when(col("n_dups").isNull, lit(1)).otherwise(lit(0)).as("keep_flag"))
   }
 
-  /** DuckDB twin of semanticDedup, built at dump time from the same
-    * trained centroids as s07 (the `lastTrained` contract): assignment
+  /** DuckDB twin of semanticDedup, built at dump time from the
+    * adaptively-sized trained centroids (the s07 `lastTrained` contract,
+    * separate cache): assignment
     * argmin (ties → lowest cell, matching IvfCell's strict <), the
     * planted +0.1 replicas, in-cell lower-id pair counts, the 0.8
     * threshold, and the keep flag — all recomputed independently. */
   private def semanticDedupOracle: String = {
-    val cents = lastTrained.getOrElse(Similarity.hyperplanes(8, 64, 11L))
+    val cents = lastTrainedSem.getOrElse(Similarity.hyperplanes(8, 64, 11L))
     val rows = cents.zipWithIndex.map {
       case (c, i) => s"($i, ${vecLit(c)})"
     }
