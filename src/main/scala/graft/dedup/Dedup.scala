@@ -328,6 +328,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dup: every BATCH doc's near-dup matches against an
+    * existing CORPUS — the nightly near-dup gate, [[exactDedup]]-based
+    * t17's approximate sibling. Both sides band; the candidate join keys
+    * on (band, bucket) with the batch side BROADCAST (a nightly batch is
+    * orders of magnitude smaller than the corpus), so the corpus's band
+    * rows join in place and its text never shuffles: the verify joins
+    * candidates to corpus hashed-gram arrays on the corpus id
+    * ([[nearDupPairsFlat]]'s merge-scan shape) and broadcasts the
+    * batch's. Returns (batch_id, corpus_id, jaccard) at ≥ threshold;
+    * the two id spaces must be disjoint (caller's contract — t27
+    * offsets the batch by 1e6). Batch-internal duplicates are the
+    * PREVIOUS stage's job ([[nearDupPairs]] within the batch) — this
+    * operator is the batch-vs-corpus edge only. */
+  def nearDupAgainst(corpus: DataFrame, batch: DataFrame,
+                     textCol: String, idCol: String,
+                     threshold: Double, k: Int = 5,
+                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val r = numHashes / bands
+    graft.functions.SortedIntersectSize.register(corpus.sparkSession)
+    graft.functions.GramHashes.register(corpus.sparkSession)
+    def bandsOf(df: DataFrame, idAs: String): DataFrame = {
+      val base =
+        if (k == 5 && numHashes == 32) {
+          graft.functions.MinHashSig.register(df.sparkSession)
+          df.select(col(idCol).as(idAs),
+            expr(s"minhash_sig(lower(trim($textCol)))").as("sig"))
+        } else minhashSignatures(df, textCol, idCol, k, numHashes)
+          .withColumnRenamed("id", idAs)
+      base.withColumn("bh", explode(bandHashes(col("sig"), bands, r)))
+        .select(col(idAs), col("bh.band").as("band"),
+          col("bh.bucket").as("bucket"))
+    }
+    def gramsOf(df: DataFrame, idAs: String, gAs: String,
+                nAs: String): DataFrame = {
+      val g = if (k == 5) expr(s"gram_hashes(lower(trim($textCol)))")
+      else sort_array(array_distinct(
+        transform(rawShingles(col(textCol), k), s => xxhash64(s))))
+      df.select(col(idCol).as(idAs), g.as(gAs))
+        .withColumn(nAs, size(col(gAs)))
+    }
+    val cand = bandsOf(corpus, "corpus_id")
+      .join(broadcast(bandsOf(batch, "batch_id")), Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    cand
+      .join(gramsOf(corpus, "corpus_id", "gc", "nc"), "corpus_id")
+      .join(broadcast(gramsOf(batch, "batch_id", "gb", "nb")), "batch_id")
+      .withColumn("inter", expr("intersect_size_sorted(gc, gb)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("nc") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 over each
     * token-hash's bit value; the sign of the sum is the fingerprint bit.
     * Near-dups differ in few bits (small Hamming distance).

@@ -197,7 +197,9 @@ object HashOracles {
     "s04" -> ("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, " +
       "CAST(-1 AS INTEGER) AS hamming"),
     "t09" -> ("SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS chunk_no, " +
-      "'ORACLE NEVER RAN: query did not execute in the dumping JVM' AS chunk"))
+      "'ORACLE NEVER RAN: query did not execute in the dumping JVM' AS chunk"),
+    "t27" -> ("SELECT CAST(-1 AS BIGINT) AS batch_id, CAST(-1 AS BIGINT) AS corpus_id, " +
+      "CAST(-1 AS DOUBLE) AS jaccard"))
 
   private def bandValues(corpus: Array[(Long, String)]): String =
     corpus.flatMap { case (id, t) =>
@@ -249,6 +251,43 @@ object HashOracles {
        |  JOIN g gb ON gb.id = c.id_b)
        |SELECT id_a, id_b, round(jac, 6) AS jaccard
        |FROM j WHERE jac >= 0.5""".stripMargin
+  }
+
+  /** t27: batch-vs-corpus candidates from embedded band buckets (both
+    * slices' signatures recomputed at dump time by the plain-Scala
+    * reference implementations); the asymmetric band join, Jaccard
+    * verify, filter, and rounding recomputed by DuckDB from raw text. */
+  def incrementalNearDupOracle: String = docs() match {
+    case None => neverRanSql("t27")
+    case Some(d) =>
+      val corpusValues = bandValues(d)
+      val batchValues = bandValues(d.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (id + 1000000L, t + " nightly batch") })
+      s"""WITH bbc(id, band, bucket) AS (VALUES
+         |  $corpusValues),
+         |bbb(id, band, bucket) AS (VALUES
+         |  $batchValues),
+         |corpus(id, text) AS (SELECT doc_id, text FROM documents),
+         |batch(id, text) AS (
+         |  SELECT doc_id + 1000000, text || ' nightly batch'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |cand AS (
+         |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+         |  FROM bbb b JOIN bbc c
+         |    ON b.band = c.band AND b.bucket = c.bucket),
+         |gc AS (SELECT id, ${gramsSql("text")} AS grams FROM corpus),
+         |gb AS (SELECT id, ${gramsSql("text")} AS grams FROM batch),
+         |j AS (
+         |  SELECT cd.batch_id, cd.corpus_id,
+         |         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |         CAST(len(a.grams) + len(b.grams)
+         |              - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |           AS jac
+         |  FROM cand cd
+         |  JOIN gc a ON a.id = cd.corpus_id
+         |  JOIN gb b ON b.id = cd.batch_id)
+         |SELECT batch_id, corpus_id, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.5""".stripMargin
   }
 
   /** s04: chunk split, equi-join, Hamming, dedup, and threshold all

@@ -429,11 +429,19 @@ object SimilarityQueries {
     new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   @volatile private var lastTrainedSem: Option[Array[Array[Double]]] = None
 
+  /** The adaptive cluster count: cells stay ~1000-membered, so the
+    * in-cell quadratic is corpus-linear until the 1024 cap (~1M
+    * vectors; past that, raise the cap with the cluster fleet — the
+    * knob is one constant). Public so the clamp floor/ceiling are
+    * spec'd, not narrated (SimilaritySpec). */
+  def semK(n: Long): Int =
+    math.max(8L, math.min(1024L, n / 1000L)).toInt
+
   private def semCentroids(spark: SparkSession,
                            sfDir: String): Array[Array[Double]] = {
     val cents = semCache.getOrElseUpdate(sfDir, {
       val emb = scan(spark, sfDir, "embeddings")
-      val k = math.max(8L, math.min(1024L, emb.count() / 1000L)).toInt
+      val k = semK(emb.count())
       Similarity.trainCentroids(emb, k = k,
         maxSample = math.max(1024, 16 * k))
     })

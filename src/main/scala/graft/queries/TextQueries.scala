@@ -943,19 +943,27 @@ object TextQueries {
     * one task; hot keys here hit AQE's skew-split instead. Corpus-wide
     * counts compare equal to the oracle's string-keyed counts under the
     * repo's documented 64-bit no-collision assumption (exactKey's). */
-  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = 4
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanLayout(scan(spark, sfDir, "documents"), w = 4, dropFrac = 0.5)
+
+  /** The window-count core behind [[spanDedup]], public and
+    * parameterized (packLayout's pattern — the raise-W-on-natural-text
+    * story is a test, not a narration: SpanMixSpec runs it at W=2 and
+    * W=4 on the same planted corpus and asserts the counts move exactly
+    * as the window algebra says). Input: (doc_id, text). */
+  def spanLayout(docs: DataFrame, w: Int, dropFrac: Double): DataFrame = {
+    require(w >= 1, s"window size must be >= 1, got $w")
     // tokens materialize in their own projection FIRST: an expression
     // referenced inside a higher-order lambda is re-evaluated per
     // element (no CSE across the lambda boundary), so inlining the
     // regex split here would tokenize the text once per WINDOW —
     // O(tokens²) work per doc (measured 5.3 s → 1.5 s at sf0.1)
     val ts = col("ts")
-    val wins = when(size(ts) >= W,
-      transform(sequence(lit(1), size(ts) - lit(W - 1)),
-        i => xxhash64(concat_ws(" ", slice(ts, i, lit(W))))))
+    val wins = when(size(ts) >= w,
+      transform(sequence(lit(1), size(ts) - lit(w - 1)),
+        i => xxhash64(concat_ws(" ", slice(ts, i, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
-    val occ = scan(spark, sfDir, "documents")
+    val occ = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
       .select(col("doc_id"), explode_outer(wins).as("w"))
       .groupBy(col("doc_id"), col("w"))
@@ -973,7 +981,7 @@ object TextQueries {
           round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
           .otherwise(lit(0.0)))
       .withColumn("keep_flag",
-        when(col("dup_frac") < 0.5, lit(1)).otherwise(lit(0)))
+        when(col("dup_frac") < dropFrac, lit(1)).otherwise(lit(0)))
   }
 
   private val spanDedupOracle =
@@ -1018,9 +1026,11 @@ object TextQueries {
     *
     * The 100 TB shape: one shuffle, partitioned by source; the window
     * carries a single running long. Like t22, per-source work is
-    * independent — a hot source bounds its own partition only, and the
-    * admitted prefix means map-side WindowGroupLimit-style early-out is
-    * available to the planner. Integer-only arithmetic end to end. */
+    * independent — a hot source bounds its own partition only. (Unlike
+    * t22's rank filter, a running-SUM filter gets no WindowGroupLimit
+    * early-out from the planner — the full source partition sorts
+    * before the cumsum; the budget bounds the OUTPUT, not the sort.)
+    * Integer-only arithmetic end to end. */
   def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 700L
     val w = org.apache.spark.sql.expressions.Window
@@ -1052,6 +1062,26 @@ object TextQueries {
       |             x -> len(x) > 0)) AS BIGINT) AS n_tok
       |    FROM documents))
       |WHERE start_tok < 700""".stripMargin
+
+  /** Incremental near-dup — t17's approximate sibling and the nightly
+    * ingest's missing near-dup gate: a small batch (perturbed copies of
+    * every 10th corpus doc, id + 1e6 — guaranteed planted matches at
+    * every SF) banded against the full corpus. The 100 TB shape lives
+    * in [[Dedup.nearDupAgainst]]: batch band keys and batch gram
+    * arrays broadcast, corpus text never shuffles (t21's
+    * decontamination shape with LSH bands in place of exact gram
+    * hashes). Dump-time VALUES oracle: both slices' band buckets
+    * embedded, DuckDB recomputes the asymmetric candidate join and the
+    * string-gram Jaccard verify independently. */
+  def incrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    HashOracles.record(spark, sfDir)
+    val docs = scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" nightly batch")).as("text"))
+    Dedup.nearDupAgainst(docs, batch, "text", "doc_id", threshold = 0.5)
+  }
 
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("t20_jaro_neardup", jaroNearDup, Some(jaroNearDupOracle)),
@@ -1087,5 +1117,7 @@ object TextQueries {
     NamedQuery("t25_span_dedup", spanDedup, Some(spanDedupOracle)),
     NamedQuery("t26_token_budget_mix", tokenBudgetMix,
       Some(tokenBudgetMixOracle)),
+    NamedQuery("t27_incremental_neardup", incrementalNearDup, None,
+      oracleFn = Some(() => HashOracles.incrementalNearDupOracle)),
   )
 }

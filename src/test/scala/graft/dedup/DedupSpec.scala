@@ -180,6 +180,58 @@ class DedupSpec extends SparkSpec {
     assert(e.code == 9999 && e.getMessage.contains("did not converge"))
   }
 
+  test("nearDupAgainst finds every planted batch-vs-corpus match, nothing else") {
+    import spark.implicits._
+    // corpus: 30 distinct-ish long texts; batch: perturbed copies of 3
+    // of them (planted matches) + 1 genuinely novel text (must match
+    // nothing). Every planted pair must surface with high jaccard.
+    val corpus = (0L until 30L).map(i =>
+        (i, s"corpus document number $i with a long shared scaffold of " +
+          s"words that makes five-gram sets rich enough to band reliably " +
+          s"plus unique salt ${"abcdefghij".charAt((i % 10).toInt)}$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1000000L, "corpus document number 7 with a long shared scaffold of " +
+        "words that makes five-gram sets rich enough to band reliably " +
+        "plus unique salt h7 EDITED"),
+      (1000001L, "corpus document number 12 with a long shared scaffold of " +
+        "words that makes five-gram sets rich enough to band reliably " +
+        "plus unique salt c12 EDITED"),
+      (1000002L, "corpus document number 25 with a long shared scaffold of " +
+        "words that makes five-gram sets rich enough to band reliably " +
+        "plus unique salt f25 EDITED"),
+      (1000003L, "an entirely novel nightly document sharing no scaffold " +
+        "gram material with anything already stored in the corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupAgainst(corpus, batch, "text", "doc_id",
+        threshold = 0.5)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val planted = Set((1000000L, 7L), (1000001L, 12L), (1000002L, 25L))
+    assert(planted.subsetOf(out.map(r => (r._1, r._2)).toSet),
+      s"every planted edit must match its parent, got ${out.toSeq}")
+    assert(out.forall(_._3 >= 0.5))
+    assert(!out.exists(_._1 == 1000003L), "the novel doc must match nothing")
+    // the scaffold is shared corpus-wide, so batch docs may band with
+    // non-parents too — those must verify BELOW parent jaccard
+    out.filter(r => !planted((r._1, r._2))).foreach { r =>
+      val parent = out.find(p => p._1 == r._1 && planted((p._1, p._2))).get
+      assert(r._3 < parent._3,
+        s"non-parent match ${r} must verify below the parent ${parent}")
+    }
+  }
+
+  test("nearDupAgainst plan: batch sides broadcast, corpus never shuffles text") {
+    import spark.implicits._
+    val corpus = (0L until 30L).map(i => (i, s"text number $i " * 5))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000000L, "text number 7 " * 5)).toDF("doc_id", "text")
+    val plan = Dedup.nearDupAgainst(corpus, batch, "text", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch band keys and grams must broadcast:\n$plan")
+  }
+
   test("winnowing is prefix-independent: shared suffix -> shared fingerprints") {
     // regression: the old rolling hash overflowed before the modulus and
     // mis-weighted the dropped char, making every k-gram hash depend on

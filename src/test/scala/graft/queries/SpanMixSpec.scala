@@ -46,6 +46,30 @@ class SpanMixSpec extends SparkSpec {
       s"doc4: one repeated window, all 5 occurrences dup -> drop; got ${out(4L)}")
   }
 
+  test("spanLayout parameterizes W: counts move exactly with the window algebra") {
+    // Same planted corpus as above, W = 2: doc0 "alpha beta gamma delta
+    // eps" has 4 bigram windows of which 3 ("alpha beta", "beta gamma",
+    // "gamma delta") also appear in doc1's 5 windows; doc4's 7 identical
+    // "rep rep" windows dup intra-doc. The W=4 counts (asserted in the
+    // planted-windows test) and these W=2 counts pin that w is really
+    // the knob, not a re-derivation of the same query.
+    val dir = docsDir(Seq(
+      (0L, "alpha beta gamma delta eps", "en", "s", 1L),
+      (1L, "zz alpha beta gamma delta yy", "en", "s", 1L),
+      (2L, "one two three four five six", "en", "s", 1L),
+      (3L, "a b c", "en", "s", 1L),
+      (4L, "rep rep rep rep rep rep rep rep", "en", "s", 1L)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.spanLayout(docs, w = 2, dropFrac = 0.5)
+      .select("doc_id", "n_windows", "n_dup_windows", "keep_flag")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 4L, 3L, 0)), s"doc0 W=2: got ${out(0L)}")
+    assert(out(1L) == ((1L, 5L, 3L, 0)), s"doc1 W=2: got ${out(1L)}")
+    assert(out(2L) == ((2L, 5L, 0L, 1)), s"doc2 W=2: got ${out(2L)}")
+    assert(out(3L) == ((3L, 2L, 0L, 1)), s"doc3 W=2 has 2 bigrams now: got ${out(3L)}")
+    assert(out(4L) == ((4L, 7L, 7L, 0)), s"doc4 W=2: got ${out(4L)}")
+  }
+
   test("span dedup avoids WindowExec: counts via agg + shuffle join") {
     // The global window count is deliberately an aggregate joined back,
     // not count(*) OVER (PARTITION BY w) — WindowExec would buffer an

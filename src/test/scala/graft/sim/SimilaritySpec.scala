@@ -291,6 +291,13 @@ class SimilaritySpec extends SparkSpec {
       s"expected most of the $n replicas dropped, got $dropped")
   }
 
+  test("semK clamps: floor 8, N/1000 in between, ceiling 1024") {
+    import graft.queries.SimilarityQueries.semK
+    assert(semK(0L) == 8 && semK(500L) == 8 && semK(7999L) == 8)
+    assert(semK(8000L) == 8 && semK(20000L) == 20 && semK(200000L) == 200)
+    assert(semK(1024000L) == 1024 && semK(50000000L) == 1024)
+  }
+
   test("semantic dedup is partitioning-independent") {
     val base = graft.queries.SimilarityQueries.semanticDedup(spark, sf)
       .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toSeq
