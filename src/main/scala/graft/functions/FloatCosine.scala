@@ -151,5 +151,6 @@ object GraftExtensions {
     (RepetitionStats.name, classOf[RepetitionStats], RepetitionStats.builder),
     (SpaceSavingTopK.name, classOf[SpaceSavingTopK], SpaceSavingTopK.builder),
     (JaroWinkler.name, classOf[JaroWinkler], JaroWinkler.builder),
+    (IntDot.name, classOf[IntDot], IntDot.builder),
   )
 }

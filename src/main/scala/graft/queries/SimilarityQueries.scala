@@ -363,6 +363,57 @@ object SimilarityQueries {
       |               / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_val
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Quantized two-stage ANN (SQ8 coarse scan → exact float rerank) —
+    * s09's codes actually SEARCHED, the capability the quantization pass
+    * exists for. The 100 TB shape lives in [[Similarity.quantizedTopK]]:
+    * the coarse scan reads 64 B of int8 codes per corpus row (never the
+    * floats), the top-coarseK window shuffles only narrow id/score
+    * triples, and exact cosine runs on the ~coarseK×|queries| candidate
+    * fetch alone. The candidate set is pure integer arithmetic — exact
+    * in every engine — so the full pipeline is value-oracled (candidate
+    * boundary included), not merely recall-tested; SimilaritySpec
+    * additionally measures recall@10 vs the s01 exact baseline. */
+  def annQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = scan(spark, sfDir, "embeddings")
+    Similarity.quantizedTopK(emb.where(col("vec_id") < 5), emb, k = 10)
+  }
+
+  /** DuckDB twin of quantizedTopK: same SQ8 codes (floor(x·64) clamp
+    * ±127 — double math, integer-exact), same integer coarse dot (the
+    * DOUBLE list_dot_product is exact below 2^53), same crank<=50
+    * boundary with id tie-break, same exact-cosine rerank. */
+  private val annQuantizedOracle =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> greatest(-127.0, least(127.0, floor(x * 64)))) AS q
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq
+      |       FROM e WHERE vec_id < 5),
+      |coarse AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |         CAST(list_dot_product(qq, e.q) AS BIGINT) AS coarse
+      |  FROM e, qs WHERE e.vec_id <> query_id),
+      |cr AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY coarse DESC, neighbor_id) AS crank
+      |  FROM coarse),
+      |cand AS (SELECT query_id, neighbor_id FROM cr WHERE crank <= 50),
+      |rer AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         list_cosine_similarity(qs.qv, e.v) AS sim
+      |  FROM cand c
+      |  JOIN qs ON qs.query_id = c.query_id
+      |  JOIN e ON e.vec_id = c.neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM rer)
+      |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+      |FROM r WHERE rank <= 10""".stripMargin
+
   /** Int8-style embedding quantization (×64, floor, clamp [-127,127]) —
     * the 4×-storage-compression pass before ANN indexing. floor instead of
     * round: float×64 is exact in double, so floor is tie-free and
@@ -543,5 +594,6 @@ object SimilarityQueries {
       Some(embeddingQuantizeOracle)),
     NamedQuery("s13_semantic_dedup", semanticDedup, None,
       oracleFn = Some(() => semanticDedupOracle)),
+    NamedQuery("s14_ann_quantized", annQuantized, Some(annQuantizedOracle)),
   )
 }

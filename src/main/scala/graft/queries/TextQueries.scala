@@ -943,6 +943,61 @@ object TextQueries {
     * one task; hot keys here hit AQE's skew-split instead. Corpus-wide
     * counts compare equal to the oracle's string-keyed counts under the
     * repo's documented 64-bit no-collision assumption (exactKey's). */
+  /** Deterministic epoch shuffle + sharding — the training-export layout
+    * pass: every epoch re-permutes the corpus under a fresh key and lays
+    * it out as `shards` independently-ordered shards, the shape a data
+    * loader consumes. The permutation key is md5(epoch:doc_id) — a pure
+    * function of (epoch, doc_id), so the layout is reproducible across
+    * runs, stage replays, AND engines (both Spark and DuckDB emit
+    * lowercase-hex md5; ordering is plain string order).
+    *
+    * The 100 TB shape is [[shuffleLayout]]: shard assignment is a narrow
+    * map on the key's first hex byte, then ONE shuffle keyed by
+    * (epoch, shard) with a per-shard local sort — parallelism is
+    * epochs×shards, so shards sized for the cluster keep every sort
+    * in-memory. No global total order is ever materialized: a corpus-wide
+    * row_number would be a single-partition window (the one shape this
+    * repo bans); shard-local position IS the export contract, exactly how
+    * training shards are read back. */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleLayout(scan(spark, sfDir, "documents"), epochs = 2, shards = 8)
+
+  /** The layout core behind [[epochShuffle]], parameterized (packLayout's
+    * pattern). Input needs a `doc_id` column; emits one row per
+    * (epoch, doc): its shard and 1-based position within the shard. */
+  def shuffleLayout(docs: DataFrame, epochs: Int, shards: Int): DataFrame = {
+    require(epochs >= 1 && shards >= 1, s"epochs/shards must be >= 1")
+    val key = md5(concat_ws(":", col("epoch"), col("doc_id")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("k", key)
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 2), 16, 10).cast("int") % shards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
+  private val epochShuffleOracle =
+    """WITH d AS (
+      |  SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+      |k AS (
+      |  SELECT epoch, doc_id,
+      |         md5(epoch || ':' || doc_id) AS k
+      |  FROM d),
+      |s AS (
+      |  SELECT epoch, doc_id, k,
+      |         CAST(('0x' || substr(k, 1, 2))::BIGINT % 8 AS INTEGER) AS shard
+      |  FROM k)
+      |SELECT epoch, shard,
+      |       CAST(row_number() OVER (PARTITION BY epoch, shard
+      |                               ORDER BY k, doc_id) AS INTEGER) AS pos,
+      |       doc_id
+      |FROM s""".stripMargin
+
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
     spanLayout(scan(spark, sfDir, "documents"), w = 4, dropFrac = 0.5)
 
@@ -1114,6 +1169,7 @@ object TextQueries {
     NamedQuery("t23_unigram_logprob", unigramLogprob,
       Some(unigramLogprobOracle)),
     NamedQuery("t24_sequence_pack", sequencePack, Some(sequencePackOracle)),
+    NamedQuery("t28_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
     NamedQuery("t25_span_dedup", spanDedup, Some(spanDedupOracle)),
     NamedQuery("t26_token_budget_mix", tokenBudgetMix,
       Some(tokenBudgetMixOracle)),

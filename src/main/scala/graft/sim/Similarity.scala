@@ -169,6 +169,67 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** SQ8 scalar quantization — s09's arithmetic, `array<float>` →
+    * `array<int>`: `clamp(-127, 127, floor(x · 64))`. Double math with an
+    * exact integer result, so Spark, the codegen'd IntDot consumer, and a
+    * DuckDB `floor(x*64)` mirror all see identical codes. */
+  def quantize8(v: Column): Column =
+    transform(v, x =>
+      greatest(lit(-127), least(lit(127),
+        floor(x.cast("double") * 64).cast("int"))))
+
+  /** Two-stage quantized top-k (SQ8 coarse scan + exact float rerank) —
+    * the brute-force path's 100 TB successor:
+    *
+    *   1. COARSE: every corpus vector is scored against each (broadcast)
+    *     query by integer dot product over int8 codes — the scan touches
+    *     64 B of codes per row instead of 256 B of floats (4× less
+    *     bandwidth; in production the codes are the persisted structure
+    *     and the float column isn't read at all here), and the top-k
+    *     window shuffles only narrow (query_id, neighbor_id, coarse)
+    *     triples — the float vectors NEVER shuffle.
+    *   2. RERANK: only the `coarseK` survivors per query (a tiny,
+    *     broadcast-able id list) join back to the corpus for exact
+    *     FloatCosine — candidate fetch by id, the FAISS-style refine
+    *     step.
+    *
+    * Everything that determines the candidate SET is integer arithmetic
+    * (int8 products, long sums — exact in any engine, no float tie
+    * ambiguity at the coarseK boundary), which is what lets the whole
+    * pipeline be value-oracled in DuckDB rather than recall-tested only.
+    * Ties break by neighbor_id in both stages. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    coarseK: Int = 50,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    graft.functions.FloatCosine.register(queries.sparkSession)
+    graft.functions.IntDot.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), quantize8(col(vecCol)).as("qq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize8(col(vecCol)).as("qc"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val cand = c.crossJoin(broadcast(q.select(col("query_id"), col("qq"))))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("int_dot(qq, qc)").as("coarse"))
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val fetch = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    fetch.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("sim", expr("float_cosine(qv, cv)"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Lloyd k-means over an in-memory sample — the IVF coarse-quantizer
     * trainer. Deterministic given the sample order: init spreads over the
     * (caller-sorted) sample at stride n/k, assignment breaks distance ties

@@ -129,6 +129,21 @@ class CodegenParitySpec extends SparkSpec with graft.IsolatedSession {
           ColumnBridge.expression(col("b")))).as("r")))
   }
 
+  test("IntDot: codegen == interpreted (empty, null, mismatch, negatives)") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, Some(Seq(1, -2, 3)), Some(Seq(4, 5, -6))),
+      (2L, Some(Seq.empty[Int]), Some(Seq(1, 2))),
+      (3L, Some(Seq(127, -127)), Some(Seq(127, 127))),
+      (4L, None: Option[Seq[Int]], Some(Seq(1))),
+      (5L, Some(Seq(7, 8, 9, 10)), Some(Seq(1, 1))) // length mismatch
+    ).toDF("id", "a", "b")
+    assertParity("int_dot",
+      pairs.select(col("id"),
+        exprCol(IntDot(ColumnBridge.expression(col("a")),
+          ColumnBridge.expression(col("b")))).as("r")))
+  }
+
   test("GramHashes: codegen == interpreted (short text, empty, null, unicode)") {
     assertParity("gram_hashes",
       texts.select(col("id"),

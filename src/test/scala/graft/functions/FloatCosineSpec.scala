@@ -30,7 +30,9 @@ class FloatCosineSpec extends SparkSpec {
     (new GraftExtensions).apply(new org.apache.spark.sql.SparkSessionExtensions)
     val b = GraftExtensions.functions.map(f => f._1 -> f._3).toMap
     val s = Literal("x")
-    assert(b.size == 8)
+    assert(b.size == 9)
+    assert(b("int_dot")(Seq(s, Literal("y")))
+      .asInstanceOf[IntDot].left == s)
     // correct arity → the right expression with args in order
     assert(b("float_cosine")(Seq(s, Literal("y")))
       .asInstanceOf[FloatCosine].left == s)

@@ -50,7 +50,12 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
     // grouping (min-id/min_by), band/chunk joins on reps, and the
     // intra/cross pair expansion union must be replan- and
     // partitioning-independent
-    "s03_minhash_neardup", "s04_simhash_neardup")
+    "s03_minhash_neardup", "s04_simhash_neardup",
+    // round-11 additions: the quantized two-stage ANN — an integer coarse
+    // top-k boundary feeding a float rerank — and the md5-keyed epoch
+    // layout; all their windows must be replan- and
+    // partitioning-independent
+    "s14_ann_quantized", "t28_epoch_shuffle")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is

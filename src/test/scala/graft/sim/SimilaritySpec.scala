@@ -307,4 +307,64 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toSeq
     assert(base == again, "semantic dedup depends on partitioning")
   }
+
+  test("quantized top-k: shape contract and recall@10 vs exact brute force") {
+    val queries = emb.where(col("vec_id") < 5)
+    val out = Similarity.quantizedTopK(queries, emb, k = 10).collect()
+    assert(out.length == 50)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      val sims = ranked.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = out
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"quantized recall@10 (coarseK=50) = $recall%.3f")
+    assert(recall >= 0.7, s"quantized recall $recall")
+  }
+
+  test("quantized top-k plan: floats never shuffle; candidates broadcast") {
+    val plan = Similarity.quantizedTopK(
+      emb.where(col("vec_id") < 5), emb, k = 10).queryExecution.executedPlan
+    // THE scale property: every shuffle exchange moves only narrow
+    // id/score/rank rows — the float embedding column (array type) must
+    // not appear in any shuffled schema (broadcasts of the 5-row query
+    // side are exempt: they're the intended small side)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = plan match { // AQE wraps the tree; audit the initial plan
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val shuffled = root.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffled.nonEmpty, "expected the coarse/rerank window shuffles")
+    shuffled.foreach { e =>
+      val arrays = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"vector column shuffled: ${e.output.map(_.name).mkString(",")}")
+    }
+    val s = plan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), "corpus×corpus cartesian leaked")
+  }
+
+  test("quantize8 matches s09's arithmetic and stays within int8 range") {
+    val r = emb.limit(50)
+      .select(Similarity.quantize8(col("embedding")).as("q"))
+      .as[Seq[Int]].collect()
+    assert(r.forall(_.forall(v => v >= -127 && v <= 127)))
+    // spot-check the floor rule on a literal
+    val one = spark.range(1)
+      .select(Similarity.quantize8(
+        array(lit(0.5f), lit(-0.5f), lit(3.0f), lit(-3.0f))).as("q"))
+      .as[Seq[Int]].head()
+    assert(one == Seq(32, -32, 127, -127))
+  }
 }
