@@ -330,18 +330,76 @@ object Dedup {
 
   /** Incremental near-dup: every BATCH doc's near-dup matches against an
     * existing CORPUS — the nightly near-dup gate, [[exactDedup]]-based
-    * t17's approximate sibling. Both sides band; the candidate join keys
+    * t17's approximate sibling. Runs [[nearDupAgainstFlat]] behind the
+    * same adaptive exact-collapse routing as [[nearDupPairs]]: the
+    * corpus-side duplication probe ([[shouldCollapse]]) sends
+    * distinct-ish corpora straight to the flat form, and duplicate-heavy
+    * ones through an ASYMMETRIC collapse — BOTH slices group identical
+    * normalized texts (on a hot corpus the batch mirrors its duplication:
+    * perturbed copies of replicated docs are themselves replicated), the
+    * band/verify machinery runs rep-vs-rep only, and verified rep pairs
+    * expand back through the two member maps with constant-width joins.
+    * Output-identical to the flat form: signatures and gram sets are
+    * functions of the normalized text alone, so a flat (corpus, batch)
+    * pair is a band candidate iff its representative pair is, and shares
+    * its Jaccard verbatim; identical cross-slice texts band always and
+    * carry Jaccard exactly 1.0 through either route. Unlike the
+    * intra-corpus collapse there is no intra-group special case — the id
+    * spaces are disjoint, every (corpus, batch) combination is a
+    * cross-rep pair. Measured: the hot-×100 cell (every text ×100 on
+    * both slices) was the matrix's top cost at 33.7 s flat — the verify
+    * join's candidate set grows with duplication² per distinct text —
+    * and drops to the distinct-text budget collapsed.
+    *
+    * Returns (batch_id, corpus_id, jaccard) at ≥ threshold; the two id
+    * spaces must be disjoint (caller's contract — t27 offsets the batch
+    * by 1e6). Batch-internal duplicates are the PREVIOUS stage's job
+    * ([[nearDupPairs]] within the batch) — this operator is the
+    * batch-vs-corpus edge only. */
+  def nearDupAgainst(corpus: DataFrame, batch: DataFrame,
+                     textCol: String, idCol: String,
+                     threshold: Double, k: Int = 5,
+                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    if (!shouldCollapse(corpus, textCol))
+      return nearDupAgainstFlat(corpus, batch, textCol, idCol,
+        threshold, k, numHashes, bands)
+    def keyed(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .withColumn("ek", sha2(lower(trim(col("__text"))), 256))
+    def repsOf(kd: DataFrame) = kd.groupBy(col("ek"))
+      .agg(min(col("id")).as("id"),
+        min_by(col("__text"), col("id")).as("__text"))
+    val (kc, kb) = (keyed(corpus), keyed(batch))
+    val rp = nearDupAgainstFlat(
+      repsOf(kc).select(col("id"), col("__text")),
+      repsOf(kb).select(col("id"), col("__text")),
+      "__text", "id", threshold, k, numHashes, bands)
+    // expansion: rep pair -> every member combination. The batch-side
+    // maps are broadcast (nightly-batch contract); the corpus member map
+    // is id/ek only — fixed width, no text.
+    val repC = repsOf(kc).select(col("id").as("crid"), col("ek").as("cek"))
+    val repB = repsOf(kb).select(col("id").as("brid"), col("ek").as("bek"))
+    rp.join(repC, col("corpus_id") === col("crid"))
+      .join(broadcast(repB), col("batch_id") === col("brid"))
+      .join(kc.select(col("id").as("cid"), col("ek").as("cek")), "cek")
+      .join(broadcast(kb.select(col("id").as("bid"), col("ek").as("bek"))),
+        "bek")
+      .select(col("bid").as("batch_id"), col("cid").as("corpus_id"),
+        col("jaccard"))
+  }
+
+  /** The flat (no exact-collapse) batch-vs-corpus formulation. Both
+    * sides band; the candidate join keys
     * on (band, bucket) with the batch side BROADCAST (a nightly batch is
     * orders of magnitude smaller than the corpus), so the corpus's band
     * rows join in place and its text never shuffles: the verify joins
     * candidates to corpus hashed-gram arrays on the corpus id
     * ([[nearDupPairsFlat]]'s merge-scan shape) and broadcasts the
-    * batch's. Returns (batch_id, corpus_id, jaccard) at ≥ threshold;
-    * the two id spaces must be disjoint (caller's contract — t27
-    * offsets the batch by 1e6). Batch-internal duplicates are the
-    * PREVIOUS stage's job ([[nearDupPairs]] within the batch) — this
-    * operator is the batch-vs-corpus edge only. */
-  def nearDupAgainst(corpus: DataFrame, batch: DataFrame,
+    * batch's. On a duplicate-heavy corpus the candidate set grows with
+    * duplication² per distinct text — [[nearDupAgainst]] bounds that by
+    * collapsing exact duplicates first and is the operator callers
+    * should use. */
+  def nearDupAgainstFlat(corpus: DataFrame, batch: DataFrame,
                      textCol: String, idCol: String,
                      threshold: Double, k: Int = 5,
                      numHashes: Int = 32, bands: Int = 8): DataFrame = {

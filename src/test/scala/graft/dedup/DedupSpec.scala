@@ -221,6 +221,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupAgainst collapsed == flat on a duplicate-heavy corpus + batch") {
+    import spark.implicits._
+    // the hot-axis world in miniature: every corpus text appears many
+    // times (with normalization variants) and the batch mirrors that
+    // duplication (perturbed copies of replicated docs are themselves
+    // replicated). The adaptive route must reproduce the flat output
+    // exactly — including cross-slice exact-equal texts at jaccard 1.0
+    // and every member-pair expansion — and drop null texts on both
+    // slices.
+    val baseTexts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight again",
+      "completely different content about spark engines and parquet files",
+      "a third corpus document concerning watermarks and streaming state")
+    val corpus = baseTexts.zipWithIndex.flatMap { case (t, g) =>
+      (0 until 6).map { c =>
+        val v = c % 3 match {
+          case 0 => t; case 1 => t.toUpperCase; case 2 => s"  $t "
+        }
+        (g * 100L + c, v)
+      }
+    } :+ (999L, null: String)
+    val batch = Seq(
+      // near-dup of base 0 (edited), replicated ×3 — duplicate-heavy batch
+      (1000000L, baseTexts(0).replace("dog", "cat")),
+      (1000001L, baseTexts(0).replace("dog", "cat")),
+      (1000002L, baseTexts(0).replace("dog", "cat").toUpperCase),
+      // EXACT copy of base 1 — must surface at jaccard 1.0 for every
+      // corpus member of that group
+      (1000003L, baseTexts(1)),
+      (1000004L, null: String))
+    val (cdf, bdf) = (corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"))
+    assert(Dedup.shouldCollapse(cdf, "text"),
+      "planted corpus must route through the collapse")
+    val got = Dedup.nearDupAgainst(cdf, bdf, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.nearDupAgainstFlat(cdf, bdf, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"collapsed=${got.size} flat=${want.size}; " +
+      s"onlyCollapsed=${(got -- want).take(5)} onlyFlat=${(want -- got).take(5)}")
+    // duplication actually exercised: the exact cross-slice group expands
+    // to all 6 corpus members × its batch doc at exactly 1.0...
+    assert(got.count(p => p._1 == 1000003L && p._3 == 1.0) == 6)
+    // ...and the near-dup group to 6 members × 3 batch replicas below 1.0
+    assert(got.count(p => p._1 <= 1000002L && p._2 / 100 == 0) == 18)
+    assert(!got.exists(p => p._1 == 1000004L || p._2 == 999L),
+      "null texts must pair with nothing on either slice")
+  }
+
   test("nearDupAgainst plan: batch sides broadcast, corpus never shuffles text") {
     import spark.implicits._
     val corpus = (0L until 30L).map(i => (i, s"text number $i " * 5))
