@@ -269,6 +269,30 @@ class DedupSpec extends SparkSpec {
       "null texts must pair with nothing on either slice")
   }
 
+  test("collapsed nearDupAgainst is partitioning-independent") {
+    // the expansion joins (rep maps × member maps) must not leak
+    // partition order — single-partition execution is the degenerate
+    // ordering that exposes it (ExecutionModeParitySpec's discipline;
+    // the sf-gate corpora route flat, so the parity must be pinned here
+    // on a corpus the probe sends through the collapse)
+    import spark.implicits._
+    val corpus = (0 until 40).map(i => (i.toLong, s"shared text ${i / 8} " * 8))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000000L, "shared text 2 " * 8)).toDF("doc_id", "text")
+    assert(Dedup.shouldCollapse(corpus, "text"))
+    def run(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      val c = corpus.as[(Long, String)].collect().toSeq.toDF("doc_id", "text")
+      val b = batch.as[(Long, String)].collect().toSeq.toDF("doc_id", "text")
+      Dedup.nearDupAgainst(c, b, "text", "doc_id", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val p1 = spark.newSession()
+    p1.conf.set("spark.sql.shuffle.partitions", "1")
+    assert(run(spark) == run(p1),
+      "collapsed batch-vs-corpus output depends on partitioning")
+  }
+
   test("nearDupAgainst plan: batch sides broadcast, corpus never shuffles text") {
     import spark.implicits._
     val corpus = (0L until 30L).map(i => (i, s"text number $i " * 5))
