@@ -146,6 +146,59 @@ object StreamOps {
         col("view_ts"), col("click_ts"))
   }
 
+  /** The streaming near-dup ingest gate's per-batch core — t27's
+    * nightly gate applied to one micro-batch: every batch doc is scored
+    * against the STATIC corpus through [[graft.dedup.Dedup.nearDupAgainst]]
+    * (collapse-routed: a duplicate-heavy corpus pays distinct-text
+    * prices) and annotated with its best corpus match. Returns the full
+    * batch — `(id, text, match_id, match_jaccard, passed)` — so the
+    * caller routes rows instead of losing the flagged ones: `passed = 1`
+    * means no corpus text matched at ≥ threshold (novel; admit + append
+    * to the corpus downstream), `passed = 0` carries WHICH corpus doc
+    * matched and how hard (min-id tie-break on equal jaccard, the
+    * engine's survivor discipline — deterministic under replay).
+    *
+    * The 100 TB shape is inherited: the micro-batch side broadcasts, the
+    * corpus's text never shuffles, and a replayed micro-batch (same
+    * rows) reproduces the same verdicts — the gate is a pure function of
+    * (batch, corpus), so foreachBatch retries are safe without an epoch
+    * guard as long as the downstream sink is idempotent (parquet file
+    * sink / [[upsertBatch]]). */
+  def nearDupGateBatch(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String,
+                       threshold: Double): DataFrame = {
+    val matches = graft.dedup.Dedup
+      .nearDupAgainst(corpus, batch, textCol, idCol, threshold)
+      .groupBy(col("batch_id"))
+      .agg(min_by(col("corpus_id"), struct(-col("jaccard"), col("corpus_id")))
+          .as("match_id"),
+        max(col("jaccard")).as("match_jaccard"))
+    batch.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(matches, col("id") === col("batch_id"), "left")
+      .select(col("id"), col("text"), col("match_id"),
+        col("match_jaccard"),
+        when(col("match_id").isNull, lit(1)).otherwise(lit(0)).as("passed"))
+  }
+
+  /** The streaming wrapper: gate each micro-batch of documents against
+    * the static corpus and append the ANNOTATED batch to a parquet dir
+    * (passed and flagged rows both land, with verdict columns — a
+    * downstream reader filters `passed = 1` for training and audits the
+    * rest). Append-mode foreachBatch with a checkpoint: the file sink's
+    * transaction log plus the gate's determinism give exactly-once
+    * verdicts across restarts. */
+  def startNearDupGate(docs: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String, threshold: Double,
+                       path: String, checkpoint: String) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nearDupGateBatch(batch, corpus, textCol, idCol, threshold)
+          .write.mode("append").parquet(path): Unit
+      }
+      .start()
+
   /** Write helper showing the intended production shape: append-mode
     * parquet sink with checkpointing (exactly-once file sink). */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String) =

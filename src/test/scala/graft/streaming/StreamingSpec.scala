@@ -317,6 +317,62 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"each key exactly once across runs: $ids")
   }
 
+  test("near-dup gate core: novel docs pass, corpus matches are flagged with their parent") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the corpus today"),
+      (11L, "completely different corpus content about spark engines and parquet"),
+      (12L, "the quick brown fox jumps over the lazy dog in the corpus today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of 10/12 (one word edited) → flagged, min-id parent 10
+      (1000000L, "the quick brown fox jumps over the lazy cat in the corpus today"),
+      // exact copy of 11 → flagged at jaccard 1.0
+      (1000001L, "completely different corpus content about spark engines and parquet"),
+      // genuinely novel → passes
+      (1000002L, "a totally novel nightly document sharing no shingle material at all"))
+      .toDF("doc_id", "text")
+    val out = StreamOps.nearDupGateBatch(batch, corpus, "text", "doc_id", 0.5)
+      .select("id", "match_id", "passed")
+      .as[(Long, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1000002L) == ((None, 1)))
+    assert(out(1000000L)._2 == 0 && out(1000000L)._1.contains(10L),
+      s"edited doc must flag min-id parent 10: ${out(1000000L)}")
+    assert(out(1000001L) == ((Some(11L), 0)))
+    // verdicts are a pure function of (batch, corpus): re-running the
+    // gate (the foreachBatch replay shape) reproduces them exactly
+    val again = StreamOps.nearDupGateBatch(batch, corpus, "text", "doc_id", 0.5)
+      .select("id", "match_id", "passed")
+      .as[(Long, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
+
+  test("streaming near-dup gate: two micro-batches land annotated in the parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the corpus today"),
+      (11L, "completely different corpus content about spark engines and parquet"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gate").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.startNearDupGate(
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", 0.5,
+      s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1000000L,
+        "the quick brown fox jumps over the lazy cat in the corpus today"))
+      q.processAllAvailable()
+      mem.addData((1000001L,
+        "a totally novel nightly document sharing no shingle material at all"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out")
+        .select("id", "passed").as[(Long, Int)].collect().toSet
+      assert(rows == Set((1000000L, 0), (1000001L, 1)),
+        s"both micro-batches must land with verdicts: $rows")
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
