@@ -211,6 +211,15 @@ object Dedup {
   private[dedup] def shouldCollapse(df: DataFrame, textCol: String): Boolean =
     duplicationRatio(df, textCol) >= CollapseDuplicationThreshold
 
+  /** Public face of the adaptive-collapse routing probe, for operators
+    * OUTSIDE this package that apply the same exact-collapse trick
+    * (t25's span-window counts): true when the corpus is duplicate-heavy
+    * enough that per-distinct-text computation + member expansion beats
+    * per-row computation. Same probe, same threshold, same re-execution
+    * safety argument as [[duplicationRatio]]. */
+  def duplicationHeavy(df: DataFrame, textCol: String): Boolean =
+    shouldCollapse(df, textCol)
+
   /** The exact-collapse harness shared by the near-dup operators
     * ([[nearDupPairs]], [[simhashCandidates]]): probe duplication first
     * ([[shouldCollapse]]) and route a fully-distinct corpus straight to

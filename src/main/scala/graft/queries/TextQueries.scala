@@ -1005,8 +1005,56 @@ object TextQueries {
     * parameterized (packLayout's pattern — the raise-W-on-natural-text
     * story is a test, not a narration: SpanMixSpec runs it at W=2 and
     * W=4 on the same planted corpus and asserts the counts move exactly
-    * as the window algebra says). Input: (doc_id, text). */
-  def spanLayout(docs: DataFrame, w: Int, dropFrac: Double): DataFrame = {
+    * as the window algebra says). Input: (doc_id, text).
+    *
+    * Adaptive like the near-dup operators: window hashing and counting
+    * are functions of the normalized text alone, so on a
+    * duplicate-heavy corpus ([[graft.dedup.Dedup.duplicationHeavy]] —
+    * same probe, same threshold) the whole tokenize→window→count
+    * pipeline runs once per DISTINCT text and members inherit their
+    * representative's row. The one global quantity, a window's
+    * corpus-wide occurrence count, is recovered EXACTLY by weighting
+    * each representative's occurrences with its member count
+    * (cnt = Σ occ·m — including the doc's own group, just as the flat
+    * sum includes the doc itself), so both routes are output-identical
+    * (SpanMixSpec pins it on a planted corpus). */
+  def spanLayout(docs: DataFrame, w: Int, dropFrac: Double): DataFrame =
+    if (!graft.dedup.Dedup.duplicationHeavy(docs, "text"))
+      spanLayoutFlat(docs, w, dropFrac)
+    else {
+      // sentinel key for null texts (sha2 of NULL is NULL, and a
+      // null-rejecting expansion join would DROP null-text docs that the
+      // flat form keeps with zero counts; no 64-hex digest can collide
+      // with the sentinel)
+      val ek = when(col("text").isNull, lit("__null__"))
+        .otherwise(sha2(lower(trim(col("text"))), 256))
+      val keyed = docs.select(col("doc_id"), col("text"))
+        .withColumn("ek", ek)
+      val reps = keyed.groupBy(col("ek"))
+        .agg(min(col("doc_id")).as("rid"),
+          min_by(col("text"), col("doc_id")).as("__text"),
+          count(lit(1)).as("m"))
+      val perRep = spanCore(
+        reps.select(col("rid"), col("__text"), col("m")), "rid", w, dropFrac)
+      keyed.select(col("doc_id"), col("ek"))
+        .join(reps.select(col("rid"), col("ek")), "ek")
+        .join(perRep, "rid")
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          col("dup_frac"), col("keep_flag"))
+    }
+
+  /** The flat (per-row) span form — [[spanCore]] at weight 1. */
+  def spanLayoutFlat(docs: DataFrame, w: Int, dropFrac: Double): DataFrame =
+    spanCore(docs.select(col("doc_id"), col("text").as("__text"))
+      .withColumn("m", lit(1L)), "doc_id", w, dropFrac)
+
+  /** Shared weighted window-count core: input (idCol, __text, m), where
+    * `m` is how many corpus rows this row stands for (1 on the flat
+    * route; the exact-dup group size on the collapsed route). A window's
+    * global count is Σ occ·m over rows — at m=1 exactly the flat
+    * per-doc sum. */
+  private def spanCore(rows: DataFrame, idCol: String, w: Int,
+                       dropFrac: Double): DataFrame = {
     require(w >= 1, s"window size must be >= 1, got $w")
     // tokens materialize in their own projection FIRST: an expression
     // referenced inside a higher-order lambda is re-evaluated per
@@ -1018,15 +1066,15 @@ object TextQueries {
       transform(sequence(lit(1), size(ts) - lit(w - 1)),
         i => xxhash64(concat_ws(" ", slice(ts, i, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
-    val occ = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), explode_outer(wins).as("w"))
-      .groupBy(col("doc_id"), col("w"))
+    val occ = rows
+      .select(col(idCol), col("m"), TextOps.tokens(col("__text")).as("ts"))
+      .select(col(idCol), col("m"), explode_outer(wins).as("w"))
+      .groupBy(col(idCol), col("m"), col("w"))
       .agg(count(col("w")).as("occ")) // occ = 0 on the null row of a windowless doc
     val global = occ.where(col("w").isNotNull)
-      .groupBy(col("w")).agg(sum(col("occ")).as("cnt"))
+      .groupBy(col("w")).agg(sum(col("occ") * col("m")).as("cnt"))
     occ.join(global, Seq("w"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(
         sum(col("occ")).cast("long").as("n_windows"),
         sum(when(col("cnt") > 1, col("occ")).otherwise(lit(0L)))

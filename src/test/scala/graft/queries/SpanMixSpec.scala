@@ -70,6 +70,45 @@ class SpanMixSpec extends SparkSpec {
     assert(out(4L) == ((4L, 7L, 7L, 0)), s"doc4 W=2: got ${out(4L)}")
   }
 
+  test("collapsed spanLayout == flat on a duplicate-heavy corpus (weighted globals)") {
+    // the hot-axis shape: texts duplicated (with normalization variants),
+    // plus the semantic the member-weighting MUST preserve — a window
+    // occurring once per distinct text still counts as duplicated when
+    // exact copies multiply it (cnt = occ·m), exactly as the flat sum
+    // over member rows sees it. Includes a null text (sentinel-key
+    // group: must survive expansion with zero counts, kept).
+    val rows: Seq[(Long, String)] = (Seq(
+      (0L, "alpha beta gamma delta eps"),
+      (1L, "ALPHA BETA GAMMA DELTA EPS"),        // exact dup of 0 normalized
+      (2L, "  alpha beta gamma delta eps "),     // exact dup of 0 normalized
+      (3L, "one two three four five six seven"), // unique text...
+      (4L, "one two three four five six seven"), // ...but duplicated ×2:
+      // every window occurs once per copy -> cnt=2 -> ALL dup, dropped
+      (5L, "totally unique words appearing nowhere else at all here"),
+      (6L, "a b c"),
+      (7L, null)))
+    val docs = rows.toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.duplicationHeavy(docs, "text"),
+      "planted corpus must route through the collapse")
+    val got = TextQueries.spanLayout(docs, w = 4, dropFrac = 0.5)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val want = TextQueries.spanLayoutFlat(docs, w = 4, dropFrac = 0.5)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(got == want, s"collapsed=${got.size} flat=${want.size}; " +
+      s"onlyCollapsed=${(got -- want).take(5)} onlyFlat=${(want -- got).take(5)}")
+    val byId = got.map(r => r._1 -> r).toMap
+    // the weighting semantics, by construction: docs 3/4 (text ×2) have
+    // every window at cnt=2 -> all dup -> dropped
+    assert(byId(3L)._3 == byId(3L)._2 && byId(3L)._5 == 0, s"${byId(3L)}")
+    assert(byId(4L) == byId(3L).copy(_1 = 4L))
+    // unique text keeps; null text survives expansion with zero windows
+    assert(byId(5L)._3 == 0L && byId(5L)._5 == 1)
+    assert(byId(7L) == ((7L, 0L, 0L, 0.0, 1)), s"null doc: ${byId(7L)}")
+    // the sf-gate corpus stays on the flat route (distinct texts)
+    val gate = spark.read.parquet(s"$sf/documents.parquet")
+    assert(!graft.dedup.Dedup.duplicationHeavy(gate, "text"))
+  }
+
   test("span dedup avoids WindowExec: counts via agg + shuffle join") {
     // The global window count is deliberately an aggregate joined back,
     // not count(*) OVER (PARTITION BY w) — WindowExec would buffer an
