@@ -4,6 +4,38 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one query's result; on failure leave a LOUD `<name>.FAILED`
+    * marker (first line of the exception) next to where the parquet would
+    * be, so the driver's compare reports `err` for the query instead of
+    * silently omitting it (round-11 post-mortem: ev05/ev07 vanished from
+    * CORRECTNESS_r11.json because failures only went to stderr).
+    * Returns true on success. */
+  def dumpOne(spark: SparkSession, sfDir: String, outDir: String,
+              name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.mkString(" | ")
+      System.err.println(s"[verify] $name failed: $msg")
+      Files.writeString(Paths.get(s"$outDir/$name.FAILED"),
+        s"$name: ${e.getClass.getName}: $msg\n")
+      // Also leave a one-row error parquet under the query's own name: the
+      // driver iterates over existing result dirs, so an absent dir is a
+      // silent omission while this guarantees a loud schema/hash mismatch.
+      try {
+        import spark.implicits._
+        Seq(s"${e.getClass.getName}: $msg").toDF("__graft_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case _: Throwable => () }
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,13 +50,12 @@ object Verify {
     graft.plans.DsRangeRewrite.install(spark)
     graft.plans.LevenshteinPrefilter.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val failed = SparkEntry.queries.toSeq.filterNot { case (name, fn) =>
+      dumpOne(spark, sfDir, outDir, name, fn)
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.map(_._1).sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

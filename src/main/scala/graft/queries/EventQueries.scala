@@ -7,22 +7,33 @@ import graft.streaming.StreamOps
 
 /** Event-time analytics over the `events` table (timestamped stream shape).
   *
-  * The events parquet stores nanosecond timestamps; the session reads them
-  * as long nanos (spark.sql.legacy.parquet.nanosAsLong) and `readEvents`
-  * converts to microsecond timestamps — the oracle side uses epoch_us /
-  * date_trunc on the native ns values, which agree exactly at the
-  * granularities queried (µs and coarser). */
+  * The events parquet has shipped in two layouts over time: int64
+  * nanosecond timestamps (read as long nanos via
+  * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(µs,
+  * isAdjustedToUTC=false) which Spark reads as TIMESTAMP_NTZ. `readEvents`
+  * normalizes either to a µs TimestampType under the pinned-UTC session —
+  * the DuckDB oracle side uses epoch_us / date_trunc on the native values,
+  * which agree exactly at the granularities queried (µs and coarser). */
 object EventQueries {
 
-  /** Normalize the ns-or-timestamp `ts` column to a TimestampType —
-    * shared by the batch reader and the streaming file source
-    * (graft.tools.StreamDrain), which must agree on the instant. */
+  /** Normalize the `ts` column to a TimestampType — shared by the batch
+    * reader and the streaming file source (graft.tools.StreamDrain), which
+    * must agree on the instant. Three input shapes are accepted:
+    *  - int64 nanos (old parquet layout read with nanosAsLong)
+    *  - TIMESTAMP_NTZ (parquet TIMESTAMP(µs, isAdjustedToUTC=false) — the
+    *    current testdata layout); the session timezone is pinned to UTC in
+    *    Bench/Verify/tests, so the NTZ→TIMESTAMP cast is instant-preserving
+    *  - TIMESTAMP, passed through unchanged */
   def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, NOT `/`: a float division promotes the ~1.7e18 ns
         // value to double (2^53 mantissa) and corrupts ~12% of µs values
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // unix_micros / withWatermark reject NTZ; cast to the instant type
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
 
