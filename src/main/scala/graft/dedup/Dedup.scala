@@ -184,7 +184,10 @@ object Dedup {
     * only which shuffle pays for them. */
   private[dedup] def duplicationRatio(df: DataFrame, textCol: String): Double = {
     // xxhash64(null) returns the SEED, not null (the simhashesAgg trap) —
-    // keep nullness explicit or null texts pollute the distinct count
+    // keep nullness explicit or null texts pollute the distinct count.
+    // `lower(trim(...))` here mirrors the collapse key (space-only trim,
+    // aligned with rawShingles — see collapseExpand), so the probe counts
+    // exactly the groups the collapse would form.
     val h = when(col(textCol).isNull, lit(null))
       .otherwise(xxhash64(lower(trim(col(textCol)))))
     val r = df.agg(
@@ -272,6 +275,14 @@ object Dedup {
                              intraCols: Seq[Column],
                              intraKeep: Column): DataFrame = {
     if (!shouldCollapse(df, textCol)) return flatPairs()
+    // The collapse key's `trim` strips ASCII SPACES ONLY — deliberately:
+    // it must normalize EXACTLY like rawShingles' `lower(trim(text))`, or
+    // two texts in one group could carry different shingle sets and the
+    // collapsed route (one rep's grams standing for all members) would
+    // diverge from the flat route. Texts differing by a trailing tab /
+    // newline are therefore distinct BY DEFINITION here — a missed-collapse
+    // corner on such corpora, never a correctness one (duplicationRatio
+    // probes with the same key, so routing and grouping stay consistent).
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("ek", sha2(lower(trim(col("__text"))), 256))
     val members = keyed.select(col("id"), col("ek"))
@@ -372,6 +383,8 @@ object Dedup {
     if (!shouldCollapse(corpus, textCol))
       return nearDupAgainstFlat(corpus, batch, textCol, idCol,
         threshold, k, numHashes, bands)
+    // same space-only-trim key as collapseExpand, same reason: it must
+    // match rawShingles' normalization exactly (see the note there)
     def keyed(df: DataFrame) =
       df.select(col(idCol).as("id"), col(textCol).as("__text"))
         .withColumn("ek", sha2(lower(trim(col("__text"))), 256))

@@ -1017,7 +1017,28 @@ object TextQueries {
     * each representative's occurrences with its member count
     * (cnt = Σ occ·m — including the doc's own group, just as the flat
     * sum includes the doc itself), so both routes are output-identical
-    * (SpanMixSpec pins it on a planted corpus). */
+    * (SpanMixSpec pins it on a planted corpus).
+    *
+    * Contracts and caveats:
+    *  - CALL-TIME SIDE EFFECT: the duplication probe is an eager (small)
+    *    Spark job fired when this method is CALLED, not when the returned
+    *    plan executes — callers that only want to build/inspect a plan
+    *    still pay (and need) the probe, since it picks the plan shape.
+    *  - `doc_id` must be unique per row (the repo-wide (doc_id, text)
+    *    contract): the flat route's groupBy would MERGE same-id rows into
+    *    one combined-count row while the collapsed expansion join emits
+    *    one row per input row — a violating caller gets route-dependent
+    *    output, not an error.
+    *  - The exact key's `trim` is space-only, matching
+    *    [[graft.dedup.Dedup.duplicationRatio]]'s probe key — texts
+    *    differing only by a trailing tab/newline stay in separate groups
+    *    (tokens() would treat them identically, so this is a missed
+    *    collapse, never an output difference; cnt = Σ occ·m sums to the
+    *    same flat total either way).
+    *  - The collapsed route computes the sha2 key twice (reps groupBy +
+    *    expansion join re-derive `keyed`): measured harmless beside the
+    *    tokenize/window work even at ×100-hot, and caching `keyed` would
+    *    trade it for a persist of the full text column. */
   def spanLayout(docs: DataFrame, w: Int, dropFrac: Double): DataFrame =
     if (!graft.dedup.Dedup.duplicationHeavy(docs, "text"))
       spanLayoutFlat(docs, w, dropFrac)
