@@ -85,4 +85,20 @@ class AnalysisCanarySpec extends SparkSpec {
         s"$dir/events.parquet: normalized ts is ${df.schema("ts").dataType}")
     }
   }
+
+  test("a planted type-drifted events table fails analysis loudly, by name") {
+    // The canary's reason to exist, demonstrated: regenerate events with a
+    // ts layout normalizeTs does NOT know (string), and the same analysis
+    // probe that greens the shipped dirs must throw for the event queries.
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[Throwable] {
+      SparkEntry.queries("ev05_asof_view_click")(spark, dir).schema
+    }
+    assert(ex.toString.toLowerCase.contains("datatype_mismatch")
+      || ex.toString.toLowerCase.contains("cannot resolve"),
+      s"expected an analysis error, got: $ex")
+  }
 }
