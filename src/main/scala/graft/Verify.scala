@@ -23,8 +23,13 @@ object Verify {
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         .linesIterator.mkString(" | ")
       System.err.println(s"[verify] $name failed: $msg")
-      Files.writeString(Paths.get(s"$outDir/$name.FAILED"),
+      // both loud artifacts are best-effort: an IOException here (disk
+      // full, perms) must not abort the remaining queries or the
+      // oracle_sql.json dump — that would recreate the whole-round
+      // silent-failure mode this path exists to prevent
+      try Files.writeString(Paths.get(s"$outDir/$name.FAILED"),
         s"$name: ${e.getClass.getName}: $msg\n")
+      catch { case _: Throwable => () }
       // Also leave a one-row error parquet under the query's own name: the
       // driver iterates over existing result dirs, so an absent dir is a
       // silent omission while this guarantees a loud schema/hash mismatch.

@@ -26,7 +26,7 @@ import graft.{SparkEntry, SparkSpec}
   */
 class AnalysisCanarySpec extends SparkSpec {
 
-  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private lazy val sfDirs = Seq(sf, "/root/testdata/sf0.01")
 
   for (dir <- sfDirs) {
     test(s"every registered query analyzes against $dir") {
