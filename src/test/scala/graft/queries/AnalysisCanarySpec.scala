@@ -86,6 +86,23 @@ class AnalysisCanarySpec extends SparkSpec {
     }
   }
 
+  test("the legacy int64-nanos events layout still runs end-to-end") {
+    // The regenerated testdata dropped the old ns-as-int64 layout, so no
+    // shipped dir exercises normalizeTs's LongType branch beyond the unit
+    // pin above — replant it and run a real event query through it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nslayout").toString
+    EventQueries.readEvents(spark, sf) // normalized TIMESTAMP → µs is legal
+      .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = spark.read.parquet(s"$dir/events.parquet")
+    assert(legacy.schema("ts").dataType == LongType) // the old shape, truly
+    val out = SparkEntry.queries("ev05_asof_view_click")(spark, dir)
+    assert(out.schema("view_us").dataType == LongType)
+    val expected = SparkEntry.queries("ev05_asof_view_click")(spark, sf)
+    // same instants through either layout → identical result set
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
+
   test("a planted type-drifted events table fails analysis loudly, by name") {
     // The canary's reason to exist, demonstrated: regenerate events with a
     // ts layout normalizeTs does NOT know (string), and the same analysis
