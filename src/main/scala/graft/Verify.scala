@@ -18,6 +18,11 @@ object Verify {
     try {
       fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      // a reused outDir may carry a stale marker from a PRIOR run: the
+      // error parquet above is overwritten, so the marker must go too or
+      // a fixed query still reads as failed. Best-effort like the writes.
+      try Files.deleteIfExists(Paths.get(s"$outDir/$name.FAILED"))
+      catch { case _: Throwable => () }
       true
     } catch { case e: Throwable =>
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName)

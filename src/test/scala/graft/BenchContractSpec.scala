@@ -37,6 +37,47 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.outFileFor(Some("X.json"), filtered = true, runs = 1) == "X.json")
   }
 
+  test("BASELINE.md's bench number-of-record quotes BENCH_LOCAL.json verbatim") {
+    // The r12 verdict's top finding: the doc said "44.06 s … quoted from
+    // BENCH_LOCAL.json" while the committed artifact read 35.15 s — a
+    // later run overwrote the file and the quote silently drifted. The
+    // LATEST quote in the chronicle (the number of record) must match the
+    // artifact it claims to quote: total to the quoted precision, query
+    // count, and failed count exactly.
+    val base = new java.io.File("BASELINE.md")
+    val bench = new java.io.File("BENCH_LOCAL.json")
+    if (base.exists() && bench.exists()) {
+      // BASELINE.md carries UTF-8 punctuation; the JVM default charset may
+      // not be UTF-8 under sbt
+      val doc = new String(java.nio.file.Files.readAllBytes(base.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val quoteRe =
+        """quoted from BENCH_LOCAL\.json: \*\*([0-9.]+) s / (\d+)\s*\n?queries / (\d+) failed\*\*""".r
+      val quotes = quoteRe.findAllMatchIn(doc).toSeq
+      assert(quotes.nonEmpty, "BASELINE.md has no machine-readable bench quote")
+      val m = quotes.last // chronicle order: the last quote is the record
+      val (qTotal, qQueries, qFailed) =
+        (m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt)
+
+      val benchSrc = scala.io.Source.fromFile(bench)
+      val json = try benchSrc.mkString finally benchSrc.close()
+      val aTotal = """"value":\s*([0-9.eE+-]+)""".r
+        .findFirstMatchIn(json).map(_.group(1).toDouble)
+      val aFailed = """"failed":\s*(\d+)""".r
+        .findFirstMatchIn(json).map(_.group(1).toInt)
+      val aQueries = """"queries":\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(json).map(_.group(1).count(_ == ':'))
+      assert(aTotal.isDefined && aFailed.isDefined && aQueries.isDefined,
+        "BENCH_LOCAL.json missing value/failed/queries fields")
+      assert(math.abs(aTotal.get - qTotal) < 0.005 + 1e-9,
+        s"BASELINE.md quotes $qTotal s but BENCH_LOCAL.json reads ${aTotal.get} s")
+      assert(aQueries.get == qQueries,
+        s"BASELINE.md quotes $qQueries queries but artifact has ${aQueries.get}")
+      assert(aFailed.get == qFailed,
+        s"BASELINE.md quotes $qFailed failed but artifact says ${aFailed.get}")
+    }
+  }
+
   test("a recorded local bench JSON (if present) is >= 3 runs, 0 failed") {
     val f = new java.io.File("BENCH_LOCAL.json")
     if (f.exists()) {

@@ -12,7 +12,35 @@ import org.scalatest.funsuite.AnyFunSuite
   * on the shared session would race every concurrently-running suite. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
-  def sf: String = "/root/testdata/sf0.001"
+  /** Root of the driver-generated parquet worlds — the one place the
+    * testdata location is spelled; suites derive every sf dir from it. */
+  def testdataRoot: String = "/root/testdata"
+  def sf: String = s"$testdataRoot/sf0.001"
+
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  /** A temp dir that is deleted (recursively) in afterAll — suites that
+    * plant drifted/legacy table layouts must not leak them across runs. */
+  def trackedTempDir(prefix: String): String = synchronized {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs += p
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    synchronized {
+      tempDirs.foreach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }
+      tempDirs.clear()
+    }
+    super.afterAll()
+  }
 }
 
 /** A private SQLConf over the shared SparkContext: `newSession()` shares

@@ -26,7 +26,7 @@ import graft.{SparkEntry, SparkSpec}
   */
 class AnalysisCanarySpec extends SparkSpec {
 
-  private lazy val sfDirs = Seq(sf, "/root/testdata/sf0.01")
+  private lazy val sfDirs = Seq(sf, s"$testdataRoot/sf0.01")
 
   for (dir <- sfDirs) {
     test(s"every registered query analyzes against $dir") {
@@ -90,7 +90,7 @@ class AnalysisCanarySpec extends SparkSpec {
     // The regenerated testdata dropped the old ns-as-int64 layout, so no
     // shipped dir exercises normalizeTs's LongType branch beyond the unit
     // pin above — replant it and run a real event query through it.
-    val dir = java.nio.file.Files.createTempDirectory("graft-nslayout").toString
+    val dir = trackedTempDir("graft-nslayout")
     EventQueries.readEvents(spark, sf) // normalized TIMESTAMP → µs is legal
       .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -107,7 +107,7 @@ class AnalysisCanarySpec extends SparkSpec {
     // The canary's reason to exist, demonstrated: regenerate events with a
     // ts layout normalizeTs does NOT know (string), and the same analysis
     // probe that greens the shipped dirs must throw for the event queries.
-    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val dir = trackedTempDir("graft-drift")
     spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
