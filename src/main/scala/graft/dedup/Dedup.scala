@@ -428,8 +428,15 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val r = numHashes / bands
-    graft.functions.SortedIntersectSize.register(corpus.sparkSession)
-    graft.functions.GramHashes.register(corpus.sparkSession)
+    // register on BOTH sides' sessions: inside foreachBatch the batch
+    // DataFrame carries the stream's CLONED session — the final plan
+    // analyzes there, and a clone made before any registration (fresh
+    // JVM: StreamBench) otherwise fails with UNRESOLVED_ROUTINE on
+    // gram_hashes (r13 regression, spec-pinned in StreamingSpec)
+    Seq(corpus.sparkSession, batch.sparkSession).distinct.foreach { s =>
+      graft.functions.SortedIntersectSize.register(s)
+      graft.functions.GramHashes.register(s)
+    }
     def bandsOf(df: DataFrame, idAs: String): DataFrame = {
       val base =
         if (k == 5 && numHashes == 32) {

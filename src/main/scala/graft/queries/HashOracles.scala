@@ -199,7 +199,9 @@ object HashOracles {
     "t09" -> ("SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS chunk_no, " +
       "'ORACLE NEVER RAN: query did not execute in the dumping JVM' AS chunk"),
     "t27" -> ("SELECT CAST(-1 AS BIGINT) AS batch_id, CAST(-1 AS BIGINT) AS corpus_id, " +
-      "CAST(-1 AS DOUBLE) AS jaccard"))
+      "CAST(-1 AS DOUBLE) AS jaccard"),
+    "t29" -> ("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, " +
+      "CAST(-1 AS INTEGER) AS dist, CAST(-1 AS DOUBLE) AS jw"))
 
   private def bandValues(corpus: Array[(Long, String)]): String =
     corpus.flatMap { case (id, t) =>
@@ -288,6 +290,41 @@ object HashOracles {
          |  JOIN gb b ON b.id = cd.batch_id)
          |SELECT batch_id, corpus_id, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.5""".stripMargin
+  }
+
+  /** t29: the candidates-fed fuzzy verify. Candidates from embedded band
+    * buckets (same machinery as s03); the 200-char prefix, the Levenshtein
+    * DP, the Jaro-Winkler similarity, the ≤ 20 threshold, and the decimal
+    * rounding all recomputed by DuckDB from raw text. DuckDB levenshtein
+    * counts bytes where Spark counts codepoints — equivalent on the pure-
+    * ASCII harness corpora (the t18 caveat); jaro_winkler_similarity is
+    * DuckDB's independent implementation, bit-identical to the native
+    * expression (validated on 7k random pairs in JaroWinklerSpec). */
+  def fuzzyNearDupOracle: String = docs() match {
+    case None => neverRanSql("t29")
+    case Some(d) =>
+      val values = bandValues(withPerturbed(d, " fuzzy tail"))
+      s"""WITH bb(id, band, bucket) AS (VALUES
+         |  $values),
+         |corpus(id, text) AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' fuzzy tail' FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |p AS (SELECT id, substring(text, 1, 200) AS t FROM corpus),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |         levenshtein(a.t, b.t) AS dist,
+         |         jaro_winkler_similarity(a.t, b.t) AS jw
+         |  FROM cand c
+         |  JOIN p a ON a.id = c.id_a
+         |  JOIN p b ON b.id = c.id_b)
+         |SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist,
+         |       CAST(CAST(jw AS DECIMAL(28,6)) AS DOUBLE) AS jw
+         |FROM j WHERE dist <= 20""".stripMargin
   }
 
   /** s04: chunk split, equi-join, Hamming, dedup, and threshold all

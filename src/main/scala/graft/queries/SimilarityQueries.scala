@@ -576,6 +576,68 @@ object SimilarityQueries {
        |FROM assign a LEFT JOIN p USING (vec_id)""".stripMargin
   }
 
+  /** ANN-fed cosine near-dup — the SCALE SHAPE whose bounded all-pairs
+    * primitive is s05: LSH bucket candidates ([[Similarity.lshNearDupPairs]],
+    * a (table, code) equi-join — no crossJoin anywhere in the plan) feed
+    * the exact cosine threshold. Like s13 the query plants its own
+    * positives (+0.01-per-component replicas at id+1e6, self-cosine ≥
+    * 0.997 on the unit-norm corpus, ≈0 to everything else — the 0.8
+    * threshold sits in a wide gap, so last-ulp engine divergence cannot
+    * flip a pair). The oracle is class-load deterministic (seeded
+    * hyperplanes as VALUES, like s02): DuckDB rebuilds the codes with the
+    * same sign-bit arithmetic, the candidate equi-join, the float
+    * round-trip of the replicas, the cosine, and the threshold —
+    * a candidate pair missed by LSH is missed identically on both sides,
+    * so the oracle is exact regardless of recall; SimilaritySpec pins
+    * recall separately against the all-pairs exact set (s05's shape). */
+  def annCosineNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = scan(spark, sfDir, "embeddings")
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(Similarity.asDouble(col("embedding")), x => x + lit(0.01))
+        .cast("array<float>").as("embedding"))
+    Similarity.lshNearDupPairs(base.unionByName(planted), threshold = 0.8)
+  }
+
+  /** DuckDB twin of lshNearDupPairs' defaults (6 tables × 8 planes, seed
+    * 137+t): hyperplanes as VALUES, codes rebuilt with the same sign-bit
+    * arithmetic over the same double views (the planted replica's
+    * double→float→double round-trip mirrored via CAST AS REAL[]),
+    * candidate equi-join + exact cosine + threshold recomputed. */
+  private val annCosineNearDupOracle: String = {
+    val rows = for {
+      t <- 0 until 6
+      (p, i) <- Similarity.hyperplanes(8, 64, 137L + t).zipWithIndex
+    } yield s"($t, $i, ${vecLit(p)})"
+    s"""WITH planes(tbl, i, p) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |all_e AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         CAST(list_transform(v, x -> x + 0.01) AS REAL[])::DOUBLE[] AS v
+       |  FROM base),
+       |codes AS (
+       |  SELECT e.vec_id, pl.tbl,
+       |         SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+       |                  THEN CAST(1 AS BIGINT) << pl.i
+       |                  ELSE CAST(0 AS BIGINT) END)::BIGINT AS code
+       |  FROM all_e e, planes pl
+       |  GROUP BY e.vec_id, pl.tbl),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM codes a JOIN codes b
+       |    ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id),
+       |s AS (
+       |  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS sim
+       |  FROM cand c
+       |  JOIN all_e ea ON ea.vec_id = c.id_a
+       |  JOIN all_e eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, round(sim, 6) AS sim
+       |FROM s WHERE sim >= 0.8""".stripMargin
+  }
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("s01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     NamedQuery("s02_ann_lsh", annLsh, Some(annLshOracle)),
@@ -595,5 +657,7 @@ object SimilarityQueries {
     NamedQuery("s13_semantic_dedup", semanticDedup, None,
       oracleFn = Some(() => semanticDedupOracle)),
     NamedQuery("s14_ann_quantized", annQuantized, Some(annQuantizedOracle)),
+    NamedQuery("s15_ann_cosine_neardup", annCosineNearDup,
+      Some(annCosineNearDupOracle)),
   )
 }

@@ -703,6 +703,42 @@ object TextQueries {
         col("jw").cast("decimal(28,6)").cast("double").as("jw"))
   }
 
+  /** Candidates-fed fuzzy verify — the SCALE SHAPE of fuzzy dedup, closing
+    * the gap the bounded-slice primitives (t18/t20) leave open: LSH
+    * candidate generation ([[Dedup.minhashCandidates]] — a (band, bucket)
+    * equi-join, never all-pairs) feeds the character-level verifiers
+    * (prefix-bounded Levenshtein + Jaro-Winkler) over documents ∪
+    * tail-perturbed copies. This is the composition that runs at 100 TB:
+    * one narrow signature pass, one band-bucket shuffle of fixed-width
+    * hashes, then the O(200²) DP on CANDIDATE pairs only — with the
+    * LevenshteinPrefilter guard short-circuiting the DP for pairs whose
+    * length gap alone exceeds the threshold. Dump-time VALUES oracle
+    * (HashOracles): band buckets embedded, DuckDB recomputes the candidate
+    * join, both fuzzy metrics, the threshold, and the rounding
+    * independently. The t18 byte-vs-codepoint caveat applies (ASCII
+    * corpus ⇒ identical). */
+  def fuzzyNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    HashOracles.record(spark, sfDir)
+    graft.functions.JaroWinkler.register(spark)
+    graft.plans.LevenshteinPrefilter.install(spark)
+    val docs = scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pert = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" fuzzy tail")).as("text"))
+    val all = docs.unionAll(pert)
+    val cands = Dedup.minhashCandidates(all, "text", "doc_id")
+    val p = all.select(col("doc_id").as("id"),
+      substring(col("text"), 1, 200).as("t"))
+    cands
+      .join(p.as("pa"), col("id_a") === col("pa.id"))
+      .join(p.as("pb"), col("id_b") === col("pb.id"))
+      .withColumn("dist", levenshtein(col("pa.t"), col("pb.t")))
+      .where(col("dist") <= 20)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        expr("jaro_winkler(pa.t, pb.t)")
+          .cast("decimal(28,6)").cast("double").as("jw"))
+  }
+
   /** Sequence packing — the last pre-training step: concatenate chunks
     * and cut every `budget` tokens (GPT-style packing; sequences fill
     * the context window, chunks may straddle a cut). Deterministic and
@@ -1244,5 +1280,7 @@ object TextQueries {
       Some(tokenBudgetMixOracle)),
     NamedQuery("t27_incremental_neardup", incrementalNearDup, None,
       oracleFn = Some(() => HashOracles.incrementalNearDupOracle)),
+    NamedQuery("t29_fuzzy_neardup", fuzzyNearDup, None,
+      oracleFn = Some(() => HashOracles.fuzzyNearDupOracle)),
   )
 }

@@ -132,6 +132,50 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** LSH-bucketed cosine near-dup PAIRS — the scale path whose bounded
+    * all-pairs primitive is s05: candidates come from a (table, code)
+    * equi-join over random-hyperplane bucket codes (one narrow native
+    * projection per row, never an all-pairs compare), and exact cosine
+    * runs on candidate pairs only. The 100 TB shape mirrors
+    * [[graft.dedup.Dedup.nearDupPairsFlat]]: the candidate join shuffles
+    * only (table, code, id) triples — the vectors do NOT ride through the
+    * band shuffle — and the verify join fetches vectors by id afterwards.
+    *
+    * Parameter shape differs from [[lshTopK]] deliberately: ANN retrieval
+    * wants big buckets (few planes) for recall at cos≈0.2; near-dup
+    * detection targets cos ≥ threshold≈0.8-1.0 where per-plane agreement
+    * is ≈1-acos(c)/π ≥ 0.9, so MORE planes (default 8) shrink buckets —
+    * candidate volume stays corpus-linear — while multiple tables keep
+    * pair recall: at cos 0.997 (a planted near-dup), 8 planes agree with
+    * p≈0.82 per table and 6 tables push recall past 0.9999.
+    *
+    * `vecCol` must be `array<float>`: codes are computed on its double
+    * widening, the verify cosine on the raw floats via the native fused
+    * FloatCosine (an oracle mirrors both exactly — `::DOUBLE[]` and
+    * `CAST(... AS REAL[])` in DuckDB). Returns (id_a, id_b, sim) with
+    * id_a < id_b at sim ≥ threshold. */
+  def lshNearDupPairs(df: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      planesPerTable: Int = 8, tables: Int = 6,
+                      dim: Int = 64, seed: Long = 137L): DataFrame = {
+    graft.functions.FloatCosine.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vf"))
+    val codes = base.select(col("id"),
+      posexplode(exprCol(graft.functions.LshBucketCodes(
+        colExpr(asDouble(col("vf"))), planesPerTable, tables, dim, seed)))
+        .as(Seq("table", "code")))
+    val cands = codes.as("a").join(codes.as("b"),
+        col("a.table") === col("b.table") && col("a.code") === col("b.code") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands.join(base.as("va"), col("id_a") === col("va.id"))
+      .join(base.as("vb"), col("id_b") === col("vb.id"))
+      .withColumn("sim", expr("float_cosine(va.vf, vb.vf)"))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF top-k: corpus vectors are bucketed by nearest centroid (one
     * narrow map + an equi-join); each query probes its `nprobe` nearest
     * cells only. The 100 TB story: the corpus is scanned once to build

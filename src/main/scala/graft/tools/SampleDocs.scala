@@ -30,17 +30,24 @@ import org.apache.spark.sql.functions._
   * copy — the lineitem/events/embeddings queries must still see full ×F
   * volume).
   *
-  * Usage: `runMain graft.tools.SampleDocs <srcDir> <dstDir> [denominator]`
-  * (default 100; keeps docs with pmod(xxhash64(doc_id % Stride), N) == 0).
+  * Usage: `runMain graft.tools.SampleDocs <srcDir> <dstDir> [denominator]
+  * [residue]` (default 100, residue 0; keeps docs with
+  * pmod(xxhash64(doc_id % Stride), N) == residue). A nonzero residue
+  * draws an INDEPENDENT disjoint sample — the round-13 second-seed cells
+  * re-verify each ×100 axis on a different 1-in-N slice, cutting the odds
+  * that one particular sample masks a scale-only divergence.
   */
 object SampleDocs {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: SampleDocs <srcDir> <dstDir> [denominator]")
+      "usage: SampleDocs <srcDir> <dstDir> [denominator] [residue]")
     val src = new java.io.File(args(0))
     val dst = new java.io.File(args(1))
     val denom = if (args.length > 2) args(2).toInt else 100
+    val residue = if (args.length > 3) args(3).toLong else 0L
     require(denom >= 1, s"denominator must be >= 1, got $denom")
+    require(residue >= 0 && residue < denom,
+      s"residue must be in [0, $denom), got $residue")
     require(src.isDirectory, s"$src is not a directory")
     require(src.getCanonicalPath != dst.getCanonicalPath,
       "dst must differ from src")
@@ -61,10 +68,11 @@ object SampleDocs {
           val df = spark.read.parquet(t.getAbsolutePath)
           val kept = df.where(
             pmod(xxhash64(pmod(col("doc_id"), lit(ScaleUp.Stride))),
-              lit(denom.toLong)) === 0L)
+              lit(denom.toLong)) === residue)
           kept.repartition(8).write.mode("overwrite")
             .parquet(out.getAbsolutePath)
-          println(s"documents: 1-in-$denom by original-id hash -> " +
+          println(s"documents: 1-in-$denom (residue $residue) by " +
+            s"original-id hash -> " +
             s"${spark.read.parquet(out.getAbsolutePath).count()} docs")
         } else {
           if (!out.exists())

@@ -63,19 +63,90 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("LeftSemi") && s.contains("LeftAnti"))
   }
 
-  test("no accidental cartesian products anywhere") {
-    // t06/s05 are deliberate bounded all-pairs verifies (doc_id<60 /
-    // vec_id<200 slices); everything else must be join-keyed
+  test("no cartesian-FAMILY nodes anywhere outside the deliberate set") {
+    // The PLANS.md claim, enforced: the only cartesian-family operators in
+    // the whole surface are s01/s14's deliberate broadcast-query-side
+    // brute-force scans and the bounded all-pairs verify primitives
+    // (t06 doc_id<60, s05 vec_id<200, t18/t20 30-doc slices — constant
+    // size at any SF, and auto-broadcast to BNLJ at test volumes).
+    // Everything else — in particular the scale-shaped compositions
+    // t29/s15 — must be join-keyed. BroadcastNestedLoopJoin counts as
+    // cartesian-family: it compares every pair, broadcast or not.
     val exempt = Set("t06_ngram_jaccard", "s05_cosine_neardup",
       "t18_edit_distance", // bounded all-pairs verify primitives (30 docs)
       "t20_jaro_neardup",
-      "s01_cosine_topk") // s01 broadcasts a 5-row query set by design
+      "s01_cosine_topk", // broadcasts a 5-row query set by design
+      "s14_ann_quantized", // the SQ8 coarse scan broadcasts the same 5 rows
+      "t11_tfidf_topk", // crossJoin(broadcast(1-row n_docs aggregate))
+      "t23_unigram_logprob") // same shape: 1-row token-total broadcast
     Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
       val s = Registry.queries(q.name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!s.contains("CartesianProduct"),
         s"${q.name} has a cartesian product:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} has a nested-loop join:\n$s")
     }
+  }
+
+  test("source quota: one shuffle; partial top-k before it (WindowGroupLimit)") {
+    val s = planStr("t22_source_quota")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"t22 must shuffle exactly once, on the window key:\n$s")
+    assert(s.contains("WindowGroupLimit"),
+      s"per-source top-k must prune map-side before the exchange:\n$s")
+  }
+
+  test("audit sensitivity: a planted shuffle_hash hint flips the detections") {
+    // The invariants above are string matches over executedPlan — prove
+    // they aren't vacuous: force the degraded join shape on e02's exact
+    // tables and watch the same signals invert (broadcast gone, shuffle
+    // join present). A refactor that silently degrades a plan this way
+    // fails the pins the same run.
+    import org.apache.spark.sql.functions.col
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet").hint("shuffle_hash")
+    val degraded = orders.join(cust,
+      orders("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+    val s = degraded.queryExecution.executedPlan.toString
+    assert(s.contains("ShuffledHashJoin"),
+      s"hint must force the shuffled join:\n$s")
+    assert(!s.contains("BroadcastHashJoin"),
+      "the broadcast detection must read false on the degraded plan")
+  }
+
+  test("fuzzy near-dup t29: LevenshteinPrefilter guard reaches the composition") {
+    // t18 pins the guard on the bounded primitive; t29 is the LSH-fed
+    // scale shape — the guard must survive the candidate-join rewrite too
+    graft.plans.LevenshteinPrefilter.install(spark)
+    val s = Registry.queries("t29_fuzzy_neardup")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(s.contains("levenshtein"), s"t29 lost its levenshtein verify:\n$s")
+    assert(s.contains("abs(") && s.contains("length("),
+      s"the O(1) length-gap guard must precede the DP in t29's plan:\n$s")
+  }
+
+  test("fuzzy near-dup t29: band join keyed; text never rides the band shuffle") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = Registry.queries("t29_fuzzy_neardup")(spark, sf)
+      .queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    // candidate exchanges carry (id, band, bucket) triples only — the
+    // 200-char verify prefixes join back by id after the pair distinct
+    val bandExchanges = root.collect { case e: Exchange => e }
+      .filter(_.output.exists(_.name == "bucket"))
+    assert(bandExchanges.nonEmpty, "expected the (band, bucket) candidate exchange")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(
+          _.dataType == org.apache.spark.sql.types.StringType),
+        s"text rode the band exchange: ${e.output.map(_.name).mkString(",")}")
+    }
+    assert(!plan.toString.contains("CartesianProduct"))
   }
 
   test("minhash near-dup: the band join is an equi-join, not a cross") {

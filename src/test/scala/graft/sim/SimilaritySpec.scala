@@ -355,6 +355,63 @@ class SimilaritySpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), "corpus×corpus cartesian leaked")
   }
 
+  test("s15 lsh near-dup: recall vs the exact all-pairs set (the s05 primitive)") {
+    // s15's oracle proves engine==DuckDB on the LSH-candidate composition;
+    // this pins the other axis — how much of the EXACT all-pairs answer
+    // (s05's shape, run here over the same planted corpus) the LSH
+    // candidates retain. With 8 planes × 6 tables at planted cosine ≥
+    // 0.997, per-table agreement ≈ 0.82 and the miss probability per pair
+    // is ≈ 0.18^6 ≈ 3e-5 — deterministic under the fixed seed.
+    graft.functions.FloatCosine.register(spark)
+    val out = graft.queries.SimilarityQueries.annCosineNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(Similarity.asDouble(col("embedding")), x => x + lit(0.01))
+        .cast("array<float>").as("embedding"))
+    val all = base.unionByName(planted)
+    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(expr("float_cosine(va, vb)") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nBase = base.count()
+    assert(exact.size >= nBase.toInt,
+      "every base vector's planted replica must be an exact pair")
+    assert(out.subsetOf(exact),
+      "LSH-fed pairs are exact-verified — no false positives possible")
+    val recall = exact.intersect(out).size.toDouble / exact.size
+    info(f"s15 recall vs exact all-pairs = $recall%.4f (${exact.size} exact pairs)")
+    assert(recall == 1.0,
+      s"seeded-LSH recall dropped below the planted-pair guarantee: $recall")
+  }
+
+  test("s15 lsh near-dup plan: vectors don't ride the band shuffle; joins keyed") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = graft.queries.SimilarityQueries.annCosineNearDup(spark, sf)
+      .queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    // the candidate join's exchanges (shuffle at scale; broadcast when a
+    // side is tiny, as at sf0.001) carry (id, table, code) triples only —
+    // the float vectors join back AFTER pair distinct, by id
+    val bandShuffles = root.collect { case e: Exchange => e }
+      .filter(_.output.exists(_.name == "code"))
+    assert(bandShuffles.nonEmpty, "expected the (table, code) candidate shuffle")
+    bandShuffles.foreach { e =>
+      assert(!e.output.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"vector rode the band shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the bucket equi-join:\n$s")
+  }
+
   test("quantize8 matches s09's arithmetic and stays within int8 range") {
     val r = emb.limit(50)
       .select(Similarity.quantize8(col("embedding")).as("q"))

@@ -373,6 +373,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup gate resolves its native functions on a FRESH session (foreachBatch clone)") {
+    // r13 regression, caught by StreamBench's fresh JVM: gram_hashes /
+    // intersect_size_sorted were registered on the CORPUS session only,
+    // but a foreachBatch micro-batch analyzes under the stream's CLONED
+    // session — a clone taken before any registration fails with
+    // UNRESOLVED_ROUTINE. The suite's shared session masked this (earlier
+    // tests register the functions before any stream starts), so this
+    // test runs the gate on a newSession() whose registry never saw them.
+    val fresh = spark.newSession()
+    import fresh.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    implicit val sqlCtx = fresh.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the corpus today"))
+      .toDF("doc_id", "text")
+    val dir = trackedTempDir("graft-gate-fresh")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.startNearDupGate(
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", 0.5,
+      s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1000000L,
+        "the quick brown fox jumps over the lazy dog in the corpus today"))
+      q.processAllAvailable()
+      val rows = fresh.read.parquet(s"$dir/out")
+        .select("id", "passed").as[(Long, Int)].collect().toSet
+      assert(rows == Set((1000000L, 0)),
+        s"the exact-duplicate replay must be flagged: $rows")
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the 30-minute gap") {
     val events = Seq(
       (1L, ts(0), 100L), (2L, ts(10), 100L), (3L, ts(55), 100L),
