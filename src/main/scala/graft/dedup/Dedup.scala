@@ -182,14 +182,16 @@ object Dedup {
     * output-identical (DedupSpec pins collapsed == flat on both corpus
     * shapes), so even a perturbed probe could not change query results —
     * only which shuffle pays for them. */
-  private[dedup] def duplicationRatio(df: DataFrame, textCol: String): Double = {
+  private[dedup] def duplicationRatio(df: DataFrame, textCol: String,
+                                      rawKey: Boolean = false): Double = {
     // xxhash64(null) returns the SEED, not null (the simhashesAgg trap) —
     // keep nullness explicit or null texts pollute the distinct count.
-    // `lower(trim(...))` here mirrors the collapse key (space-only trim,
-    // aligned with rawShingles — see collapseExpand), so the probe counts
-    // exactly the groups the collapse would form.
+    // The probe normalization mirrors the collapse key exactly
+    // (`lower(trim(...))` by default, the raw text under `rawKey` — see
+    // collapseExpand), so the probe counts exactly the groups the
+    // collapse would form.
     val h = when(col(textCol).isNull, lit(null))
-      .otherwise(xxhash64(lower(trim(col(textCol)))))
+      .otherwise(xxhash64(collapseNorm(col(textCol), rawKey)))
     val r = df.agg(
       count(col(textCol)).as("n"),
       approx_count_distinct(h).as("d"))
@@ -211,8 +213,22 @@ object Dedup {
     * correctness. */
   private[dedup] val CollapseDuplicationThreshold = 1.25
 
-  private[dedup] def shouldCollapse(df: DataFrame, textCol: String): Boolean =
-    duplicationRatio(df, textCol) >= CollapseDuplicationThreshold
+  private[dedup] def shouldCollapse(df: DataFrame, textCol: String,
+                                    rawKey: Boolean = false): Boolean =
+    duplicationRatio(df, textCol, rawKey) >= CollapseDuplicationThreshold
+
+  /** The normalization under the collapse key and its routing probe:
+    * `lower(trim(text))` for the Jaccard/SimHash family (their payloads —
+    * gram Jaccard, Hamming — are functions of the NORMALIZED text, so any
+    * two texts equal under it are fully interchangeable), or the raw text
+    * (`rawKey = true`) for payloads computed on the text as-is
+    * (Levenshtein, Jaro-Winkler): under a normalizing key two
+    * case-different members would collapse into one group yet carry
+    * nonzero flat-route distances, and the rep's payload would misstate
+    * theirs — byte-identity is the only equality that makes members
+    * interchangeable for a case-sensitive verifier. */
+  private def collapseNorm(text: Column, rawKey: Boolean): Column =
+    if (rawKey) text else lower(trim(text))
 
   /** Public face of the adaptive-collapse routing probe, for operators
     * OUTSIDE this package that apply the same exact-collapse trick
@@ -269,12 +285,14 @@ object Dedup {
     * moves anyway — after a second full scan. One groupBy that
     * partial-combines duplicates map-side is strictly better on every
     * corpus shape. */
-  private def collapseExpand(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def collapseExpand(df: DataFrame, textCol: String,
+                             idCol: String,
                              repPairs: DataFrame => DataFrame,
                              flatPairs: () => DataFrame,
                              intraCols: Seq[Column],
-                             intraKeep: Column): DataFrame = {
-    if (!shouldCollapse(df, textCol)) return flatPairs()
+                             intraKeep: Column,
+                             rawKey: Boolean = false): DataFrame = {
+    if (!shouldCollapse(df, textCol, rawKey)) return flatPairs()
     // The collapse key's `trim` strips ASCII SPACES ONLY — deliberately:
     // it must normalize EXACTLY like rawShingles' `lower(trim(text))`, or
     // two texts in one group could carry different shingle sets and the
@@ -283,8 +301,11 @@ object Dedup {
     // newline are therefore distinct BY DEFINITION here — a missed-collapse
     // corner on such corpora, never a correctness one (duplicationRatio
     // probes with the same key, so routing and grouping stay consistent).
+    // `rawKey` callers (case-sensitive payloads — see collapseNorm) group
+    // on byte-identity instead; their signatures are still functions of
+    // the raw text, so candidate equivalence holds a fortiori.
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("ek", sha2(lower(trim(col("__text"))), 256))
+      .withColumn("ek", sha2(collapseNorm(col("__text"), rawKey), 256))
     val members = keyed.select(col("id"), col("ek"))
     val reps = keyed.groupBy(col("ek"))
       .agg(min(col("id")).as("id"), min_by(col("__text"), col("id")).as("__text"))

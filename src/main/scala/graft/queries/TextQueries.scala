@@ -712,7 +712,10 @@ object TextQueries {
     * one narrow signature pass, one band-bucket shuffle of fixed-width
     * hashes, then the O(200²) DP on CANDIDATE pairs only — with the
     * LevenshteinPrefilter guard short-circuiting the DP for pairs whose
-    * length gap alone exceeds the threshold. Dump-time VALUES oracle
+    * length gap alone exceeds the threshold, and the adaptive
+    * exact-collapse routing (byte-identity key — see
+    * [[Dedup.collapseExpand]]) bounding the DP to DISTINCT texts on
+    * duplicate-heavy corpora. Dump-time VALUES oracle
     * (HashOracles): band buckets embedded, DuckDB recomputes the candidate
     * join, both fuzzy metrics, the threshold, and the rounding
     * independently. The t18 byte-vs-codepoint caveat applies (ASCII
@@ -726,17 +729,38 @@ object TextQueries {
     val pert = docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" fuzzy tail")).as("text"))
     val all = docs.unionAll(pert)
-    val cands = Dedup.minhashCandidates(all, "text", "doc_id")
-    val p = all.select(col("doc_id").as("id"),
-      substring(col("text"), 1, 200).as("t"))
-    cands
-      .join(p.as("pa"), col("id_a") === col("pa.id"))
-      .join(p.as("pb"), col("id_b") === col("pb.id"))
-      .withColumn("dist", levenshtein(col("pa.t"), col("pb.t")))
-      .where(col("dist") <= 20)
-      .select(col("id_a"), col("id_b"), col("dist"),
-        expr("jaro_winkler(pa.t, pb.t)")
-          .cast("decimal(28,6)").cast("double").as("jw"))
+    // LSH candidates -> fuzzy verify, the composition's flat form. On a
+    // duplicate-heavy corpus the candidate set grows with duplication²
+    // per distinct text and every surviving pair pays the O(200²)
+    // Levenshtein DP — the ×10-hot axis measured exactly that blowup
+    // (single verify task grinding for 15+ min), so the composition
+    // routes through the same adaptive exact-collapse harness as
+    // s03/s04, with `rawKey = true`: Levenshtein/Jaro-Winkler are
+    // case-sensitive, so only byte-identical texts are interchangeable
+    // (a `lower(trim())` group could carry nonzero intra-group
+    // distances). Intra pairs of byte-identical texts are always flat
+    // candidates (identical signatures band together) with dist = 0,
+    // jw = 1.0 exactly — the degenerate payload the collapse injects.
+    def fuzzyVerify(d: DataFrame, textCol: String, idCol: String)
+        : DataFrame = {
+      val cands = Dedup.minhashCandidates(d, textCol, idCol)
+      val p = d.select(col(idCol).as("id"),
+        substring(col(textCol), 1, 200).as("t"))
+      cands
+        .join(p.as("pa"), col("id_a") === col("pa.id"))
+        .join(p.as("pb"), col("id_b") === col("pb.id"))
+        .withColumn("dist", levenshtein(col("pa.t"), col("pb.t")))
+        .where(col("dist") <= 20)
+        .select(col("id_a"), col("id_b"), col("dist"),
+          expr("jaro_winkler(pa.t, pb.t)")
+            .cast("decimal(28,6)").cast("double").as("jw"))
+    }
+    Dedup.collapseExpand(all, "text", "doc_id",
+      reps => fuzzyVerify(reps, "__text", "id"),
+      () => fuzzyVerify(all, "text", "doc_id"),
+      intraCols = Seq(lit(0).as("dist"), lit(1.0).as("jw")),
+      intraKeep = lit(true),
+      rawKey = true)
   }
 
   /** Sequence packing — the last pre-training step: concatenate chunks
