@@ -211,7 +211,7 @@ object Dedup {
     * axes measure 10–100); corpora near the threshold are cheap on
     * EITHER route, so a borderline misroute costs noise, never
     * correctness. */
-  private[dedup] val CollapseDuplicationThreshold = 1.25
+  private[graft] val CollapseDuplicationThreshold = 1.25
 
   private[dedup] def shouldCollapse(df: DataFrame, textCol: String,
                                     rawKey: Boolean = false): Boolean =
