@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Deterministic 1-in-N sample of the DOCUMENTS table of a scaled world —
-  * the tool behind the measured ×100 oracle cell in BASELINE.md.
+/** Deterministic 1-in-N sample of the DOCUMENTS and EMBEDDINGS tables of
+  * a scaled world — the tool behind the measured ×100 oracle cells in
+  * BASELINE.md.
   *
   * Why it exists: the s03/s04/t09 oracles embed per-doc VALUES literals,
   * so `oracle_sql.json` grows O(docs) (~63 MB at the ×10 axes) and the
@@ -27,8 +28,7 @@ import org.apache.spark.sql.functions._
   * plain 1-in-N doc sample.
   *
   * Every other `<table>.parquet` is symlinked from the source world (zero
-  * copy — the lineitem/events/embeddings queries must still see full ×F
-  * volume).
+  * copy — the lineitem/events queries must still see full ×F volume).
   *
   * Usage: `runMain graft.tools.SampleDocs <srcDir> <dstDir> [denominator]
   * [residue]` (default 100, residue 0; keeps docs with
@@ -61,24 +61,36 @@ object SampleDocs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // embeddings get the same duplication-preserving sample as documents:
+    // a scaled world replicates every VECTOR verbatim too, so the
+    // full-corpus pair queries (s15's near-dup output is quadratic in
+    // duplication per distinct vector) outgrow the DuckDB oracle budget
+    // the same way the text side did — the first unsampled ×100 cell
+    // measured the s15 oracle ENOSPC-ing DuckDB's temp spill while the
+    // engine side (exact-collapsed) completed fine. Sampling by the
+    // pre-shift original id keeps all F replicas of a kept vector, so
+    // the cell still stresses full ×F duplication density.
+    val sampledTables = Map(
+      "documents.parquet" -> "doc_id", "embeddings.parquet" -> "vec_id")
     src.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .foreach { t =>
         val out = new java.io.File(dst, t.getName)
-        if (t.getName == "documents.parquet") {
-          val df = spark.read.parquet(t.getAbsolutePath)
-          val kept = df.where(
-            pmod(xxhash64(pmod(col("doc_id"), lit(ScaleUp.Stride))),
-              lit(denom.toLong)) === residue)
-          kept.repartition(8).write.mode("overwrite")
-            .parquet(out.getAbsolutePath)
-          println(s"documents: 1-in-$denom (residue $residue) by " +
-            s"original-id hash -> " +
-            s"${spark.read.parquet(out.getAbsolutePath).count()} docs")
-        } else {
-          if (!out.exists())
-            java.nio.file.Files.createSymbolicLink(out.toPath,
-              t.getAbsoluteFile.toPath)
-          println(s"${t.getName}: symlinked")
+        sampledTables.get(t.getName) match {
+          case Some(idCol) =>
+            val df = spark.read.parquet(t.getAbsolutePath)
+            val kept = df.where(
+              pmod(xxhash64(pmod(col(idCol), lit(ScaleUp.Stride))),
+                lit(denom.toLong)) === residue)
+            kept.repartition(8).write.mode("overwrite")
+              .parquet(out.getAbsolutePath)
+            println(s"${t.getName}: 1-in-$denom (residue $residue) by " +
+              s"original-id hash -> " +
+              s"${spark.read.parquet(out.getAbsolutePath).count()} rows")
+          case None =>
+            if (!out.exists())
+              java.nio.file.Files.createSymbolicLink(out.toPath,
+                t.getAbsoluteFile.toPath)
+            println(s"${t.getName}: symlinked")
         }
       }
     spark.stop()
