@@ -19,8 +19,13 @@ import org.apache.spark.sql.types.IntegerType
   * length-gap > k  ⇒  distance > k, and both sides agree on NULL inputs
   * (null length ⇒ null guard, null distance ⇒ null comparison).
   *
-  * Spark's own `levenshtein(a, b, threshold)` form prunes inside the DP
-  * but still enters it; this prunes before. The rule is idempotent: a
+  * Spark's own `levenshtein(a, b, threshold)` form carries the same
+  * pruning inside the expression (banded DP + a length-gap early
+  * return) and is the right spelling when the threshold is known at
+  * authoring time — t29 uses it. This rule exists for the 2-arg form:
+  * predicates like `levenshtein(a, b) <= k` written by layers that
+  * don't control the expression (generated SQL, the t18 primitive)
+  * get the O(1) guard without a rewrite. The rule is idempotent: a
   * comparison already guarded by its own length check is left alone.
   *
   * Install via `LevenshteinPrefilter.install(spark)` or `GraftExtensions`.

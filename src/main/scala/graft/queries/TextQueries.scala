@@ -710,9 +710,12 @@ object TextQueries {
     * (prefix-bounded Levenshtein + Jaro-Winkler) over documents ∪
     * tail-perturbed copies. This is the composition that runs at 100 TB:
     * one narrow signature pass, one band-bucket shuffle of fixed-width
-    * hashes, then the O(200²) DP on CANDIDATE pairs only — with the
-    * LevenshteinPrefilter guard short-circuiting the DP for pairs whose
-    * length gap alone exceeds the threshold, and the adaptive
+    * hashes, then the edit-distance DP on CANDIDATE pairs only — the
+    * THRESHOLD-BOUNDED `levenshtein(a, b, 20)` form, whose banded
+    * O(k·n) DP and internal length-gap early exit replace the external
+    * LevenshteinPrefilter guard (t18 keeps the 2-arg + rule shape as
+    * that rule's demonstration site; here the bound cut the sf0.1 verify
+    * 53.9 → 4.2 s for identical survivors) — and the adaptive
     * exact-collapse routing (byte-identity key — see
     * [[Dedup.collapseExpand]]) bounding the DP to DISTINCT texts on
     * duplicate-heavy corpora. Dump-time VALUES oracle
@@ -749,8 +752,17 @@ object TextQueries {
       cands
         .join(p.as("pa"), col("id_a") === col("pa.id"))
         .join(p.as("pb"), col("id_b") === col("pb.id"))
-        .withColumn("dist", levenshtein(col("pa.t"), col("pb.t")))
-        .where(col("dist") <= 20)
+        // The THRESHOLD-BOUNDED form: banded O(k·n) DP with an internal
+        // length-gap early exit (returns -1 past the bound), vs the full
+        // O(n²) DP of the 2-arg form. Survivor rows carry the exact
+        // distance either way, so `>= 0` here ≡ 2-arg + `<= 20` — but the
+        // bench measured 53.9 s vs 4.2 s for the same 6019 survivors over
+        // 164k sf0.1 candidate pairs. t18 keeps the 2-arg form + the
+        // LevenshteinPrefilter rule as the demonstration site of the
+        // external guard; here the bound (and its gap check) lives inside
+        // the expression itself, which PlanAuditSpec pins.
+        .withColumn("dist", levenshtein(col("pa.t"), col("pb.t"), 20))
+        .where(col("dist") >= 0)
         .select(col("id_a"), col("id_b"), col("dist"),
           expr("jaro_winkler(pa.t, pb.t)")
             .cast("decimal(28,6)").cast("double").as("jw"))

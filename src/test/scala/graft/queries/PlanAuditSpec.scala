@@ -116,15 +116,22 @@ class PlanAuditSpec extends SparkSpec {
       "the broadcast detection must read false on the degraded plan")
   }
 
-  test("fuzzy near-dup t29: LevenshteinPrefilter guard reaches the composition") {
-    // t18 pins the guard on the bounded primitive; t29 is the LSH-fed
-    // scale shape — the guard must survive the candidate-join rewrite too
-    graft.plans.LevenshteinPrefilter.install(spark)
-    val s = Registry.queries("t29_fuzzy_neardup")(spark, sf)
-      .queryExecution.optimizedPlan.toString
-    assert(s.contains("levenshtein"), s"t29 lost its levenshtein verify:\n$s")
-    assert(s.contains("abs(") && s.contains("length("),
-      s"the O(1) length-gap guard must precede the DP in t29's plan:\n$s")
+  test("fuzzy near-dup t29: the levenshtein verify is threshold-bounded") {
+    // t18 pins the external LevenshteinPrefilter guard on the 2-arg form;
+    // t29 — the LSH-fed scale shape — must use the THRESHOLD-BOUNDED
+    // 3-arg form instead: banded O(k·n) DP + internal length-gap early
+    // exit (the unbounded DP measured 53.9 s vs 4.2 s at sf0.1 for the
+    // same survivors). A refactor that drops back to the 2-arg form
+    // silently reintroduces the full DP — this pin makes it fail loudly.
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val plan = Registry.queries("t29_fuzzy_neardup")(spark, sf)
+      .queryExecution.optimizedPlan
+    val levs = plan.collect { case p =>
+      p.expressions.flatMap(_.collect { case l: Levenshtein => l })
+    }.flatten
+    assert(levs.nonEmpty, s"t29 lost its levenshtein verify:\n$plan")
+    levs.foreach(l => assert(l.threshold.isDefined,
+      s"t29's levenshtein must carry its threshold inside the DP:\n$plan"))
   }
 
   test("fuzzy near-dup t29: band join keyed; text never rides the band shuffle") {
