@@ -726,7 +726,11 @@ object TextQueries {
   def fuzzyNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     HashOracles.record(spark, sfDir)
     graft.functions.JaroWinkler.register(spark)
-    graft.plans.LevenshteinPrefilter.install(spark)
+    // No LevenshteinPrefilter.install here: the rule explicitly skips the
+    // 3-arg threshold-bounded form t29 uses (threshold.isEmpty guard), so
+    // installing it would be vestigial — the bound and its length-gap
+    // early exit live inside the expression itself. t18 remains the
+    // rule's demonstration site on the 2-arg form.
     val docs = scan(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val pert = docs.select((col("doc_id") + 1000000).as("doc_id"),

@@ -69,8 +69,18 @@ class BenchContractSpec extends AnyFunSuite {
         .findFirstMatchIn(json).map(_.group(1).count(_ == ':'))
       assert(aTotal.isDefined && aFailed.isDefined && aQueries.isDefined,
         "BENCH_LOCAL.json missing value/failed/queries fields")
-      assert(math.abs(aTotal.get - qTotal) < 0.005 + 1e-9,
-        s"BASELINE.md quotes $qTotal s but BENCH_LOCAL.json reads ${aTotal.get} s")
+      // Refresh-tolerant direction (r13 verdict): the artifact is gitignored
+      // and the driver's post-commit bench rewrites it on every round, so a
+      // FASTER artifact than the quoted record is a refresh trigger, not a
+      // defect — the doc under-claims and the next BASELINE.md section should
+      // true it up. Only the over-claim direction (doc quotes a better number
+      // than the artifact supports) is a hard failure.
+      assert(aTotal.get <= qTotal + 0.005 + 1e-9,
+        s"BASELINE.md quotes $qTotal s but BENCH_LOCAL.json reads ${aTotal.get} s " +
+          "(slower than the quote — the doc over-claims; re-record the quote)")
+      if (qTotal - aTotal.get > 0.005)
+        info(s"BENCH_LOCAL.json (${aTotal.get} s) is faster than the quoted " +
+          s"$qTotal s — quote refresh pending, not a failure")
       assert(aQueries.get == qQueries,
         s"BASELINE.md quotes $qQueries queries but artifact has ${aQueries.get}")
       assert(aFailed.get == qFailed,

@@ -130,8 +130,17 @@ class PlanAuditSpec extends SparkSpec {
       p.expressions.flatMap(_.collect { case l: Levenshtein => l })
     }.flatten
     assert(levs.nonEmpty, s"t29 lost its levenshtein verify:\n$plan")
-    levs.foreach(l => assert(l.threshold.isDefined,
-      s"t29's levenshtein must carry its threshold inside the DP:\n$plan"))
+    levs.foreach { l =>
+      assert(l.threshold.isDefined,
+        s"t29's levenshtein must carry its threshold inside the DP:\n$plan")
+      // ...and the bound must stay 20 exactly: a refactor that changes the
+      // literal (say, to 5) silently tightens the survivor set while the
+      // isDefined pin stays green, deferring detection to the slower
+      // DuckDB oracle. The threshold folds to a foldable literal here.
+      val bound = l.threshold.map(_.eval())
+      assert(bound.contains(20),
+        s"t29's levenshtein threshold must fold to 20, got $bound:\n$plan")
+    }
   }
 
   test("fuzzy near-dup t29: band join keyed; text never rides the band shuffle") {
