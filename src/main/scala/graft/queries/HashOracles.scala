@@ -303,13 +303,23 @@ object HashOracles {
   def fuzzyNearDupOracle: String = docs() match {
     case None => neverRanSql("t29")
     case Some(d) =>
-      val values = bandValues(withPerturbed(d, " fuzzy tail"))
+      // planted multibyte rows join the band VALUES (signatures from the
+      // same plain-Scala byte-walk — both sides shingle BYTES, so parity
+      // holds on multibyte text too) and the corpus CTE; the metrics run
+      // on PlantedFuzzy-transcoded args so DuckDB's byte walk computes
+      // codepoint distances on the planted pairs (ASCII identity)
+      val values =
+        bandValues(withPerturbed(d, " fuzzy tail") ++ PlantedFuzzy.rows)
+      val ta = PlantedFuzzy.tcSql("a.t"); val tb = PlantedFuzzy.tcSql("b.t")
       s"""WITH bb(id, band, bucket) AS (VALUES
          |  $values),
          |corpus(id, text) AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' fuzzy tail' FROM documents),
+         |  SELECT doc_id + 1000000, text || ' fuzzy tail' FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |  ${PlantedFuzzy.sqlValues}) pf(id, text)),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM bb a JOIN bb b
@@ -317,8 +327,8 @@ object HashOracles {
          |p AS (SELECT id, substring(text, 1, 200) AS t FROM corpus),
          |j AS (
          |  SELECT c.id_a, c.id_b,
-         |         levenshtein(a.t, b.t) AS dist,
-         |         jaro_winkler_similarity(a.t, b.t) AS jw
+         |         levenshtein($ta, $tb) AS dist,
+         |         jaro_winkler_similarity($ta, $tb) AS jw
          |  FROM cand c
          |  JOIN p a ON a.id = c.id_a
          |  JOIN p b ON b.id = c.id_b)

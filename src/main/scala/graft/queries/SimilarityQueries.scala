@@ -590,14 +590,22 @@ object SimilarityQueries {
     * a candidate pair missed by LSH is missed identically on both sides,
     * so the oracle is exact regardless of recall; SimilaritySpec pins
     * recall separately against the all-pairs exact set (s05's shape). */
-  def annCosineNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** s15's corpus: embeddings ∪ +0.01-per-component replicas — extracted
+    * so the independent recall probe ([[graft.tools.RecallProbe]])
+    * brute-forces ground truth over the EXACT corpus the LSH pipeline
+    * sees. */
+  private[graft] def annCorpus(spark: SparkSession,
+                               sfDir: String): DataFrame = {
     val emb = scan(spark, sfDir, "embeddings")
     val base = emb.select(col("vec_id"), col("embedding"))
     val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(Similarity.asDouble(col("embedding")), x => x + lit(0.01))
         .cast("array<float>").as("embedding"))
-    Similarity.lshNearDupPairs(base.unionByName(planted), threshold = 0.8)
+    base.unionByName(planted)
   }
+
+  def annCosineNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.lshNearDupPairs(annCorpus(spark, sfDir), threshold = 0.8)
 
   /** DuckDB twin of lshNearDupPairs' defaults (6 tables × 8 planes, seed
     * 137+t): hyperplanes as VALUES, codes rebuilt with the same sign-bit

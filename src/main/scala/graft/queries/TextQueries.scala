@@ -580,7 +580,9 @@ object TextQueries {
       .where(col("doc_id") < 30).select(col("doc_id"), col("text"))
     val pert = base.select((col("doc_id") + 1000000).as("doc_id"),
       concat(lit("zz "), col("text")).as("text"))
-    val all = base.unionAll(pert)
+    // planted multibyte rows: byte-distance != codepoint-distance pairs
+    // that make Spark's codepoint walk load-bearing (see PlantedFuzzy)
+    val all = base.unionAll(pert).unionAll(PlantedFuzzy.df(spark))
     val a = all.select(col("doc_id").as("id_a"),
       substring(col("text"), 1, 200).as("ta"))
     val b = all.select(col("doc_id").as("id_b"),
@@ -592,20 +594,27 @@ object TextQueries {
   }
 
   // NOTE: DuckDB's levenshtein counts BYTES, Spark's counts codepoints —
-  // equivalent only because the harness corpus is pure ASCII (verified at
-  // every SF). On a multibyte corpus the Spark side is the correct one.
-  private val editDistanceNearDupOracle =
-    """WITH base AS (
+  // equivalent on the pure-ASCII corpus, NOT on the planted multibyte
+  // rows, which is the point: PlantedFuzzy.tcSql transcodes the closed
+  // planted alphabet to single bytes so DuckDB's byte distance IS the
+  // codepoint distance (identity on the ASCII corpus).
+  private val editDistanceNearDupOracle = {
+    val ta = PlantedFuzzy.tcSql("a.t"); val tb = PlantedFuzzy.tcSql("b.t")
+    s"""WITH base AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 30),
       |all_docs AS (
       |  SELECT doc_id, text FROM base
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'zz ' || text FROM base),
+      |  SELECT doc_id + 1000000, 'zz ' || text FROM base
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |  ${PlantedFuzzy.sqlValues}) pf(doc_id, text)),
       |p AS (SELECT doc_id AS id, substring(text, 1, 200) AS t FROM all_docs)
       |SELECT a.id AS id_a, b.id AS id_b,
-      |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+      |       CAST(levenshtein($ta, $tb) AS INTEGER) AS dist
       |FROM p a, p b
-      |WHERE a.id < b.id AND levenshtein(a.t, b.t) <= 20""".stripMargin
+      |WHERE a.id < b.id AND levenshtein($ta, $tb) <= 20""".stripMargin
+  }
 
   /** The nightly-ingest composition, FULLY oracled end-to-end (unlike the
     * seeded-LSH t09, every stage here is SQL-expressible): incoming batch
@@ -693,7 +702,11 @@ object TextQueries {
       .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
     val pert = base.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("t"), lit(" q")).as("t"))
-    val all = base.unionAll(pert)
+    // planted multibyte rows through the same 60-char slice: a byte-based
+    // JW would score their surviving pairs differently (see PlantedFuzzy)
+    val planted = PlantedFuzzy.df(spark)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+    val all = base.unionAll(pert).unionAll(planted)
     val a = all.select(col("doc_id").as("id_a"), col("t").as("ta"))
     val b = all.select(col("doc_id").as("id_b"), col("t").as("tb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -721,8 +734,25 @@ object TextQueries {
     * duplicate-heavy corpora. Dump-time VALUES oracle
     * (HashOracles): band buckets embedded, DuckDB recomputes the candidate
     * join, both fuzzy metrics, the threshold, and the rounding
-    * independently. The t18 byte-vs-codepoint caveat applies (ASCII
-    * corpus ⇒ identical). */
+    * independently. The byte-vs-codepoint caveat is load-bearing here:
+    * planted multibyte rows ([[PlantedFuzzy]]) ride the full path and
+    * the oracle transcodes them to codepoint semantics. */
+  /** t29's corpus: documents ∪ tail-perturbed copies ∪ planted multibyte
+    * rows — extracted so the independent recall probe
+    * ([[graft.tools.RecallProbe]]) brute-forces ground truth over the
+    * EXACT corpus the LSH pipeline sees (a drifted reconstruction would
+    * make the recall check vacuous). */
+  private[graft] def fuzzyCorpus(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val docs = scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pert = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" fuzzy tail")).as("text"))
+    // planted multibyte rows ride the full LSH->verify path: band-bucket
+    // candidates, then codepoint Levenshtein/JW (see PlantedFuzzy)
+    docs.unionAll(pert).unionAll(PlantedFuzzy.df(spark))
+  }
+
   def fuzzyNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     HashOracles.record(spark, sfDir)
     graft.functions.JaroWinkler.register(spark)
@@ -731,11 +761,7 @@ object TextQueries {
     // installing it would be vestigial — the bound and its length-gap
     // early exit live inside the expression itself. t18 remains the
     // rule's demonstration site on the 2-arg form.
-    val docs = scan(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    val pert = docs.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text"), lit(" fuzzy tail")).as("text"))
-    val all = docs.unionAll(pert)
+    val all = fuzzyCorpus(spark, sfDir)
     // LSH candidates -> fuzzy verify, the composition's flat form. On a
     // duplicate-heavy corpus the candidate set grows with duplication²
     // per distinct text and every surviving pair pays the O(200²)
@@ -983,21 +1009,28 @@ object TextQueries {
       |FROM tok JOIN freq USING (term), tot
       |GROUP BY doc_id""".stripMargin
 
-  private val jaroNearDupOracle =
-    """WITH base AS (
+  // jaro on PlantedFuzzy-transcoded args: byte JW == codepoint JW after
+  // the closed multibyte alphabet maps to single bytes (ASCII identity)
+  private val jaroNearDupOracle = {
+    val ta = PlantedFuzzy.tcSql("a.t"); val tb = PlantedFuzzy.tcSql("b.t")
+    s"""WITH base AS (
       |  SELECT doc_id, substring(text, 1, 60) AS t
       |  FROM documents WHERE doc_id < 30),
       |all_docs AS (
       |  SELECT doc_id, t FROM base
       |  UNION ALL
-      |  SELECT doc_id + 1000000, t || ' q' FROM base),
+      |  SELECT doc_id + 1000000, t || ' q' FROM base
+      |  UNION ALL
+      |  SELECT doc_id, substring(text, 1, 60) FROM (VALUES
+      |  ${PlantedFuzzy.sqlValues}) pf(doc_id, text)),
       |p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |         jaro_winkler_similarity(a.t, b.t) AS jw
+      |         jaro_winkler_similarity($ta, $tb) AS jw
       |  FROM all_docs a, all_docs b WHERE a.doc_id < b.doc_id)
       |SELECT id_a, id_b,
       |       CAST(CAST(jw AS DECIMAL(28,6)) AS DOUBLE) AS jw
       |FROM p WHERE jw >= 0.9""".stripMargin
+  }
 
   /** Exact substring-window dedup (the scalable stand-in for
     * suffix-array substring dedup, Lee et al. 2021 "Deduplicating

@@ -52,7 +52,10 @@ class FuzzyCollapseSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     val pert = docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" fuzzy tail")).as("text"))
-    val all = docs.unionAll(pert)
+    // the query's corpus includes the planted multibyte rows (ids 2e6+,
+    // disjoint from this spec's 0..9001 range) — mirror them here so the
+    // route-equality compare covers them too
+    val all = docs.unionAll(pert).unionAll(PlantedFuzzy.df(sess))
     val cands = Dedup.minhashCandidates(all, "text", "doc_id")
     val p = all.select(col("doc_id").as("id"),
       substring(col("text"), 1, 200).as("t"))
