@@ -937,6 +937,74 @@ object TextQueries {
       |SELECT doc_id, source, n_chars FROM corpus
       |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
 
+  /** Threshold contamination scoring — the GPT-3-appendix convention
+    * (flag a training doc only when ≥ M distinct eval n-grams occur in
+    * it, not on a single collision) in the join form that survives a
+    * reference set too big to broadcast. t21 is the small-eval-set
+    * shape: eval grams broadcast, corpus stream-probes them. When the
+    * reference side is itself corpus-scale (a prior epoch, a union of
+    * benchmarks, a licensing blocklist), the broadcast is impossible and
+    * the honest 100 TB plan is a SHUFFLED gram join: distinct
+    * (doc, gram-hash) pairs equi-join the distinct reference grams —
+    * both sides partition on the gram hash, fixed-width keys only, text
+    * never rides the shuffle — then a per-doc count compares against the
+    * threshold. The `shuffle_hash` hint pins the no-broadcast shape at
+    * harness SF (where the eval set is small enough that AQE would
+    * broadcast it); PlanAuditSpec asserts no BroadcastHashJoin reaches
+    * the gram join. Output keeps EVERY corpus doc with its distinct-hit
+    * count and keep flag, so the same result drives either a hard filter
+    * or a contamination report. DuckDB oracle recomputes with string
+    * grams (identical modulo 64-bit hash collisions, as t21). */
+  def contaminationScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val gramHashes20 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.GramHashes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            lower(trim(c))), k = 20))
+    val docs = scan(spark, sfDir, "documents")
+    val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
+    val evalGrams = docs.where(isEval)
+      .select(explode(gramHashes20(col("text"))).as("gh")).distinct()
+    val corpus = docs.where(!isEval)
+    val hits = corpus
+      .select(col("doc_id"), explode(gramHashes20(col("text"))).as("gh"))
+      .distinct() // distinct (doc, gram): a gram repeated IN a doc is 1 hit
+      .join(evalGrams.hint("shuffle_hash"), "gh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) < 3).cast("int")
+          .as("keep_flag"))
+  }
+
+  private val contaminationScoreOracle =
+    """WITH ev AS (
+      |  SELECT lower(trim(text)) AS t FROM documents
+      |  WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+      |corpus AS (
+      |  SELECT doc_id, source, lower(trim(text)) AS t
+      |  FROM documents WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)),
+      |eg AS (
+      |  SELECT DISTINCT unnest(list_transform(
+      |    generate_series(1, greatest(length(t) - 19, 1)),
+      |    i -> substring(t, CAST(i AS BIGINT), 20))) AS g
+      |  FROM ev),
+      |cg AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(length(t) - 19, 1)),
+      |      i -> substring(t, CAST(i AS BIGINT), 20))) AS g
+      |    FROM corpus)),
+      |hits AS (
+      |  SELECT cg.doc_id, count(*) AS n FROM cg JOIN eg USING (g)
+      |  GROUP BY 1)
+      |SELECT c.doc_id, c.source,
+      |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+      |       CASE WHEN coalesce(h.n, 0) < 3 THEN 1 ELSE 0 END AS keep_flag
+      |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
+
   /** Per-source quota sampling — the C4/Dolma-style cap that stops one
     * crawl domain from dominating the corpus: keep at most 10 docs per
     * source, chosen by a deterministic LCG key (same docs on any cluster
@@ -1355,5 +1423,7 @@ object TextQueries {
       oracleFn = Some(() => HashOracles.incrementalNearDupOracle)),
     NamedQuery("t29_fuzzy_neardup", fuzzyNearDup, None,
       oracleFn = Some(() => HashOracles.fuzzyNearDupOracle)),
+    NamedQuery("t30_contamination_score", contaminationScore,
+      Some(contaminationScoreOracle)),
   )
 }

@@ -55,7 +55,10 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
     // top-k boundary feeding a float rerank — and the md5-keyed epoch
     // layout; all their windows must be replan- and
     // partitioning-independent
-    "s14_ann_quantized", "t28_epoch_shuffle")
+    "s14_ann_quantized", "t28_epoch_shuffle",
+    // round-14 addition: the shuffled gram join + per-doc hit count must
+    // be replan- and partitioning-independent
+    "t30_contamination_score")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is

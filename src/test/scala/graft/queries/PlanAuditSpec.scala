@@ -165,6 +165,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("contamination score t30: the gram join shuffles — no broadcast, " +
+    "no text on the gram exchanges") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = Registry.queries("t30_contamination_score")(spark, sf)
+      .queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    // the whole point of t30 vs t21: the reference side is assumed too
+    // big to broadcast, so the gram join must be the shuffled form (the
+    // hint pins it at harness SF where AQE would otherwise broadcast)
+    val s = root.toString
+    assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"),
+      s"t30's gram join must shuffle:\n$s")
+    // gram exchanges carry (gh) or (doc_id, gh) — fixed-width keys; the
+    // doc TEXT must never ride a shuffle (it re-joins by doc_id at the end)
+    val gramExchanges = root.collect { case e: Exchange => e }
+      .filter(_.output.exists(_.name == "gh"))
+    assert(gramExchanges.nonEmpty, "expected the gram-hash exchanges")
+    gramExchanges.foreach { e =>
+      assert(!e.output.exists(
+          _.dataType == org.apache.spark.sql.types.StringType),
+        s"text rode a gram exchange: ${e.output.map(_.name).mkString(",")}")
+    }
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("minhash near-dup: the band join is an equi-join, not a cross") {
     val s = planStr("s03_minhash_neardup")
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
