@@ -1005,6 +1005,69 @@ object TextQueries {
       |       CASE WHEN coalesce(h.n, 0) < 3 THEN 1 ELSE 0 END AS keep_flag
       |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** Bloom-gated contamination scoring — t30's semantics (GPT-3-style
+    * >= 3 distinct-gram threshold, every corpus doc kept with its count
+    * and keep flag) behind a fixed-size sketch gate. t30's honest
+    * no-broadcast plan still pays one giant shuffle: the distinct over
+    * ALL corpus (doc, gram) pairs. At 100 TB that distinct dominates the
+    * job even though almost every gram is clean. The classic fix is a
+    * Bloom filter over the reference grams — a FIXED-size bit array
+    * (here 2^20 bits = 128 KiB; size it for the reference cardinality,
+    * not the corpus) that gates pairs in the map stage, BEFORE any
+    * exchange, so the distinct + the exact-verify join only ever see the
+    * true hits plus a bounded false-positive trickle. False positives
+    * are then removed exactly by the same shuffled gram join t30 runs —
+    * the gate is a performance device, never a semantics device — so
+    * the output is bit-identical to t30 and shares its DuckDB oracle.
+    *
+    * Spark-first construction: the sketch is built by Spark's own
+    * BloomFilterAggregate (distributed partial puts, tree-merged) and
+    * delivered to the probe side as a ScalarSubquery feeding
+    * BloomFilterMightContain — the exact expression pair Spark's
+    * InjectRuntimeFilter emits for runtime join pruning, assembled
+    * explicitly because the optimizer cannot infer it across the
+    * explode. The driver never touches data: the sketch rides the plan
+    * as a subquery result, not a collect. Gate order is load-bearing
+    * and plan-pinned: filter-then-distinct equals distinct-then-filter
+    * because might_contain is deterministic per gram, but only the
+    * former keeps corpus-scale rows out of the exchange. */
+  def bloomContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal => CatLit, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val B = org.apache.spark.sql.graftbridge.ColumnBridge
+    val gramHashes20 = (c: org.apache.spark.sql.Column) =>
+      B.column(graft.functions.GramHashes(B.expression(lower(trim(c))), k = 20))
+    val docs = scan(spark, sfDir, "documents")
+    val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
+    val evalGrams = docs.where(isEval)
+      .select(explode(gramHashes20(col("text"))).as("gh")).distinct()
+    // Fixed-size sketch sized for the reference-set cardinality (1e5
+    // items / 2^20 bits ~ 1e-4 fpp at harness SF — small enough to keep
+    // the verify join narrow, large enough that dropping the verify is
+    // observable). The subquery output is the serialized filter: one
+    // 128 KiB binary scalar, independent of data scale.
+    val sketch = evalGrams.agg(B.column(
+      new BloomFilterAggregate(B.expression(col("gh")),
+        CatLit(100000L), CatLit(1L << 20)).toAggregateExpression()).as("bf"))
+    val corpus = docs.where(!isEval)
+    val gated = corpus
+      .select(col("doc_id"), explode(gramHashes20(col("text"))).as("gh"))
+      .where(B.column(BloomFilterMightContain(
+        ScalarSubquery(sketch.queryExecution.analyzed),
+        B.expression(col("gh")))))
+    val hits = gated
+      .distinct() // distinct (doc, gram) — now candidates-only, not corpus-wide
+      .join(evalGrams.hint("shuffle_hash"), "gh") // exact FP removal, t30's join
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) < 3).cast("int")
+          .as("keep_flag"))
+  }
+
   /** Per-source quota sampling — the C4/Dolma-style cap that stops one
     * crawl domain from dominating the corpus: keep at most 10 docs per
     * source, chosen by a deterministic LCG key (same docs on any cluster
@@ -1424,6 +1487,11 @@ object TextQueries {
     NamedQuery("t29_fuzzy_neardup", fuzzyNearDup, None,
       oracleFn = Some(() => HashOracles.fuzzyNearDupOracle)),
     NamedQuery("t30_contamination_score", contaminationScore,
+      Some(contaminationScoreOracle)),
+    // t31 is t30 behind the bloom gate: same values by construction,
+    // same oracle SQL — the difference is the plan, which PlanAuditSpec
+    // pins (gate before any exchange; exact verify join still present).
+    NamedQuery("t31_bloom_contamination", bloomContamination,
       Some(contaminationScoreOracle)),
   )
 }

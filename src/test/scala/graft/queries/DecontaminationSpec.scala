@@ -67,6 +67,42 @@ class DecontaminationSpec extends SparkSpec {
       s"output scan must not read text:\n$s")
   }
 
+  test("bloom contamination == shuffled contamination, row for row") {
+    // t31 is t30 behind a performance gate: might_contain passes every
+    // true hit (no false negatives, by bloom construction) and the exact
+    // verify join removes the false positives, so the outputs must be
+    // bit-identical. A gate bug in either direction breaks this.
+    val viaShuffle = TextQueries.contaminationScore(spark, sf)
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1).toSeq
+    val viaBloom = TextQueries.bloomContamination(spark, sf)
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(viaShuffle.nonEmpty)
+    assert(viaBloom == viaShuffle, "bloom route diverged from exact route")
+  }
+
+  test("bloom contamination flags the planted overlaps with exact counts") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomc").toString
+    // doc 0: eval. doc 1 embeds the whole eval text (many shared grams —
+    // n_hit_grams over threshold). doc 2 shares a 21-char span = exactly
+    // 2 distinct 20-grams, UNDER the >=3 threshold. docs 3: clean.
+    Seq(
+      (0L, evalText, "en", "src0", 1L),
+      (1L, s"prefix $evalText suffix", "en", "src1", 1L),
+      // no space padding: a space next to the span would re-align with
+      // evalText's own spaces and add a third straddle-gram hit
+      (2L, "xx" + evalText.substring(4, 25) + "yy", "en", "src1", 1L),
+      (3L, "a completely unrelated document with plenty of words", "en", "src2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.bloomContamination(spark, dir)
+      .select("doc_id", "n_hit_grams", "keep_flag")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"corpus is docs 1-3: $out")
+    assert(out(1L)._1 >= 3 && out(1L)._2 == 0, s"doc 1 must be flagged: $out")
+    assert(out(2L) == ((2L, 1)), s"doc 2 is 2 grams under threshold: $out")
+    assert(out(3L) == ((0L, 1)), s"doc 3 is clean: $out")
+  }
+
   test("unigram nll: repeated tokens score lower than rare ones") {
     // the whole point of the LM filter: a doc made of corpus-common
     // tokens has low mean -ln(p); a doc of corpus-unique tokens high

@@ -56,9 +56,10 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
     // layout; all their windows must be replan- and
     // partitioning-independent
     "s14_ann_quantized", "t28_epoch_shuffle",
-    // round-14 addition: the shuffled gram join + per-doc hit count must
-    // be replan- and partitioning-independent
-    "t30_contamination_score")
+    // round-14 additions: the shuffled gram join + per-doc hit count,
+    // and its bloom-gated twin (subquery sketch + might_contain filter),
+    // must be replan- and partitioning-independent
+    "t30_contamination_score", "t31_bloom_contamination")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is

@@ -194,6 +194,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("bloom contamination t31: sketch-gated before ANY exchange; " +
+    "exact verify join still present") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = Registry.queries("t31_bloom_contamination")(spark, sf)
+      .queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val s = root.toString
+    // the sketch is built distributed and rides the plan as a subquery —
+    // never a driver-side collect
+    assert(s.contains("bloom_filter_agg") || s.contains("BloomFilter"),
+      s"expected the BloomFilterAggregate subquery in:\n$s")
+    // the gate itself: a might_contain Filter on the corpus explode...
+    val gates = root.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(gates.nonEmpty, s"expected the might_contain gate in:\n$s")
+    // ...and it must sit BELOW every exchange: the whole point of t31 vs
+    // t30 is that corpus-scale (doc, gram) pairs never reach a shuffle —
+    // only bloom survivors do. A gate above an exchange is t30 with
+    // extra steps.
+    gates.foreach { g =>
+      assert(g.collect { case e: Exchange => e }.isEmpty,
+        s"the bloom gate must run before any exchange:\n$g")
+    }
+    // false positives are removed exactly: the shuffled verify join from
+    // t30 must survive (a mutant that trusts the bloom drops it)
+    assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"),
+      s"t31 must keep the exact gram verify join:\n$s")
+    val gramExchanges = root.collect { case e: Exchange => e }
+      .filter(_.output.exists(_.name == "gh"))
+    assert(gramExchanges.nonEmpty, "expected the gram-hash exchanges")
+    gramExchanges.foreach { e =>
+      assert(!e.output.exists(
+          _.dataType == org.apache.spark.sql.types.StringType),
+        s"text rode a gram exchange: ${e.output.map(_.name).mkString(",")}")
+    }
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("minhash near-dup: the band join is an equi-join, not a cross") {
     val s = planStr("s03_minhash_neardup")
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
