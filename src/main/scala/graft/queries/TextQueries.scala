@@ -1031,7 +1031,18 @@ object TextQueries {
     * and plan-pinned: filter-then-distinct equals distinct-then-filter
     * because might_contain is deterministic per gram, but only the
     * former keeps corpus-scale rows out of the exchange. */
-  def bloomContamination(spark: SparkSession, sfDir: String): DataFrame = {
+  def bloomContamination(spark: SparkSession, sfDir: String): DataFrame =
+    bloomContaminationSized(spark, sfDir, numBits = 1L << 20)
+
+  /** numBits is exposed for the FP-removal proof only: the honest 2^20
+    * sketch yields ZERO false positives at harness SF (measured — the
+    * r14 trust-the-bloom mutant survived the sf0.01 value oracle), so
+    * BloomContaminationSaturatedSpec drives a deliberately saturated
+    * 64-bit sketch (every gram passes the gate) and asserts the output
+    * still equals t30 — which is only true if the exact verify join is
+    * doing its job. Production callers size for the reference set. */
+  def bloomContaminationSized(spark: SparkSession, sfDir: String,
+      numBits: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{
       BloomFilterMightContain, Literal => CatLit, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -1043,13 +1054,14 @@ object TextQueries {
     val evalGrams = docs.where(isEval)
       .select(explode(gramHashes20(col("text"))).as("gh")).distinct()
     // Fixed-size sketch sized for the reference-set cardinality (1e5
-    // items / 2^20 bits ~ 1e-4 fpp at harness SF — small enough to keep
-    // the verify join narrow, large enough that dropping the verify is
-    // observable). The subquery output is the serialized filter: one
-    // 128 KiB binary scalar, independent of data scale.
+    // items / 2^20 bits; measured ZERO false positives at harness SF —
+    // the FP-removal join is therefore proven by the saturated-sketch
+    // spec, not the value oracle). The subquery output is the
+    // serialized filter: one 128 KiB binary scalar, independent of
+    // data scale.
     val sketch = evalGrams.agg(B.column(
       new BloomFilterAggregate(B.expression(col("gh")),
-        CatLit(100000L), CatLit(1L << 20)).toAggregateExpression()).as("bf"))
+        CatLit(100000L), CatLit(numBits)).toAggregateExpression()).as("bf"))
     val corpus = docs.where(!isEval)
     val gated = corpus
       .select(col("doc_id"), explode(gramHashes20(col("text"))).as("gh"))

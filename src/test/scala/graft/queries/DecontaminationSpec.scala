@@ -80,6 +80,22 @@ class DecontaminationSpec extends SparkSpec {
     assert(viaBloom == viaShuffle, "bloom route diverged from exact route")
   }
 
+  test("saturated 64-bit sketch still yields exact output (FP removal)") {
+    // With 64 bits the filter saturates and might_contain passes
+    // essentially every gram — the gate degenerates to a no-op and the
+    // verify join sees ALL pairs as candidates. The output must STILL
+    // equal the exact route: this is the only value-level witness for
+    // the FP-removal join, because the honest 2^20 sketch produces zero
+    // false positives at harness SF (measured; a dropped-verify mutant
+    // survives the sf0.01 oracle but dies here and on the plan pin).
+    val exact = TextQueries.contaminationScore(spark, sf)
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1).toSeq
+    val saturated = TextQueries.bloomContaminationSized(spark, sf, numBits = 64)
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(saturated == exact,
+      "a saturated gate must be semantics-neutral — FP removal is broken")
+  }
+
   test("bloom contamination flags the planted overlaps with exact counts") {
     val dir = java.nio.file.Files.createTempDirectory("bloomc").toString
     // doc 0: eval. doc 1 embeds the whole eval text (many shared grams —
