@@ -567,6 +567,53 @@ object TextQueries {
       |SELECT doc_id, lang, source FROM kept
       |WHERE k NOT IN (SELECT k FROM corp)""".stripMargin
 
+  /** Bloom-gated incremental dedup — t17's semantics with the runtime
+    * filter pointing the OTHER way from t31: here the small side is the
+    * incoming batch and the big side is the persisted corpus key index
+    * (billions of keys at 100 TB). t17's anti-join must flow every
+    * corpus key into the exchange each night even though almost none
+    * can match a given batch. The fix is the direction Spark's own
+    * runtime join filters target — build the sketch over the SMALL
+    * batch's keys, gate the corpus index scan with might_contain, and
+    * let only corpus keys that might collide reach the anti-join.
+    * Assembled explicitly (BloomFilterAggregate → ScalarSubquery →
+    * BloomFilterMightContain) because the optimizer does not inject
+    * runtime filters into this anti-join shape across the dedup window.
+    *
+    * Exactness argument, mirror-image of t31's: the bloom has no false
+    * negatives, so every corpus key equal to some batch key passes the
+    * gate — dropping a corpus key the gate rejects cannot change the
+    * anti-join. False positives only admit extra corpus keys, which the
+    * exact key equality then ignores. Gate is performance-only; output
+    * is bit-identical to t17 and shares its oracle. The sketch rides
+    * xxhash64(key) on both sides (keys are hex strings; the bloom wants
+    * a long), while the join itself compares full keys. */
+  def bloomIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    bloomIncrementalDedupSized(spark, sfDir, numBits = 1L << 20)
+
+  /** numBits exposed for the saturated-sketch FP proof, as t31. */
+  def bloomIncrementalDedupSized(spark: SparkSession, sfDir: String,
+      numBits: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal => CatLit, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val B = org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = scan(spark, sfDir, "documents")
+    val batch = Dedup.exactDedup(docs.where(col("doc_id") >= 400), "text", "doc_id")
+      .withColumn("k", Dedup.exactKey(col("text")))
+    val sketch = batch.select(xxhash64(col("k")).as("kh")).distinct()
+      .agg(B.column(new BloomFilterAggregate(B.expression(col("kh")),
+        CatLit(100000L), CatLit(numBits)).toAggregateExpression()).as("bf"))
+    val corpusKeys = docs.where(col("doc_id") < 400)
+      .select(Dedup.exactKey(col("text")).as("k"))
+      .where(B.column(BloomFilterMightContain(
+        ScalarSubquery(sketch.queryExecution.analyzed),
+        B.expression(xxhash64(col("k"))))))
+      .distinct()
+    batch.join(corpusKeys, Seq("k"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Edit-distance near-dup verify primitive: Levenshtein over 200-char
     * prefixes on a BOUNDED slice (30 docs + planted head-perturbed
     * copies) — the character-level metric that catches what token-set
@@ -1505,5 +1552,9 @@ object TextQueries {
     // pins (gate before any exchange; exact verify join still present).
     NamedQuery("t31_bloom_contamination", bloomContamination,
       Some(contaminationScoreOracle)),
+    // t32 is t17 behind the batch-side bloom gate on the corpus index:
+    // same values by construction, same oracle — the plan is the point.
+    NamedQuery("t32_bloom_incremental_dedup", bloomIncrementalDedup,
+      Some(incrementalDedupOracle)),
   )
 }

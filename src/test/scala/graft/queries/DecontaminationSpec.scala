@@ -119,6 +119,33 @@ class DecontaminationSpec extends SparkSpec {
     assert(out(3L) == ((0L, 1)), s"doc 3 is clean: $out")
   }
 
+  test("bloom incremental dedup == exact incremental dedup, row for row") {
+    // t32 gates the corpus key index with a batch-side sketch; no false
+    // negatives means no corpus key that matches a batch key is ever
+    // rejected, so the anti-join verdicts must be identical to t17's.
+    val exact = TextQueries.incrementalDedup(spark, sf)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val gated = TextQueries.bloomIncrementalDedup(spark, sf)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(exact.nonEmpty)
+    assert(gated == exact, "bloom route diverged from exact route")
+  }
+
+  test("saturated 64-bit sketch: incremental dedup still exact") {
+    // Saturation admits EVERY corpus key to the anti-join (all false
+    // positives) — output must still match, which is only true if the
+    // verdict comes from exact key equality, never from the gate. Kills
+    // the treat-bloom-as-membership mutant the honest sketch cannot
+    // (zero FPs at harness SF, as t31).
+    val exact = TextQueries.incrementalDedup(spark, sf)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val saturated = TextQueries
+      .bloomIncrementalDedupSized(spark, sf, numBits = 64)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(saturated == exact,
+      "a saturated gate must be semantics-neutral on the anti-join")
+  }
+
   test("unigram nll: repeated tokens score lower than rare ones") {
     // the whole point of the LM filter: a doc made of corpus-common
     // tokens has low mean -ln(p); a doc of corpus-unique tokens high

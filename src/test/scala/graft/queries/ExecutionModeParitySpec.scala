@@ -59,7 +59,8 @@ class ExecutionModeParitySpec extends SparkSpec with graft.IsolatedSession {
     // round-14 additions: the shuffled gram join + per-doc hit count,
     // and its bloom-gated twin (subquery sketch + might_contain filter),
     // must be replan- and partitioning-independent
-    "t30_contamination_score", "t31_bloom_contamination")
+    "t30_contamination_score", "t31_bloom_contamination",
+    "t32_bloom_incremental_dedup")
 
   test("the suite is not vacuous: most shapes return rows at this SF") {
     // e16 legitimately yields zero outliers at small SF — empty==empty is

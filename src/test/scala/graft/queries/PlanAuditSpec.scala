@@ -238,6 +238,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("bloom incremental dedup t32: corpus index gated before its " +
+    "exchange; exact anti-join survives") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = Registry.queries("t32_bloom_incremental_dedup")(spark, sf)
+      .queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val s = root.toString
+    assert(s.contains("bloom_filter_agg") || s.contains("BloomFilter"),
+      s"expected the batch-side BloomFilterAggregate subquery in:\n$s")
+    // the gate sits on the corpus-key branch BELOW its exchange: at
+    // 100 TB the persisted key index is the big side, and only keys that
+    // might collide with the batch may reach the anti-join shuffle
+    val gates = root.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(gates.nonEmpty, s"expected the might_contain gate in:\n$s")
+    gates.foreach { g =>
+      assert(g.collect { case e: Exchange => e }.isEmpty,
+        s"the bloom gate must run before any exchange:\n$g")
+    }
+    // the gate is performance-only: the exact anti-join must survive
+    // (a mutant that treats bloom-negative as the verdict drops it)
+    assert(s.contains("LeftAnti"), s"t32 must keep the exact anti-join:\n$s")
+    // the CORPUS branch ships 16-char keys only — its distinct/join
+    // exchanges carry k and nothing else. (The batch-side dedup window
+    // does shuffle batch text; that is t17's inherited shape and the
+    // batch is the bounded nightly side, not the 100 TB index.)
+    val corpusExchanges = root.collect { case e: Exchange => e }
+      .filter(e => e.output.exists(_.name == "k") &&
+        !e.output.exists(_.name == "doc_id"))
+    assert(corpusExchanges.nonEmpty, s"expected the corpus-key exchange in:\n$s")
+    corpusExchanges.foreach { e =>
+      assert(e.output.map(_.name) == Seq("k"),
+        s"corpus branch must ship keys only: ${e.output.map(_.name).mkString(",")}")
+    }
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("minhash near-dup: the band join is an equi-join, not a cross") {
     val s = planStr("s03_minhash_neardup")
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
