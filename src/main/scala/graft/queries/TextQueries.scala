@@ -1486,6 +1486,80 @@ object TextQueries {
       |    FROM documents))
       |WHERE start_tok < 700""".stripMargin
 
+  /** t33 — quality-weighted sample WITHOUT replacement via priority
+    * sampling (Duffield, Lund & Thorup, "Priority sampling", JACM 54(6),
+    * 2007): every doc draws a deterministic uniform u in (0,1] from
+    * md5("ps:" || doc_id) and gets priority q = w / u with w = the t03
+    * quality score; the k largest priorities are the sample. Chosen over
+    * the A-ES u^(1/w) key on purpose: priorities here use only
+    * IEEE-exact operations (power-of-two division for u, one ordinary
+    * division for q — both correctly rounded by the standard), so the
+    * DuckDB oracle ranks bit-identical doubles and no libm ln/pow ULP
+    * ever crosses the engine boundary.
+    *
+    * The 100 TB shape: the weight is a narrow codegen'd map over the
+    * scan (no shuffle of text, no shuffle at all) and the top-k is
+    * TakeOrderedAndProject — per-partition partial top-k, k rows per
+    * partition to the driver, never a global sort (PlanAuditSpec pins
+    * both). Ranking happens on the full-precision priority; the output
+    * rounding is display-only. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    prioritySample(scan(spark, sfDir, "documents"), k = 64)
+
+  /** The priority-sampling core behind [[weightedSample]], parameterized
+    * (packLayout's pattern). Input needs (doc_id, text). */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val en = TextOps.langStopwords.toMap.apply("en")
+    val nTokens = size(TextOps.tokens(col("text")))
+    val w = TextOps.qualityScore(nTokens, length(col("text")),
+      TextOps.punctCount(col("text")),
+      TextOps.stopwordCount(col("text"), en))
+    // u in (0,1]: first 32 md5 bits, +1 so u > 0, over 2^32 (exact: the
+    // numerator is an integer <= 2^32 and the divisor a power of two)
+    val hex = substring(
+      md5(concat(lit("ps:"), col("doc_id").cast("string")).cast("binary")),
+      1, 8)
+    val u = (conv(hex, 16, 10).cast("long") + 1L).cast("double") /
+      lit(4294967296.0)
+    docs.select(col("doc_id"), w.as("weight"), u.as("u"))
+      .withColumn("pr", col("weight") / col("u"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"), round(col("pr"), 6).as("priority"))
+  }
+
+  private val weightedSampleOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                    x -> len(x) > 0)) AS n_tokens,
+      |    length(text) AS n_chars,
+      |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+      |    len(list_filter(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                                x -> len(x) > 0),
+      |        x -> list_contains(['the','and','of','to','is','in'], x))) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, round((
+      |      (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0
+      |            WHEN n_tokens < 10 THEN CAST(n_tokens AS DOUBLE) / 10.0
+      |            ELSE 1000.0 / CAST(n_tokens AS DOUBLE) END)
+      |    + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) <= 0.1
+      |            THEN 1.0 ELSE 0.5 END)
+      |    + (CASE WHEN CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+      |                 BETWEEN 0.01 AND 0.6
+      |            THEN 1.0 ELSE 0.5 END)
+      |    ) / 3.0, 6) AS weight
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, weight,
+      |    weight / ((('0x' || substr(md5('ps:' || doc_id), 1, 8))::BIGINT + 1)::DOUBLE
+      |              / 4294967296.0) AS pr
+      |  FROM q)
+      |SELECT doc_id, weight, round(pr, 6) AS priority
+      |FROM p ORDER BY pr DESC, doc_id LIMIT 64""".stripMargin
+
   /** Incremental near-dup — t17's approximate sibling and the nightly
     * ingest's missing near-dup gate: a small batch (perturbed copies of
     * every 10th corpus doc, id + 1e6 — guaranteed planted matches at
@@ -1556,5 +1630,7 @@ object TextQueries {
     // same values by construction, same oracle — the plan is the point.
     NamedQuery("t32_bloom_incremental_dedup", bloomIncrementalDedup,
       Some(incrementalDedupOracle)),
+    NamedQuery("t33_weighted_sample", weightedSample,
+      Some(weightedSampleOracle)),
   )
 }
