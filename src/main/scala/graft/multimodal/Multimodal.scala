@@ -459,6 +459,127 @@ object Multimodal {
       })
   }
 
+  // ── perceptual image hashing (s16's decode-side primitives) ──────────
+
+  /** Brightness bump planted on the origin pixel of a near-duplicate
+    * copy (mod 256 keeps it a valid 8-bit sample). Small enough that the
+    * copy's aHash lands within the s16 Hamming threshold of its base —
+    * except when the origin pixel sits within 8 of saturation and the
+    * bump WRAPS (a genuinely large edit; ~3% of planted copies at 50k
+    * ids), which can push the pair past the radius. Documented, not
+    * hidden: s16's oracle recomputes the same hashes either way. */
+  val NearDupBump = 8
+
+  /** s16's pixel field. [[grayAt]]'s plane `7x+13y+seed` differs between
+    * seeds almost purely by a constant BRIGHTNESS offset — exactly what a
+    * mean-thresholded average-hash is designed to ignore — so under
+    * aHash, distinct s10-style images collide en masse (measured: 1122
+    * of 1225 pairs within Hamming 3 at 50 docs). This field gives every
+    * seed its own x/y/xy gradient STRUCTURE (the curvature terms), which
+    * is what survives mean-thresholding; measured at 5000 ids: 3
+    * non-planted pairs within radius, planted copies at distance <= 1.
+    * Pure integer arithmetic — the DuckDB oracle replicates it exactly. */
+  def grayMixAt(x: Int, y: Int, seed: Long): Int = {
+    val xl = x.toLong; val yl = y.toLong
+    ((xl * xl * (3 + seed % 31) + yl * yl * (5 + seed % 29) +
+      xl * yl * (1 + seed % 13) +
+      xl * (3 + seed % 251) + yl * (7 + seed % 241) + seed) % 256).toInt
+  }
+
+  /** Synthesized image corpus WITH planted near-duplicates: rows where
+    * `id % 10 == 7` carry a perturbed copy of (id-7)'s image — same dims,
+    * same [[grayMixAt]] pixel field, origin pixel bumped by
+    * [[NearDupBump]] — instead of their own pattern. The perturbation is
+    * arithmetic-replicable, so the s16 DuckDB oracle recomputes every
+    * copy's hash without decoding a byte. */
+  def synthesizeImageAssetsNearDup(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = if (id % 10 == 7) id - 7 else id
+        val w = imgWidth(seed); val h = imgHeight(seed)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, grayMixAt(x, y, seed)); x += 1 }
+          y += 1
+        }
+        if (id % 10 == 7)
+          raster.setSample(0, 0, 0, (grayMixAt(0, 0, seed) + NearDupBump) % 256)
+        (id, writePng(img))
+      })
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("image/png").as("media_type"),
+        col("payload"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("string").as("format")).as("meta"))
+  }
+
+  /** 64-bit average-hash of a decoded grayscale image, split into two
+    * unsigned 32-bit halves so every downstream system (Spark BIGINT,
+    * DuckDB BIGINT, the oracle's `1 << b` arithmetic) stays clear of the
+    * int64 sign bit. Definition — chosen for EXACT cross-engine
+    * replication, no floats anywhere:
+    *
+    *   sample(i,j) = raster(i*w/8, j*h/8)  for i,j in 0..7  (point
+    *   sample, integer floor division — total for any w,h >= 1, unlike a
+    *   block average which would leave empty blocks when w < 8);
+    *   bit b = i*8+j is set iff 64*sample >= sum(all 64 samples)
+    *   (integer cross-multiplied mean comparison — no division).
+    *
+    * aHash is brightness-THRESHOLD invariant by construction; two
+    * images differing by a small localized edit share almost every bit,
+    * which is exactly the property s16's banded Hamming join exploits. */
+  def aHash64(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val r = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    val s = new Array[Int](64)
+    var tot = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val v = r.getSample(i * w / 8, j * h / 8, 0)
+        s(i * 8 + j) = v; tot += v; j += 1
+      }
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (64L * s(b) >= tot) {
+        if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  final case class ImageHash(asset_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Real-decode perceptual-hash pass: ImageIO parses each payload, the
+    * raster feeds [[aHash64]], undecodable payloads drop (quarantine in
+    * production). Narrow mapPartitions; the output is 24 bytes/row — the
+    * payload column never survives past this map, which is what lets
+    * s16's join stage shuffle hashes instead of images. */
+  def imageAHashes(assets: DataFrame): Dataset[ImageHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { d =>
+          val (hi, lo) = aHash64(d.image)
+          ImageHash(id, hi, lo)
+        }
+      })
+  }
+
   /** Real image resize: decode, nearest-neighbor downscale to
     * `targetWidth` (aspect preserved, never upscales), re-encode PNG, and
     * rewrite the metadata from the dimensions actually applied — payload

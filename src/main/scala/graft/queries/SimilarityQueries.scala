@@ -646,6 +646,108 @@ object SimilarityQueries {
        |FROM s WHERE sim >= 0.8""".stripMargin
   }
 
+  /** s16 — perceptual-hash image near-dup (the LAION/DataComp-style
+    * image dedup step): synthesize the corpus's PNGs with planted
+    * near-duplicate copies (`id % 10 == 7` carries a one-pixel-bumped
+    * copy of id-7's image), REAL-decode them with ImageIO, compute the
+    * exact integer 64-bit average-hash ([[graft.multimodal.Multimodal.aHash64]]),
+    * and emit all pairs within Hamming distance 3 via a banded equi-join.
+    *
+    * Unlike t29/s15 (probabilistic LSH recall, oracle shares the band
+    * constants), this operator's candidate stage is PROVABLY lossless:
+    * 4 disjoint 16-bit bands and threshold 3 mean any qualifying pair
+    * has at least one identical band (pigeonhole), so the DuckDB oracle
+    * can brute-force ALL pairs independently and demand exact set
+    * equality — a recall-complete check, not a shared-constants echo.
+    *
+    * The 100 TB shape: decode+hash is one narrow mapPartitions; only
+    * (asset_id, hash_hi, hash_lo) — 24 bytes/row — survives to the join,
+    * so payloads never shuffle (PlanAuditSpec pins binary-free band
+    * exchanges). At billions of images the 16-bit bands would need
+    * widening (e.g. 32-bit bands over a 128-bit pHash) to keep bucket
+    * collision counts flat — band width scales with log(corpus), the
+    * join stays the same equi-join. */
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    imageHashPairs(
+      graft.multimodal.Multimodal.imageAHashes(
+        graft.multimodal.Multimodal.synthesizeImageAssetsNearDup(
+          scan(spark, sfDir, "documents"), "doc_id")).toDF(),
+      maxHamming = 3)
+
+  /** The banded Hamming join behind [[imageNearDup]], public and
+    * parameterized. Input: (asset_id, hash_hi, hash_lo) with each half
+    * an unsigned 32-bit value in a long. `maxHamming` is capped at 3:
+    * that is the largest threshold for which the 4×16-bit banding is
+    * lossless (pigeonhole) — a larger radius needs more/wider bands,
+    * not a silently leaky join. */
+  def imageHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is lossless only for maxHamming <= 3, got $maxHamming")
+    val banded = hashes.select(col("asset_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        shiftright(col("hash_hi"), 16),
+        col("hash_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("hash_lo"), 16),
+        col("hash_lo").bitwiseAND(lit(0xFFFFL)))).as(Seq("band_no", "band_val")))
+    val ham =
+      (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+        bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("int")
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        ham.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // The oracle rebuilds every hash ARITHMETICALLY (Multimodal.grayMixAt's
+  // integer field; near-dup rows use seed = doc_id-7 with +8 at the
+  // origin) and brute-forces all pairs — no banding, no decode: an
+  // independent, recall-complete twin. Engine bit b = i*8+j from point
+  // sample (i*w/8, j*h/8); 64*g >= sum is the division-free mean
+  // threshold.
+  private val imageNearDupOracle =
+    """WITH eff AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 7 THEN doc_id - 7 ELSE doc_id END AS seed,
+      |         CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS pert
+      |  FROM documents),
+      |dims AS (SELECT doc_id, seed, pert,
+      |                4 + seed % 29 AS w, 3 + seed % 17 AS h FROM eff),
+      |ii AS (SELECT doc_id, seed, pert, w, h,
+      |              unnest(generate_series(0, 7)) AS i FROM dims),
+      |grid AS (SELECT doc_id, seed, pert, w, h, i,
+      |                unnest(generate_series(0, 7)) AS j FROM ii),
+      |fxy AS (SELECT doc_id, seed, pert, i, j,
+      |               (i * w) // 8 AS fx, (j * h) // 8 AS fy FROM grid),
+      |samp AS (
+      |  SELECT doc_id, i * 8 + j AS b,
+      |         CASE WHEN pert = 1 AND fx = 0 AND fy = 0
+      |              THEN (seed + 8) % 256
+      |              ELSE (fx*fx*(3 + seed%31) + fy*fy*(5 + seed%29)
+      |                    + fx*fy*(1 + seed%13)
+      |                    + fx*(3 + seed%251) + fy*(7 + seed%241) + seed) % 256
+      |         END AS g
+      |  FROM fxy),
+      |tot AS (SELECT doc_id, SUM(g) AS s64 FROM samp GROUP BY 1),
+      |bits AS (SELECT samp.doc_id AS doc_id, b,
+      |                CASE WHEN 64 * g >= s64 THEN 1 ELSE 0 END AS bit
+      |         FROM samp JOIN tot ON samp.doc_id = tot.doc_id),
+      |h AS (SELECT doc_id,
+      |        SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+      |                 ELSE 0 END)::BIGINT AS hi,
+      |        SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b)
+      |                 ELSE 0 END)::BIGINT AS lo
+      |      FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |            AS INTEGER) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("s01_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     NamedQuery("s02_ann_lsh", annLsh, Some(annLshOracle)),
@@ -667,5 +769,6 @@ object SimilarityQueries {
     NamedQuery("s14_ann_quantized", annQuantized, Some(annQuantizedOracle)),
     NamedQuery("s15_ann_cosine_neardup", annCosineNearDup,
       Some(annCosineNearDupOracle)),
+    NamedQuery("s16_image_neardup", imageNearDup, Some(imageNearDupOracle)),
   )
 }
