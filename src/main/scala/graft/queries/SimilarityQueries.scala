@@ -683,12 +683,20 @@ object SimilarityQueries {
   def imageHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding is lossless only for maxHamming <= 3, got $maxHamming")
+    // The explicit band-keyed repartition is NOT redundant with the join's
+    // own shuffle: a bare self-join duplicates the whole upstream lineage
+    // (synthesize + ImageIO decode + hash would run TWICE — visible as two
+    // parallel MapPartitions chains in the plan). Ending both join inputs
+    // at an IDENTICAL Exchange lets ReuseExchange materialize the
+    // decode+hash pass ONCE; the join then reads the same shuffle output
+    // from both sides (ImageNearDupSpec pins the reuse).
     val banded = hashes.select(col("asset_id"), col("hash_hi"), col("hash_lo"),
       posexplode(array(
         shiftright(col("hash_hi"), 16),
         col("hash_hi").bitwiseAND(lit(0xFFFFL)),
         shiftright(col("hash_lo"), 16),
         col("hash_lo").bitwiseAND(lit(0xFFFFL)))).as(Seq("band_no", "band_val")))
+      .repartition(col("band_no"), col("band_val"))
     val ham =
       (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
         bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("int")

@@ -87,11 +87,12 @@ class ImageNearDupSpec extends SparkSpec {
       SimilarityQueries.imageHashPairs(hashes, maxHamming = 4))
   }
 
-  test("plan: payloads never ride the band exchanges; no cartesian join") {
+  test("plan: payloads never ride the band exchanges; no cartesian join; " +
+    "decode+hash materialized once (ReusedExchange)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.Exchange
-    val plan = SimilarityQueries.imageNearDup(spark, sf)
-      .queryExecution.executedPlan
+    val df = SimilarityQueries.imageNearDup(spark, sf)
+    val plan = df.queryExecution.executedPlan
     val root = plan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p                        => p
@@ -107,5 +108,18 @@ class ImageNearDupSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"),
       s"the candidate stage must be an equi-join:\n$s")
+    // The self-join's two sides must share ONE materialized decode+hash
+    // pass. The bait is real: a bare self-join duplicates the lineage and
+    // ImageIO runs twice. The band-keyed repartition ends both sides at
+    // an identical Exchange, which AQE's stage cache dedupes AT RUNTIME —
+    // so execute first, then read the FINAL plan (the initial plan never
+    // shows the reuse), cutting off the echoed initial-plan section.
+    df.collect()
+    val finalStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalStr.contains("ReusedExchange"),
+      s"decode+hash must run once, reused across the self-join:\n$finalStr")
+    assert("MapPartitions".r.findAllIn(finalStr).size == 2,
+      s"expected exactly one synth + one hash MapPartitions chain:\n$finalStr")
   }
 }
