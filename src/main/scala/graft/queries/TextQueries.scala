@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -1497,12 +1497,14 @@ object TextQueries {
     * DuckDB oracle ranks bit-identical doubles and no libm ln/pow ULP
     * ever crosses the engine boundary.
     *
-    * The 100 TB shape: the weight is a narrow codegen'd map over the
-    * scan (no shuffle of text, no shuffle at all) and the top-k is
-    * TakeOrderedAndProject — per-partition partial top-k, k rows per
-    * partition to the driver, never a global sort (PlanAuditSpec pins
-    * both). Ranking happens on the full-precision priority; the output
-    * rounding is display-only. */
+    * The 100 TB shape: the weight is a narrow single-pass map over the
+    * scan (no shuffle of text, no shuffle at all; the token array is
+    * materialized ONCE per row — Spark's lambda array functions are
+    * CodegenFallback, so duplicated token subtrees would all evaluate)
+    * and the top-k is TakeOrderedAndProject — per-partition partial
+    * top-k, k rows per partition to the driver, never a global sort
+    * (PlanAuditSpec pins both). Ranking happens on the full-precision
+    * priority; the output rounding is display-only. */
   def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
     prioritySample(scan(spark, sfDir, "documents"), k = 64)
 
@@ -1511,10 +1513,20 @@ object TextQueries {
   def prioritySample(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val en = TextOps.langStopwords.toMap.apply("en")
-    val nTokens = size(TextOps.tokens(col("text")))
-    val w = TextOps.qualityScore(nTokens, length(col("text")),
+    val enSet = en.map(lit): Seq[Column]
+    // Tokenize ONCE through an explicit staging projection. Passing
+    // TextOps.tokens(text) into each count would inline the regex
+    // split+lower+trim SIX times into one projection — and because
+    // Spark's higher-order array functions (the token filters) are
+    // CodegenFallback, that projection runs OUTSIDE whole-stage codegen
+    // where nothing de-duplicates the subtrees. CollapseProject will not
+    // re-merge the stages: `toks` is non-cheap and consumed more than
+    // once (WeightedSampleSpec pins exactly one split in the plan).
+    val staged = docs.select(col("doc_id"), col("text"),
+      TextOps.tokens(col("text")).as("toks"))
+    val w = TextOps.qualityScore(size(col("toks")), length(col("text")),
       TextOps.punctCount(col("text")),
-      TextOps.stopwordCount(col("text"), en))
+      size(filter(col("toks"), t => t.isin(enSet: _*))))
     // u in (0,1]: first 32 md5 bits, +1 so u > 0, over 2^32 (exact: the
     // numerator is an integer <= 2^32 and the divisor a power of two)
     val hex = substring(
@@ -1522,7 +1534,7 @@ object TextQueries {
       1, 8)
     val u = (conv(hex, 16, 10).cast("long") + 1L).cast("double") /
       lit(4294967296.0)
-    docs.select(col("doc_id"), w.as("weight"), u.as("u"))
+    staged.select(col("doc_id"), w.as("weight"), u.as("u"))
       .withColumn("pr", col("weight") / col("u"))
       .orderBy(col("pr").desc, col("doc_id"))
       .limit(k)

@@ -38,7 +38,7 @@ object PlanDump {
     "t30_contamination_score" -> "threshold contamination via a SHUFFLED gram join (no broadcast — the shape for a corpus-scale reference set): distinct (doc, gram-hash) x distinct reference grams, fixed-width keys only, per-doc hit count vs the >=3 convention",
     "t31_bloom_contamination" -> "t30 behind a fixed-size Bloom gate: BloomFilterAggregate subquery -> might_contain filter in the MAP stage, so corpus (doc, gram) pairs never reach an exchange unless they might hit; exact verify join removes the false positives (output bit-identical to t30)",
     "t32_bloom_incremental_dedup" -> "t17 with the runtime filter pointed at the big side: sketch over the small batch's keys gates the corpus key index scan; only might-collide keys reach the exact anti-join (corpus branch ships ONLY `k`)",
-    "t33_weighted_sample" -> "priority sampling: narrow codegen'd quality-weight map over the scan -> TakeOrderedAndProject partial top-k — NO Exchange, no global sort, k rows per partition to the driver",
+    "t33_weighted_sample" -> "priority sampling: narrow single-pass quality-weight map over the scan (token array staged once — lambda array ops are CodegenFallback, so duplicated split subtrees would all evaluate) -> TakeOrderedAndProject partial top-k — NO Exchange, no global sort, k rows per partition to the driver",
     "s16_image_neardup" -> "perceptual-hash image dedup: narrow decode+aHash mapPartitions (payloads die before the join) -> 4x16-bit band equi-join, provably lossless at Hamming radius 3 (pigeonhole), exact bit_count verify. The static plan below PRINTS the self-join's lineage twice; at runtime AQE's stage cache dedupes the two identical band-keyed Exchanges into one materialized decode+hash pass (ReusedExchange in the final adaptive plan — ImageNearDupSpec pins it)",
   )
 
