@@ -42,18 +42,30 @@ object TextQueries {
     * maps (the 100 TB shape: no shuffle at all). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val en = TextOps.langStopwords.toMap.apply("en")
-    scan(spark, sfDir, "documents").select(
+    // Three staged projections, one tokenization: the naive single-select
+    // inlined tokens(text) ELEVEN times (n_tokens, n_stop, and quality's
+    // internals each re-derive it) and lambda array ops are
+    // CodegenFallback, so all eleven regex splits really ran per row.
+    // CollapseProject keeps the stages: toks and the counts are non-cheap
+    // and each consumed more than once (PlanAuditSpec pins one split).
+    val staged = scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        TextOps.stopwordCountIn(col("toks"), en).as("n_stop"))
+    staged.select(
       col("doc_id"),
-      size(TextOps.tokens(col("text"))).as("n_tokens"),
+      col("n_tokens"),
       length(col("text")).cast("int").as("n_chars"),
       TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
       TextOps.punctCount(col("text")).cast("int").as("n_punct"),
-      TextOps.stopwordCount(col("text"), en).as("n_stop"),
+      col("n_stop"),
       TextOps.qualityScore(
-        size(TextOps.tokens(col("text"))),
+        col("n_tokens"),
         length(col("text")),
         TextOps.punctCount(col("text")),
-        TextOps.stopwordCount(col("text"), en)).as("quality"))
+        col("n_stop")).as("quality"))
   }
 
   private val textStatsOracle =
@@ -469,16 +481,22 @@ object TextQueries {
   def gopherSignals(docs: DataFrame): DataFrame = {
     graft.functions.RepetitionStats.register(docs.sparkSession)
     val en = TextOps.langStopwords.toMap.apply("en")
-    val toks = TextOps.tokens(col("text"))
+    // tokenize ONCE into a staged column: the withColumn chain collapses
+    // into a single projection, and the three token-derived signals would
+    // otherwise inline three regex splits per row, all OUTSIDE
+    // whole-stage codegen (lambda array ops are CodegenFallback, nothing
+    // de-duplicates them there). The staging projection survives
+    // CollapseProject because __toks is non-cheap and consumed thrice.
     val withSig = docs
-      .withColumn("__n_tokens", size(toks).cast("long"))
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__n_tokens", size(col("__toks")).cast("long"))
       .withColumn("__n_chars", length(col("text")).cast("long"))
       .withColumn("__sum_tok_len",
-        aggregate(transform(toks, t => length(t).cast("long")),
+        aggregate(transform(col("__toks"), t => length(t).cast("long")),
           lit(0L), (a, x) => a + x))
       .withColumn("__n_punct", TextOps.punctCount(col("text")).cast("long"))
       .withColumn("__n_stop",
-        TextOps.stopwordCount(col("text"), en).cast("long"))
+        TextOps.stopwordCountIn(col("__toks"), en).cast("long"))
       .withColumn("__rs", expr("repetition_stats(text)"))
     val reason =
       when(col("__n_tokens") < 5, "too_short")
@@ -492,7 +510,7 @@ object TextQueries {
           "repetitive")
         .otherwise(lit(null).cast("string"))
     withSig.withColumn("reject_reason", reason)
-      .drop("__n_tokens", "__n_chars", "__sum_tok_len", "__n_punct",
+      .drop("__toks", "__n_tokens", "__n_chars", "__sum_tok_len", "__n_punct",
         "__n_stop", "__rs")
   }
 
@@ -1168,10 +1186,24 @@ object TextQueries {
     * (s08's pattern; ln itself is bit-identical across Spark and DuckDB
     * on this box, the t11 precedent). */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    // One tokenize, one shuffle: the naive form referenced the exploded
+    // token table three times (freq groupBy, global total, join probe),
+    // and each reference re-scanned and re-tokenized the corpus — three
+    // full tokenization passes at 100 TB. The term-keyed repartition ends
+    // all three lineages at ONE identical Exchange (AQE stage reuse, the
+    // s16 pattern), the groupBy and the term join both consume it with
+    // their distribution already satisfied, and the global total becomes
+    // a sum over the tiny term table instead of a third corpus pass.
     val toks = scan(spark, sfDir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+      .repartition(col("term"))
+    // tf counts doc_id (non-null by the repo-wide contract) rather than
+    // lit(1) ON PURPOSE: count(*) would let column pruning strip doc_id
+    // below freq's copy of the exchange, the two subtrees would stop
+    // being sameResult, and the stage reuse above would silently vanish
+    // (measured: two full tokenization lineages instead of one).
+    val freq = toks.groupBy(col("term")).agg(count(col("doc_id")).as("tf"))
+    val total = freq.agg(sum(col("tf")).cast("long").as("n_total"))
     toks.join(freq, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
@@ -1513,7 +1545,6 @@ object TextQueries {
   def prioritySample(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val en = TextOps.langStopwords.toMap.apply("en")
-    val enSet = en.map(lit): Seq[Column]
     // Tokenize ONCE through an explicit staging projection. Passing
     // TextOps.tokens(text) into each count would inline the regex
     // split+lower+trim SIX times into one projection — and because
@@ -1526,7 +1557,7 @@ object TextQueries {
       TextOps.tokens(col("text")).as("toks"))
     val w = TextOps.qualityScore(size(col("toks")), length(col("text")),
       TextOps.punctCount(col("text")),
-      size(filter(col("toks"), t => t.isin(enSet: _*))))
+      TextOps.stopwordCountIn(col("toks"), en))
     // u in (0,1]: first 32 md5 bits, +1 so u > 0, over 2^32 (exact: the
     // numerator is an integer <= 2^32 and the divisor a power of two)
     val hex = substring(

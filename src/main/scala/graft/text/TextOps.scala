@@ -31,10 +31,18 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,!?;:]", ""))
 
-  def stopwordCount(text: Column, words: Seq[String]): Column = {
+  /** Stopword hits of an ALREADY-materialized token array — the staged
+    * twin of [[stopwordCount]]. Callers that need several token stats
+    * should select [[tokens]] once and count from the array: Spark's
+    * lambda array functions are CodegenFallback, so every duplicated
+    * `tokens(text)` subtree really re-runs the regex split per row. */
+  def stopwordCountIn(toks: Column, words: Seq[String]): Column = {
     val set = words.map(lit): Seq[Column]
-    size(filter(tokens(text), t => t.isin(set: _*)))
+    size(filter(toks, t => t.isin(set: _*)))
   }
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    stopwordCountIn(tokens(text), words)
 
   /** Quality-score heuristic in [0,1]: rewards mid-length docs, sane
     * punctuation density, and a natural stopword ratio. All arithmetic is

@@ -369,6 +369,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"t16 must not shuffle:\n$s")
   }
 
+  test("text tier tokenizes once per row where the plan allows it " +
+    "(t03/t16/t33 staged token arrays)") {
+    // Lambda array functions are CodegenFallback: a projection containing
+    // them runs OUTSIDE whole-stage codegen, where nothing de-duplicates
+    // repeated tokens(text) subtrees — the pre-staging t03 inlined the
+    // regex split ELEVEN times per row. The staged token-array projection
+    // must survive CollapseProject (non-cheap, multi-consumer).
+    // Known residual, documented in BASELINE round-14: t19's gate FILTER
+    // still inlines the gate expression (predicate pushdown substitutes
+    // aliases into the condition) — pinned at its current count so a
+    // regression or a future fix both surface here.
+    val splitRe = "split\\(lower\\(trim\\(".r
+    for ((q, want) <- Seq("t03_text_stats" -> 1, "t16_gopher_filter" -> 1,
+                          "t33_weighted_sample" -> 1, "t19_ingest_pipeline" -> 8))
+      assert(splitRe.findAllIn(planStr(q)).size == want,
+        s"$q expected $want tokenization(s) in the plan")
+  }
+
+  test("unigram logprob t23: one tokenization lineage, exchange reused by " +
+    "freq and total (runtime check — AQE stage cache)") {
+    // The naive form re-scanned + re-tokenized the corpus three times
+    // (freq groupBy, global total, join probe). The term-keyed repartition
+    // plus count(doc_id) — NOT count(*), which would let column pruning
+    // de-unify the subtrees — collapses all three onto one materialized
+    // exchange. The reuse only exists in the FINAL adaptive plan.
+    val df = Registry.queries("t23_unigram_logprob")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("split\\(lower\\(trim\\(".r.findAllIn(fin).size == 1,
+      s"t23 must tokenize the corpus exactly once:\n$fin")
+    assert("ReusedExchange".r.findAllIn(fin).size >= 2,
+      s"freq and total must both reuse the token exchange:\n$fin")
+  }
+
   test("incremental dedup: anti-join on the key, no corpus re-shuffle blowup") {
     val s = planStr("t17_incremental_dedup")
     assert(s.contains("LeftAnti"), s"corpus check must be an anti-join:\n$s")
