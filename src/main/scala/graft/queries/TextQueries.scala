@@ -305,10 +305,19 @@ object TextQueries {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window count over term on the ONE tf lineage — the former
+    // tf.groupBy(term) + join-back referenced tf twice, and each
+    // reference re-ran scan+tokenize+explode (the t23 count(doc_id)
+    // trick does not transfer: tf's count output is provably
+    // non-nullable, so the optimizer canonicalizes count(tf) back to
+    // count(1), prunes the column, rewrites dfreq's aggregate to a
+    // distinct, and the subtrees stop being sameResult). Same value
+    // (rows per term), one corpus pass, one term exchange instead of a
+    // duplicated lineage plus a broadcast join.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -1423,9 +1432,24 @@ object TextQueries {
       .select(col(idCol), col("m"), explode_outer(wins).as("w"))
       .groupBy(col(idCol), col("m"), col("w"))
       .agg(count(col("w")).as("occ")) // occ = 0 on the null row of a windowless doc
-    val global = occ.where(col("w").isNotNull)
-      .groupBy(col("w")).agg(sum(col("occ") * col("m")).as("cnt"))
-    occ.join(global, Seq("w"), "left")
+    // The global count joins back on coalesce(w, Long.MinValue), NOT w,
+    // and there is deliberately no where(w.isNotNull) before the
+    // groupBy: with a nullable key the optimizer infers isnotnull(w) on
+    // the join's build side and pushes it BELOW global's aggregate,
+    // making global's copy of the tokenize+window+count subtree differ
+    // from the probe's — two full corpus passes (t25 is the most
+    // expensive ×100-grow query, so the duplication is the single
+    // biggest wall-cell lever). A provably non-null key leaves both
+    // branches ending at the SAME exchange, which AQE materializes once
+    // (PlanAuditSpec pins one tokenization + the ReusedExchange).
+    // Values are unchanged in every case: a windowless doc's sentinel
+    // row carries occ = 0, so whatever cnt it picks up — the 0-sum
+    // sentinel group, or a real window whose xxhash64 happens to equal
+    // Long.MinValue — it contributes CASE WHEN cnt > 1 THEN 0 either way.
+    val wk = coalesce(col("w"), lit(Long.MinValue))
+    val global = occ
+      .groupBy(wk.as("wk")).agg(sum(col("occ") * col("m")).as("cnt"))
+    occ.withColumn("wk", wk).join(global, Seq("wk"), "left")
       .groupBy(col(idCol))
       .agg(
         sum(col("occ")).cast("long").as("n_windows"),

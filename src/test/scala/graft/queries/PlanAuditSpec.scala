@@ -382,9 +382,27 @@ class PlanAuditSpec extends SparkSpec {
     // regression or a future fix both surface here.
     val splitRe = "split\\(lower\\(trim\\(".r
     for ((q, want) <- Seq("t03_text_stats" -> 1, "t16_gopher_filter" -> 1,
-                          "t33_weighted_sample" -> 1, "t19_ingest_pipeline" -> 8))
+                          "t33_weighted_sample" -> 1, "t11_tfidf_topk" -> 1,
+                          "t19_ingest_pipeline" -> 8))
       assert(splitRe.findAllIn(planStr(q)).size == want,
         s"$q expected $want tokenization(s) in the plan")
+  }
+
+  test("span dedup t25: one tokenize+window+count pass, reused across the " +
+    "global-count join (runtime check — AQE stage cache)") {
+    // The global window-count join re-keys on coalesce(w, MinValue)
+    // precisely so the optimizer cannot infer isnotnull(w) on the build
+    // side (which would push below global's aggregate and fork the
+    // corpus-scale tokenize+window subtree into two full passes — t25 is
+    // the top ×100-grow query, so the fork doubles its dominant cost).
+    val df = Registry.queries("t25_span_dedup")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("split\\(lower\\(trim\\(".r.findAllIn(fin).size == 1,
+      s"t25 must tokenize/window the corpus exactly once:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"global count must reuse the occ exchange:\n$fin")
   }
 
   test("unigram logprob t23: one tokenization lineage, exchange reused by " +
