@@ -41,32 +41,46 @@ object PlantedFuzzy {
     Seq("\u65E5", "\u8A9E", "\u30C6", "\u30AD", "\u00E9", "\u0301", "\u672C")
 
   /** (doc_id, text). Pair design (codepoint-dist vs byte-dist):
-    *  - 2000001/2000002: CJK substitution \u65E5 -> \u8A9E (1 vs 3)
-    *  - 2000003/2000004: CJK insertion \u30AD (1 vs 3)
-    *  - 2000005/2000006: precomposed \u00E9 -> e (1 vs 2)
-    *  - 2000007/2000008: precomposed \u00E9 vs decomposed e+U+0301
+    *  - 2000001/3000001: CJK substitution \u65E5 -> \u8A9E (1 vs 3)
+    *  - 2000003/3000003: CJK insertion \u30AD (1 vs 3)
+    *  - 2000005/3000005: precomposed \u00E9 -> e (1 vs 2)
+    *  - 2000007/3000007: precomposed \u00E9 vs decomposed e+U+0301
     *    (2 vs 3); the caf\u00E9-family cross pairs also survive the
-    *    lev <= 20 gate, widening the verified surface. */
+    *    lev <= 20 gate, widening the verified surface.
+    *
+    * Pair members differ by exactly +1_000_000, mirroring the perturbed-
+    * copy convention, so `id % 1e6` folds each designed pair to ONE
+    * residue and RecallProbe's 1-in-N slices keep designed pairs intact
+    * (the r14 ADVICE finding: the old consecutive ids 2000001/2000002
+    * straddled every slicing n > 1, so the probe silently never
+    * exercised the multibyte pairs). The caf\u00E9-family CROSS pairs
+    * (2000005 x 3000007 etc.) still straddle slices; the probe's
+    * slice-x-slice restriction excludes them consistently on both sides,
+    * and their full coverage lives in NonAsciiFuzzySpec + the dump-time
+    * oracles. */
   val rows: Seq[(Long, String)] = Seq(
     (2000001L, "training corpus \u65E5\u672C tokens flow deep in the net"),
-    (2000002L, "training corpus \u8A9E\u672C tokens flow deep in the net"),
+    (3000001L, "training corpus \u8A9E\u672C tokens flow deep in the net"),
     (2000003L, "stream \u30C6 segment alpha beta gamma delta epsilon"),
-    (2000004L, "stream \u30C6\u30AD segment alpha beta gamma delta epsilon"),
+    (3000003L, "stream \u30C6\u30AD segment alpha beta gamma delta epsilon"),
     (2000005L, "caf\u00E9 corpus quality filter rank beta gamma delta"),
-    (2000006L, "cafe corpus quality filter rank beta gamma delta"),
+    (3000005L, "cafe corpus quality filter rank beta gamma delta"),
     (2000007L, "caf\u00E9 corpus quality filter rank beta gamma theta"),
-    (2000008L, "cafe\u0301 corpus quality filter rank beta gamma theta"))
+    (3000007L, "cafe\u0301 corpus quality filter rank beta gamma theta"))
 
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
   }
 
-  /** `(id, 'text'), ...` VALUES body for the oracle SQL (texts contain no
-    * quotes by construction; the multibyte chars ride the JSON dump as
-    * UTF-8). */
+  /** `(id, 'text'), ...` VALUES body for the oracle SQL (single quotes
+    * SQL-escaped by doubling, so a future planted apostrophe cannot
+    * silently corrupt the t18/t20/t29 oracles; the multibyte chars ride
+    * the JSON dump as UTF-8). */
   def sqlValues: String =
-    rows.map { case (id, t) => s"($id, '$t')" }.mkString(",\n  ")
+    rows.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}')"
+    }.mkString(",\n  ")
 
   /** Wrap a DuckDB text expression in the codepoint transcode: each
     * planted multibyte char becomes one distinct low byte, identity on

@@ -1212,7 +1212,11 @@ object TextQueries {
     // being sameResult, and the stage reuse above would silently vanish
     // (measured: two full tokenization lineages instead of one).
     val freq = toks.groupBy(col("term")).agg(count(col("doc_id")).as("tf"))
-    val total = freq.agg(sum(col("tf")).cast("long").as("n_total"))
+    // coalesce: sum returns NULL (not 0) over an empty term table, which
+    // would NULL-poison every logprob on a degenerate token-free corpus;
+    // the DuckDB oracle's count(*) form yields 0 there (r14 ADVICE).
+    val total = freq.agg(
+      coalesce(sum(col("tf")), lit(0L)).cast("long").as("n_total"))
     toks.join(freq, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))

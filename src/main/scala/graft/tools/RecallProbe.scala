@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   * The slice key folds both the +1_000_000 perturbed-copy shift and the
   * ScaleUp replica stride (1e9 ≡ 0 mod 1e6) back to the base id, so a
   * doc/vector and ALL its derived near-dup partners land in the same
-  * slice — truth pairs never straddle the slice boundary by
-  * construction of the planted positives, and incidental cross-slice
-  * corpus pairs are out of scope on BOTH sides of the comparison
-  * (restricting the pipeline output to slice×slice pairs).
+  * slice — designed truth pairs never straddle the slice boundary:
+  * perturbed copies differ by exactly +1e6, and since r15 the
+  * PlantedFuzzy multibyte pairs follow the same +1e6 convention
+  * (2000001/3000001 etc. — the r14 ADVICE finding was that their old
+  * consecutive ids made every planted pair straddle any n > 1 slicing,
+  * so the probe silently skipped them). Incidental cross-slice corpus
+  * pairs (e.g. the café-family cross pairs) are out of scope on BOTH
+  * sides of the comparison (restricting the pipeline output to
+  * slice×slice pairs), so the comparison stays consistent.
   *
   * Precision needs no probe: a surviving LSH candidate passed the same
   * exact metric threshold the brute force applies, so pipeline ⊆ truth
