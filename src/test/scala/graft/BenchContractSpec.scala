@@ -69,22 +69,62 @@ class BenchContractSpec extends AnyFunSuite {
         .findFirstMatchIn(json).map(_.group(1).count(_ == ':'))
       assert(aTotal.isDefined && aFailed.isDefined && aQueries.isDefined,
         "BENCH_LOCAL.json missing value/failed/queries fields")
-      // Refresh-tolerant direction (r13 verdict): the artifact is gitignored
-      // and the driver's post-commit bench rewrites it on every round, so a
-      // FASTER artifact than the quoted record is a refresh trigger, not a
-      // defect — the doc under-claims and the next BASELINE.md section should
-      // true it up. Only the over-claim direction (doc quotes a better number
-      // than the artifact supports) is a hard failure.
-      assert(aTotal.get <= qTotal + 0.005 + 1e-9,
+      // Drift-aware band (r14 verdict item 1): the artifact is gitignored
+      // and the driver's post-commit bench rewrites it every round UNDER
+      // LOAD — r13 lost the suite to a faster artifact, r14 to a slower
+      // one (50.02 s vs the honest idle-box 43.65 s quote), because an
+      // exact-match pin cannot tell machine-state drift from an
+      // over-claim. Hard-fail only beyond Bench.QuoteDriftBand (1.5×, the
+      // documented drift envelope); anything inside the band is drift and
+      // is surfaced as info for the next quote refresh.
+      assert(aTotal.get <= qTotal * Bench.QuoteDriftBand + 1e-9,
         s"BASELINE.md quotes $qTotal s but BENCH_LOCAL.json reads ${aTotal.get} s " +
-          "(slower than the quote — the doc over-claims; re-record the quote)")
-      if (qTotal - aTotal.get > 0.005)
-        info(s"BENCH_LOCAL.json (${aTotal.get} s) is faster than the quoted " +
-          s"$qTotal s — quote refresh pending, not a failure")
+          s"(beyond the ${Bench.QuoteDriftBand}x drift band — the doc " +
+          "over-claims; re-record the quote)")
+      if (math.abs(qTotal - aTotal.get) > 0.005)
+        info(f"BENCH_LOCAL.json (${aTotal.get}%.2f s) vs quoted $qTotal%.2f s: " +
+          "inside the drift band; refresh the quote with the next idle-box record")
       assert(aQueries.get == qQueries,
         s"BASELINE.md quotes $qQueries queries but artifact has ${aQueries.get}")
       assert(aFailed.get == qFailed,
         s"BASELINE.md quotes $qFailed failed but artifact says ${aFailed.get}")
+    }
+  }
+
+  test("per-query regression gate: >2x a reference median flags, noise floors don't") {
+    // the r14 t33 incident verbatim: 0.26 s record, 2.15 s artifact, total
+    // inside the guardrail — the gate must catch exactly this shape
+    val ref = Map("t33" -> 0.26, "e01" -> 0.98, "t05" -> 0.08, "gone" -> 0.5)
+    val now = Map("t33" -> 2.15, // 8x, above floor -> flagged
+                  "e01" -> 1.30, // 1.3x -> inside band
+                  "t05" -> 0.17, // 2.1x but sub-floor noise -> ignored
+                  "new_q" -> 9.0) // no reference (surface growth) -> ignored
+    val got = Bench.regressions(now, ref)
+    assert(got == Seq(("t33", 2.15, 0.26)), s"got $got")
+    // ratio ordering: worst first
+    val multi = Bench.regressions(
+      Map("a" -> 2.0, "b" -> 9.0), Map("a" -> 0.9, "b" -> 1.0))
+    assert(multi.map(_._1) == Seq("b", "a"))
+    // a failed query (-1 median) must not trip the arithmetic
+    assert(Bench.regressions(Map("x" -> -1.0), Map("x" -> 0.5)).isEmpty)
+    assert(Bench.regressions(Map("x" -> 1.0), Map("x" -> -1.0)).isEmpty)
+  }
+
+  test("parseQueryTimes reads both the flat artifact and an embedded line") {
+    val flat = """{"metric":"total","value":1.0,"queries":{"e01_q1_agg":0.5,"t33_weighted_sample":2.15},"failed":0}"""
+    assert(Bench.parseQueryTimes(flat) ==
+      Map("e01_q1_agg" -> 0.5, "t33_weighted_sample" -> 2.15))
+    assert(Bench.parseQueryTimes("no queries here") == Map.empty)
+  }
+
+  test("committed query reference snapshot (if present) parses and is full-surface") {
+    val f = new java.io.File(Bench.QueryRefFile)
+    if (f.exists()) {
+      val src = scala.io.Source.fromFile(f)
+      val ref = try Bench.parseQueryTimes(src.mkString) finally src.close()
+      assert(ref.size >= 96,
+        s"${Bench.QueryRefFile} parsed only ${ref.size} queries")
+      assert(ref.values.forall(_ >= 0), "reference contains failed (-1) medians")
     }
   }
 
