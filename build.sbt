@@ -28,5 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // ImageIO (multimodal decode) must never try to reach a display server
   "-Djava.awt.headless=true",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 96-query bench compiles 1000+ whole-stage-codegen classes per
+  // pass; the JVM default 240 MB code cache fills near the end of a run,
+  // the JIT stops compiling, and the alphabetical tail (t3x) goes 4-8x
+  // slow on SOME runs — the r14 t33 2.15s-vs-0.26s anomaly. 512 MB keeps
+  // the whole surface resident.
+  "-XX:ReservedCodeCacheSize=512m",
+  // 16g pinned (Xms=Xmx): at 8g the tail of a full 96-query pass ran
+  // inside old-gen GC pressure — whichever query ran last went 4-8x slow
+  // on repeat runs (r14: t33; locally: t31/t32). The box has 128 GiB;
+  // pinning the heap removes both the tail GC storms and the early-run
+  // heap-growth hiccups. Cluster executors size their own heaps — this
+  // is local-harness-only.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -94,6 +94,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // STATIC conf, default 100: the full surface generates 1000+
+      // codegen classes per pass, so at 100 every repeat run re-Janinos
+      // everything already evicted — medians then measure compiler
+      // thrash, not the queries (the r14 t33/t31/t32 tail anomaly).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.DsRangeRewrite.install(spark)
@@ -139,6 +144,11 @@ object Bench {
         }
       }
       if (times.contains(-1.0)) failed ::= name
+      // per-run distribution on demand: medians hide bimodality (the r14
+      // t31-t33 tail-query investigation needed exactly this view)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE"))
+        System.err.println(s"[bench] $name runs: " +
+          times.map(t => f"$t%.3f").mkString(" "))
       name -> Bench.medianOrFail(times)
     }
     val wall = (System.nanoTime() - wall0) / 1e9

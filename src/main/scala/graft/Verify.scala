@@ -55,6 +55,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: the 96-query surface generates 1000+
+      // codegen classes; without this the dump pass re-Janinos evicted
+      // classes continuously (see BASELINE.md round-15 bench diagnosis)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.DsRangeRewrite.install(spark)
