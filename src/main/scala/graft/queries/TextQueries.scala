@@ -489,38 +489,32 @@ object TextQueries {
     * nothing guarantees exchange reuse across the two branches. */
   def gopherSignals(docs: DataFrame): DataFrame = {
     graft.functions.RepetitionStats.register(docs.sparkSession)
-    val en = TextOps.langStopwords.toMap.apply("en")
-    // tokenize ONCE into a staged column: the withColumn chain collapses
-    // into a single projection, and the three token-derived signals would
-    // otherwise inline three regex splits per row, all OUTSIDE
-    // whole-stage codegen (lambda array ops are CodegenFallback, nothing
-    // de-duplicates them there). The staging projection survives
-    // CollapseProject because __toks is non-cheap and consumed thrice.
+    graft.functions.TokenStats.register(docs.sparkSession)
+    // ALL token-derived signals come from ONE codegen-capable native
+    // expression (graft.functions.TokenStats): the former staged
+    // token-ARRAY projection was CodegenFallback (lambda array ops), so
+    // when predicate pushdown substituted the staged aliases into t19's
+    // gate FILTER nothing de-duplicated the subtrees and the regex split
+    // re-ran 8x per row — the pinned round-14 residual. token_stats is a
+    // plain UnaryExpression with doGenCode, so the gate predicate joins
+    // whole-stage codegen, where subexpression elimination evaluates it
+    // once; no token array is ever materialized.
     val withSig = docs
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("__n_chars", length(col("text")).cast("long"))
-      .withColumn("__sum_tok_len",
-        aggregate(transform(col("__toks"), t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x))
-      .withColumn("__n_punct", TextOps.punctCount(col("text")).cast("long"))
-      .withColumn("__n_stop",
-        TextOps.stopwordCountIn(col("__toks"), en).cast("long"))
+      .withColumn("__ts", expr("token_stats(text)"))
       .withColumn("__rs", expr("repetition_stats(text)"))
     val reason =
-      when(col("__n_tokens") < 5, "too_short")
-        .when(col("__n_tokens") > 5000, "too_long")
-        .when(col("__sum_tok_len") < col("__n_tokens") * 2 ||
-          col("__sum_tok_len") > col("__n_tokens") * 12, "bad_word_len")
-        .when(col("__n_punct") * 5 > col("__n_chars"), "punct_heavy")
-        .when(col("lang") === "en" && col("__n_stop") * 100 < col("__n_tokens"),
+      when(col("__ts.n_tokens") < 5, "too_short")
+        .when(col("__ts.n_tokens") > 5000, "too_long")
+        .when(col("__ts.sum_tok_len") < col("__ts.n_tokens") * 2 ||
+          col("__ts.sum_tok_len") > col("__ts.n_tokens") * 12, "bad_word_len")
+        .when(col("__ts.n_punct") * 5 > col("__ts.n_chars"), "punct_heavy")
+        .when(col("lang") === "en" && col("__ts.n_stop") * 100 < col("__ts.n_tokens"),
           "low_stopword")
         .when(col("__rs.dup_line_chars") * 10 > col("__rs.total_line_chars") * 3,
           "repetitive")
         .otherwise(lit(null).cast("string"))
     withSig.withColumn("reject_reason", reason)
-      .drop("__toks", "__n_tokens", "__n_chars", "__sum_tok_len", "__n_punct",
-        "__n_stop", "__rs")
+      .drop("__ts", "__rs")
   }
 
   /** (doc_id, lang, keep, reject_reason) view of the gate — t16's shape. */
@@ -1572,20 +1566,16 @@ object TextQueries {
     * (packLayout's pattern). Input needs (doc_id, text). */
   def prioritySample(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val en = TextOps.langStopwords.toMap.apply("en")
-    // Tokenize ONCE through an explicit staging projection. Passing
-    // TextOps.tokens(text) into each count would inline the regex
-    // split+lower+trim SIX times into one projection — and because
-    // Spark's higher-order array functions (the token filters) are
-    // CodegenFallback, that projection runs OUTSIDE whole-stage codegen
-    // where nothing de-duplicates the subtrees. CollapseProject will not
-    // re-merge the stages: `toks` is non-cheap and consumed more than
-    // once (WeightedSampleSpec pins exactly one split in the plan).
+    graft.functions.TokenStats.register(docs.sparkSession)
+    // All four weight inputs from ONE codegen-capable native pass
+    // (graft.functions.TokenStats) — the former staged token-array
+    // projection was CodegenFallback; this keeps the whole weight
+    // computation inside whole-stage codegen with no array materialized
+    // (WeightedSampleSpec pins zero regex splits in the plan).
     val staged = docs.select(col("doc_id"), col("text"),
-      TextOps.tokens(col("text")).as("toks"))
-    val w = TextOps.qualityScore(size(col("toks")), length(col("text")),
-      TextOps.punctCount(col("text")),
-      TextOps.stopwordCountIn(col("toks"), en))
+      expr("token_stats(text)").as("ts"))
+    val w = TextOps.qualityScore(col("ts.n_tokens"), col("ts.n_chars"),
+      col("ts.n_punct"), col("ts.n_stop"))
     // u in (0,1]: first 32 md5 bits, +1 so u > 0, over 2^32 (exact: the
     // numerator is an integer <= 2^32 and the divisor a power of two)
     val hex = substring(

@@ -376,16 +376,22 @@ class PlanAuditSpec extends SparkSpec {
     // repeated tokens(text) subtrees — the pre-staging t03 inlined the
     // regex split ELEVEN times per row. The staged token-array projection
     // must survive CollapseProject (non-cheap, multi-consumer).
-    // Known residual, documented in BASELINE round-14: t19's gate FILTER
-    // still inlines the gate expression (predicate pushdown substitutes
-    // aliases into the condition) — pinned at its current count so a
-    // regression or a future fix both surface here.
+    // r15: the round-14 pinned residual (t19's gate FILTER inlining the
+    // gate expression 8x — predicate pushdown substitutes aliases into
+    // the condition, and CodegenFallback subtrees get no de-duplication
+    // there) is RETIRED: the gate's token signals now come from the
+    // native codegen token_stats expression, so t16/t19/t33 carry ZERO
+    // regex tokenizations; the split subtrees the filter inlines are now
+    // codegen-capable and WSCG subexpression elimination collapses them.
     val splitRe = "split\\(lower\\(trim\\(".r
-    for ((q, want) <- Seq("t03_text_stats" -> 1, "t16_gopher_filter" -> 1,
-                          "t33_weighted_sample" -> 1, "t11_tfidf_topk" -> 1,
-                          "t19_ingest_pipeline" -> 8))
+    for ((q, want) <- Seq("t03_text_stats" -> 1, "t16_gopher_filter" -> 0,
+                          "t33_weighted_sample" -> 0, "t11_tfidf_topk" -> 1,
+                          "t19_ingest_pipeline" -> 0))
       assert(splitRe.findAllIn(planStr(q)).size == want,
         s"$q expected $want tokenization(s) in the plan")
+    for (q <- Seq("t16_gopher_filter", "t19_ingest_pipeline", "t33_weighted_sample"))
+      assert(planStr(q).contains("token_stats"),
+        s"$q must source token signals from the native token_stats pass")
   }
 
   test("span dedup t25: one tokenize+window+count pass, reused across the " +

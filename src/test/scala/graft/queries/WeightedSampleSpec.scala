@@ -107,11 +107,12 @@ class WeightedSampleSpec extends SparkSpec {
       s"a pure map + partial top-k must not shuffle:\n$s")
     assert(!"(?m)^\\s*[+:]?-?\\s*Sort ".r.findFirstIn(s).isDefined,
       s"no global Sort node expected:\n$s")
-    // the regex tokenization must appear ONCE: the token array is staged
-    // and reused (lambda array functions are CodegenFallback, so every
-    // duplicated split subtree would actually evaluate per row — and
-    // CollapseProject must not have re-inlined the staging projection)
-    assert("split\\(lower\\(trim\\(".r.findAllIn(s).size == 1,
-      s"text must be tokenized exactly once per row:\n$s")
+    // r15: the weight inputs come from the native token_stats expression
+    // (one codegen pass, no token array); the regex-split formulation
+    // must be gone from the plan entirely
+    assert(s.contains("token_stats"),
+      s"weight inputs must come from the native token_stats pass:\n$s")
+    assert("split\\(lower\\(trim\\(".r.findAllIn(s).isEmpty,
+      s"no regex tokenization should remain in the plan:\n$s")
   }
 }
