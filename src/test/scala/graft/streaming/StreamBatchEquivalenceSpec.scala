@@ -252,4 +252,59 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
           s"${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
     } finally q.stop()
   }
+
+  test("near-dup gate: sf0.01 t27-shaped replay through the REAL stream " +
+    "(foreachBatch + checkpoint + parquet sink) == one-shot batch gate") {
+    // The last fixture-only streaming operator (r14 verdict item 6): the
+    // gate's per-batch core is a pure function of (batch, corpus), so a
+    // multi-batch replay of the full t27 feed must equal the ONE-SHOT
+    // batch call row-for-row — including match_id min-id tie-breaks and
+    // match_jaccard values, not just the passed bit. Runs through
+    // startNearDupGate itself (writeStream/foreachBatch/checkpoint), so
+    // sink exactly-once and gate determinism are both on the line.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the exact t27 feed: perturbed copies of every 10th corpus doc —
+    // guaranteed planted near-matches at every SF
+    val perturbed = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" nightly batch")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    assert(perturbed.size >= 50, s"t27 feed lost its corpus: ${perturbed.size} rows")
+    // plus genuinely novel docs so BOTH verdicts flow through the sink
+    // (every perturbed copy flags; an all-flagged feed would leave the
+    // passed=1 path untested)
+    val novel = (0 until 8).map { i =>
+      (2500000L + i, s"zzqx$i novel telemetry shard $i unmatched " +
+        s"vocabulary qqz$i plasma$i lattice$i " * 3)
+    }
+    val feed = perturbed ++ novel
+    val batches = feed.grouped((feed.size / 7).max(1)).toSeq
+    assert(batches.size >= 7, s"expected a real multi-batch replay")
+
+    val out = java.nio.file.Files.createTempDirectory("gate_eqv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gate_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.startNearDupGate(
+      mem.toDF().toDF("doc_id", "text"), docs, "text", "doc_id", 0.5,
+      out, ckpt)
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    def key(df: DataFrame) = df
+      .select(col("id"), col("match_id"), col("match_jaccard"), col("passed"))
+      .as[(Long, Option[Long], Option[Double], Int)].collect().toSet
+    val streamed = key(spark.read.parquet(out))
+    val oneShot = key(StreamOps.nearDupGateBatch(
+      feed.toDF("doc_id", "text"), docs, "text", "doc_id", 0.5))
+    assert(streamed.size == feed.size,
+      s"sink must carry every fed row exactly once: ${streamed.size} vs ${feed.size}")
+    assert(oneShot.exists(_._4 == 0) && oneShot.exists(_._4 == 1),
+      "feed must exercise both verdicts or the equivalence is vacuous")
+    assert(streamed == oneShot,
+      s"replayed gate diverged from the batch gate: stream-only=" +
+        s"${(streamed -- oneShot).take(5)} batch-only=${(oneShot -- streamed).take(5)}")
+  }
 }
