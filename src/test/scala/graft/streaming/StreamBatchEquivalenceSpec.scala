@@ -306,5 +306,28 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(streamed == oneShot,
       s"replayed gate diverged from the batch gate: stream-only=" +
         s"${(streamed -- oneShot).take(5)} batch-only=${(oneShot -- streamed).take(5)}")
+
+    // Independent expectation for the gate LAYER itself (the stream ==
+    // one-shot identity above shares nearDupGateBatch on both sides, so
+    // a gate-logic mutation cancels out of it): re-derive every verdict
+    // in plain Scala from the ORACLED primitive's pairs — max jaccard,
+    // min-id survivor tie-break, passed = no pair at all — and require
+    // the sink to carry exactly that.
+    val pairs = graft.dedup.Dedup
+      .nearDupAgainst(docs, feed.toDF("doc_id", "text"), "text", "doc_id", 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val best = pairs.groupBy(_._1).map { case (id, ps) =>
+      val top = ps.map(p => (p._3, p._2)).sortBy(p => (-p._1, p._2)).head
+      id -> ((Some(top._2): Option[Long], Some(top._1): Option[Double], 0))
+    }
+    val expected = feed.map { case (id, _) =>
+      val (m, j, p) = best.getOrElse(id, (None, None, 1))
+      (id, m, j, p)
+    }.toSet
+    assert(streamed == expected,
+      s"gate verdicts diverge from the plain-Scala re-derivation: " +
+        s"stream-only=${(streamed -- expected).take(5)} " +
+        s"expected-only=${(expected -- streamed).take(5)}")
   }
 }
