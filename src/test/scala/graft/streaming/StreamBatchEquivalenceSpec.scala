@@ -279,7 +279,14 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       (2500000L + i, s"zzqx$i novel telemetry shard $i unmatched " +
         s"vocabulary qqz$i plasma$i lattice$i " * 3)
     }
-    val feed = perturbed ++ novel
+    // designed TIE: two corpus docs with identical text matching one feed
+    // row at equal jaccard — makes the gate's min-id survivor tie-break
+    // load-bearing (an inverted tie-break flips match_id 8000001->8000002
+    // and the plain-Scala re-derivation below catches it)
+    val tieText = "tiebreak corpus sentinel alpha beta gamma delta " * 4
+    val corpus = docs.unionAll(
+      Seq((8000001L, tieText), (8000002L, tieText)).toDF("doc_id", "text"))
+    val feed = perturbed ++ novel :+ (2600000L -> (tieText + " nightly"))
     val batches = feed.grouped((feed.size / 7).max(1)).toSeq
     assert(batches.size >= 7, s"expected a real multi-batch replay")
 
@@ -287,7 +294,7 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("gate_ckpt").toString
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.startNearDupGate(
-      mem.toDF().toDF("doc_id", "text"), docs, "text", "doc_id", 0.5,
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", 0.5,
       out, ckpt)
     try {
       batches.foreach { b => mem.addData(b); q.processAllAvailable() }
@@ -298,7 +305,7 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Double], Int)].collect().toSet
     val streamed = key(spark.read.parquet(out))
     val oneShot = key(StreamOps.nearDupGateBatch(
-      feed.toDF("doc_id", "text"), docs, "text", "doc_id", 0.5))
+      feed.toDF("doc_id", "text"), corpus, "text", "doc_id", 0.5))
     assert(streamed.size == feed.size,
       s"sink must carry every fed row exactly once: ${streamed.size} vs ${feed.size}")
     assert(oneShot.exists(_._4 == 0) && oneShot.exists(_._4 == 1),
@@ -314,7 +321,7 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // min-id survivor tie-break, passed = no pair at all — and require
     // the sink to carry exactly that.
     val pairs = graft.dedup.Dedup
-      .nearDupAgainst(docs, feed.toDF("doc_id", "text"), "text", "doc_id", 0.5)
+      .nearDupAgainst(corpus, feed.toDF("doc_id", "text"), "text", "doc_id", 0.5)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
       .as[(Long, Long, Double)].collect().toSeq
     val best = pairs.groupBy(_._1).map { case (id, ps) =>
