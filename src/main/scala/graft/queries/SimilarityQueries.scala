@@ -674,32 +674,61 @@ object SimilarityQueries {
           scan(spark, sfDir, "documents"), "doc_id")).toDF(),
       maxHamming = 3)
 
-  /** The banded Hamming join behind [[imageNearDup]], public and
-    * parameterized. Input: (asset_id, hash_hi, hash_lo) with each half
-    * an unsigned 32-bit value in a long. `maxHamming` is capped at 3:
-    * that is the largest threshold for which the 4×16-bit banding is
-    * lossless (pigeonhole) — a larger radius needs more/wider bands,
-    * not a silently leaky join. */
-  def imageHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit banding is lossless only for maxHamming <= 3, got $maxHamming")
-    // The explicit band-keyed repartition is NOT redundant with the join's
-    // own shuffle: a bare self-join duplicates the whole upstream lineage
-    // (synthesize + ImageIO decode + hash would run TWICE — visible as two
-    // parallel MapPartitions chains in the plan). Ending both join inputs
-    // at an IDENTICAL Exchange lets ReuseExchange materialize the
-    // decode+hash pass ONCE; the join then reads the same shuffle output
-    // from both sides (ImageNearDupSpec pins the reuse).
-    val banded = hashes.select(col("asset_id"), col("hash_hi"), col("hash_lo"),
-      posexplode(array(
-        shiftright(col("hash_hi"), 16),
-        col("hash_hi").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("hash_lo"), 16),
-        col("hash_lo").bitwiseAND(lit(0xFFFFL)))).as(Seq("band_no", "band_val")))
+  /** The banded Hamming join behind [[imageNearDup]]: the s16 geometry —
+    * a 64-bit hash in two 32-bit words, 4×16-bit bands, lossless to
+    * Hamming 3 (pigeonhole). The general form is [[bandedHammingPairs]];
+    * this wrapper keeps s16's call site and oracle unchanged. */
+  def imageHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame =
+    bandedHammingPairs(hashes, Seq("hash_hi", "hash_lo"),
+      bandBits = 16, maxHamming = maxHamming)
+
+  /** Banded Hamming near-dup join at ANY band geometry — the scaladoc's
+    * "at billions of images, widen the bands" made executable (r14
+    * verdict item 7). Input: `idCol = asset_id` plus `wordCols`, each an
+    * unsigned 32-bit word of the hash in a long (most-significant word
+    * first); a 128-bit pHash is four words. `bandBits` ∈ {8, 16, 32}
+    * tiles each word; band count = 32·words/bandBits.
+    *
+    * LOSSLESSNESS (pigeonhole, spec-pinned at multiple geometries by
+    * BandedHammingSpec): a pair within Hamming distance d differs in at
+    * most d bands, so with B bands and d ≤ B−1 at least one band is
+    * IDENTICAL and the equi-join emits the pair. The require below
+    * refuses a leaky geometry rather than silently losing recall —
+    * a larger radius needs more/narrower bands, never a quiet miss.
+    * Bucket sizing is the flip side: at N images a band bucket holds
+    * ~N/2^bandBits hashes, so the candidate join is
+    * B·N²/2^(bandBits+1) pairs — 32-bit bands hold that flat into the
+    * billions (the s16 scaladoc's scale argument), while 8-bit bands
+    * are only for small corpora needing wide radii.
+    *
+    * The band-keyed repartition is NOT redundant with the join's own
+    * shuffle: ending both self-join inputs at an IDENTICAL Exchange lets
+    * ReuseExchange materialize the upstream (for s16: synthesize +
+    * ImageIO decode + hash) ONCE — a bare self-join forks the whole
+    * lineage into two full passes (ImageNearDupSpec pins the reuse). */
+  def bandedHammingPairs(hashes: DataFrame, wordCols: Seq[String],
+                         bandBits: Int, maxHamming: Int): DataFrame = {
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"bandBits must divide the 32-bit words: got $bandBits")
+    require(wordCols.nonEmpty, "need at least one hash word column")
+    val nBands = 32 * wordCols.size / bandBits
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"$nBands x$bandBits-bit banding is lossless only for maxHamming <= " +
+        s"${nBands - 1}, got $maxHamming — widen/narrow the geometry, " +
+        "never run a silently leaky join")
+    val mask = (1L << bandBits) - 1
+    val bandExprs = wordCols.flatMap { w =>
+      (0 until 32 / bandBits).map { k =>
+        shiftright(col(w), 32 - bandBits * (k + 1)).bitwiseAND(lit(mask))
+      }
+    }
+    val keep = col("asset_id") +: wordCols.map(col)
+    val banded = hashes.select(
+      keep :+ posexplode(array(bandExprs: _*)).as(Seq("band_no", "band_val")): _*)
       .repartition(col("band_no"), col("band_val"))
-    val ham =
-      (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
-        bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("int")
+    val ham = wordCols.map(w =>
+      bit_count(col(s"a.$w").bitwiseXOR(col(s"b.$w"))))
+      .reduce(_ + _).cast("int")
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_no") === col("b.band_no") &&
