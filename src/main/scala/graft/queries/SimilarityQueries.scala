@@ -607,44 +607,35 @@ object SimilarityQueries {
   def annCosineNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.lshNearDupPairs(annCorpus(spark, sfDir), threshold = 0.8)
 
-  /** DuckDB twin of lshNearDupPairs' defaults (6 tables × 8 planes, seed
-    * 137+t): hyperplanes as VALUES, codes rebuilt with the same sign-bit
-    * arithmetic over the same double views (the planted replica's
-    * double→float→double round-trip mirrored via CAST AS REAL[]),
-    * candidate equi-join + exact cosine + threshold recomputed. */
-  private val annCosineNearDupOracle: String = {
-    val rows = for {
-      t <- 0 until 6
-      (p, i) <- Similarity.hyperplanes(8, 64, 137L + t).zipWithIndex
-    } yield s"($t, $i, ${vecLit(p)})"
-    s"""WITH planes(tbl, i, p) AS (VALUES
-       |  ${rows.mkString(",\n  ")}),
-       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** RECALL-COMPLETE brute-force oracle (r14 verdict item 5, the s16
+    * pattern extended to s15): all pairs, exact cosine, threshold — NO
+    * shared candidate constants. The former oracle rebuilt the engine's
+    * hyperplane codes from the same seeds, so a pair the LSH missed was
+    * missed identically on both sides and recall was structurally
+    * unverifiable at the gate; this oracle demands the engine recover
+    * EVERY ≥0.8 pair. Affordable and honest because the corpus's sim
+    * distribution has a measured chasm around the threshold (sf0.01:
+    * 500 surviving pairs all in [0.9968, 0.9973]; ZERO pairs anywhere in
+    * [0.75, 0.99)); at that margin the fixed 6×8-plane geometry's
+    * per-pair all-tables miss probability is ~1e-4 and the engine
+    * measures exact truth-set equality (verified before switching; the
+    * ×10 RecallProbe had already measured recall 1.0 on both axes).
+    * A recall-damaging engine mutation (fewer tables/planes) now FAILS
+    * the gate — recorded in BASELINE.md round-15. */
+  private val annCosineNearDupOracle: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |all_e AS (
        |  SELECT vec_id, v FROM base
        |  UNION ALL
        |  SELECT vec_id + 1000000,
        |         CAST(list_transform(v, x -> x + 0.01) AS REAL[])::DOUBLE[] AS v
        |  FROM base),
-       |codes AS (
-       |  SELECT e.vec_id, pl.tbl,
-       |         SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0
-       |                  THEN CAST(1 AS BIGINT) << pl.i
-       |                  ELSE CAST(0 AS BIGINT) END)::BIGINT AS code
-       |  FROM all_e e, planes pl
-       |  GROUP BY e.vec_id, pl.tbl),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM codes a JOIN codes b
-       |    ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id),
        |s AS (
-       |  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS sim
-       |  FROM cand c
-       |  JOIN all_e ea ON ea.vec_id = c.id_a
-       |  JOIN all_e eb ON eb.vec_id = c.id_b)
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM all_e a, all_e b WHERE a.vec_id < b.vec_id)
        |SELECT id_a, id_b, round(sim, 6) AS sim
        |FROM s WHERE sim >= 0.8""".stripMargin
-  }
 
   /** s16 — perceptual-hash image near-dup (the LAION/DataComp-style
     * image dedup step): synthesize the corpus's PNGs with planted
