@@ -41,31 +41,27 @@ object TextQueries {
     * count, punctuation, stopwords, quality score — all narrow codegen'd
     * maps (the 100 TB shape: no shuffle at all). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val en = TextOps.langStopwords.toMap.apply("en")
-    // Three staged projections, one tokenization: the naive single-select
-    // inlined tokens(text) ELEVEN times (n_tokens, n_stop, and quality's
-    // internals each re-derive it) and lambda array ops are
-    // CodegenFallback, so all eleven regex splits really ran per row.
-    // CollapseProject keeps the stages: toks and the counts are non-cheap
-    // and each consumed more than once (PlanAuditSpec pins one split).
+    graft.functions.TokenStats.register(spark)
+    // One native codegen pass for every token-derived stat (the r14
+    // staged-array formulation still ran its single regex split OUTSIDE
+    // whole-stage codegen; token_stats keeps the whole row inside WSCG
+    // and materializes no token array). Only the BPE-ish proxy keeps its
+    // own regex — a different token class entirely.
     val staged = scan(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"),
-        TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"),
-        size(col("toks")).as("n_tokens"),
-        TextOps.stopwordCountIn(col("toks"), en).as("n_stop"))
+        expr("token_stats(text)").as("ts"))
     staged.select(
       col("doc_id"),
-      col("n_tokens"),
-      length(col("text")).cast("int").as("n_chars"),
+      col("ts.n_tokens").cast("int").as("n_tokens"),
+      col("ts.n_chars").cast("int").as("n_chars"),
       TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
-      TextOps.punctCount(col("text")).cast("int").as("n_punct"),
-      col("n_stop"),
+      col("ts.n_punct").cast("int").as("n_punct"),
+      col("ts.n_stop").cast("int").as("n_stop"),
       TextOps.qualityScore(
-        col("n_tokens"),
-        length(col("text")),
-        TextOps.punctCount(col("text")),
-        col("n_stop")).as("quality"))
+        col("ts.n_tokens"),
+        col("ts.n_chars"),
+        col("ts.n_punct"),
+        col("ts.n_stop")).as("quality"))
   }
 
   private val textStatsOracle =
@@ -102,27 +98,31 @@ object TextQueries {
     * tie-break (deterministic; the `lang` ground-truth column exists but
     * the heuristic is scored against the oracle replica, not the label).
     *
-    * Shaped as explode + 5 conditional sums (one pass over tokens,
-    * map-side combine) rather than TextOps.langId's per-language column
-    * filters — Catalyst collapses those into 5 recomputations of the
-    * token split per row. Scores and argmax are identical. */
+    * r15: one native codegen pass (graft.functions.StopwordCounts — all
+    * five language counts from a single token walk, pure narrow map).
+    * Both declarative forms were wrong at scale: per-language column
+    * filters re-ran the token split 5x per row (CodegenFallback, no
+    * de-duplication), and the r14 explode + groupBy rewrite tokenized
+    * once but SHUFFLED the whole corpus for a per-row computation —
+    * language-ID at 100 TB must be scan-side CPU with zero exchanges
+    * (PlanAuditSpec pins Exchange-free). Scores and argmax identical. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.StopwordCounts.register(spark)
     val docs = scan(spark, sfDir, "documents")
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode_outer(TextOps.tokens(col("text"))).as("t"))
-    val scores = TextOps.langStopwords.map { case (lang, words) =>
-      sum(when(col("t").isin(words.map(w => w: Any): _*), 1).otherwise(0))
-        .as(s"s_$lang")
-    }
-    val scored = toks.groupBy(col("doc_id"), col("lang"))
-      .agg(scores.head, scores.tail.toIndexedSeq: _*)
+    val langs = TextOps.langStopwords.map(_._1)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      expr("stopword_counts(text)").as("sc"))
+      .select(col("doc_id") +: col("lang") +:
+        langs.zipWithIndex.map { case (l, i) =>
+          col("sc").getItem(i).as(s"s_$l")
+        }: _*)
     // argmax, earliest (alphabetical) language wins ties — matches both
     // TextOps.langId's fold and the oracle's CASE chain
-    val pred = TextOps.langStopwords.map(_._1).foldRight(lit("zh"): org.apache.spark.sql.Column) {
+    val pred = langs.foldRight(lit("zh"): org.apache.spark.sql.Column) {
       case (lang, elseCol) =>
         if (lang == "zh") elseCol
         else {
-          val later = TextOps.langStopwords.map(_._1).dropWhile(_ != lang).tail
+          val later = langs.dropWhile(_ != lang).tail
           when(later.map(l => col(s"s_$lang") >= col(s"s_$l")).reduce(_ && _),
             lit(lang)).otherwise(elseCol)
         }

@@ -384,14 +384,25 @@ class PlanAuditSpec extends SparkSpec {
     // regex tokenizations; the split subtrees the filter inlines are now
     // codegen-capable and WSCG subexpression elimination collapses them.
     val splitRe = "split\\(lower\\(trim\\(".r
-    for ((q, want) <- Seq("t03_text_stats" -> 1, "t16_gopher_filter" -> 0,
+    for ((q, want) <- Seq("t03_text_stats" -> 0, "t16_gopher_filter" -> 0,
                           "t33_weighted_sample" -> 0, "t11_tfidf_topk" -> 1,
-                          "t19_ingest_pipeline" -> 0))
+                          "t19_ingest_pipeline" -> 0, "t04_lang_id" -> 0))
       assert(splitRe.findAllIn(planStr(q)).size == want,
         s"$q expected $want tokenization(s) in the plan")
-    for (q <- Seq("t16_gopher_filter", "t19_ingest_pipeline", "t33_weighted_sample"))
+    for (q <- Seq("t03_text_stats", "t16_gopher_filter", "t19_ingest_pipeline",
+                  "t33_weighted_sample"))
       assert(planStr(q).contains("token_stats"),
         s"$q must source token signals from the native token_stats pass")
+  }
+
+  test("language-ID t04: native stopword_counts — pure narrow map, zero exchanges") {
+    // the r14 explode + groupBy rewrite tokenized once but shuffled the
+    // whole corpus for a per-row computation; at 100 TB language-ID is
+    // scan-side CPU only
+    val s = planStr("t04_lang_id")
+    assert(!s.contains("Exchange"), s"t04 must not shuffle:\n$s")
+    assert(s.contains("stopword_counts"),
+      s"t04 must score through the native multi-set counter:\n$s")
   }
 
   test("span dedup t25: one tokenize+window+count pass, reused across the " +
