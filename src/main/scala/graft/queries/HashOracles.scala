@@ -300,14 +300,51 @@ object HashOracles {
     * ASCII harness corpora (the t18 caveat); jaro_winkler_similarity is
     * DuckDB's independent implementation, bit-identical to the native
     * expression (validated on 7k random pairs in JaroWinklerSpec). */
+  /** Corpus-size ceiling for t29's recall-complete brute-force oracle:
+    * every shipped harness SF (500 docs at sf0.01, fewer below) sits
+    * under it, so the DRIVER GATE always runs the candidate-independent
+    * form (~40 s in DuckDB for ~600k length-gap-filtered pairs at
+    * sf0.01, measured); scaled worlds (×10 grow = 5000 docs → ~100×
+    * the Levenshtein DPs) fall back to the candidate-echo form, where
+    * recall is covered by RecallProbe/ScaledRecallSpec instead. */
+  private[queries] val FuzzyBruteForceMaxDocs = 600
+
   def fuzzyNearDupOracle: String = docs() match {
     case None => neverRanSql("t29")
+    case Some(d) if d.length <= FuzzyBruteForceMaxDocs =>
+      // RECALL-COMPLETE brute force (r14 verdict item 5, the s16/s15
+      // pattern): all pairs under a sound length-gap prefilter
+      // (lev >= |len gap|, so no qualifying pair is pruned), NO shared
+      // band constants — a pair the engine's LSH misses now FAILS the
+      // gate instead of vanishing identically on both sides. Metrics on
+      // PlantedFuzzy-transcoded args so DuckDB's byte walk computes
+      // codepoint distances on the planted pairs (ASCII identity); the
+      // transcoded text's byte length IS its codepoint length, so the
+      // prefilter stays sound on multibyte rows too.
+      s"""WITH corpus(id, text) AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' fuzzy tail' FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |  ${PlantedFuzzy.sqlValues}) pf(id, text)),
+         |p AS (SELECT id, ${PlantedFuzzy.tcSql("substring(text, 1, 200)")} AS t
+         |      FROM corpus),
+         |j AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         levenshtein(a.t, b.t) AS dist,
+         |         jaro_winkler_similarity(a.t, b.t) AS jw
+         |  FROM p a, p b
+         |  WHERE a.id < b.id AND abs(length(a.t) - length(b.t)) <= 20)
+         |SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist,
+         |       CAST(CAST(jw AS DECIMAL(28,6)) AS DOUBLE) AS jw
+         |FROM j WHERE dist <= 20""".stripMargin
     case Some(d) =>
-      // planted multibyte rows join the band VALUES (signatures from the
-      // same plain-Scala byte-walk — both sides shingle BYTES, so parity
-      // holds on multibyte text too) and the corpus CTE; the metrics run
-      // on PlantedFuzzy-transcoded args so DuckDB's byte walk computes
-      // codepoint distances on the planted pairs (ASCII identity)
+      // scaled-world form: candidates from embedded band buckets (same
+      // machinery as s03) — planted multibyte rows join the band VALUES
+      // (signatures from the same plain-Scala byte-walk; both sides
+      // shingle BYTES, so parity holds on multibyte text too) and the
+      // corpus CTE; metrics on transcoded args as above
       val values =
         bandValues(withPerturbed(d, " fuzzy tail") ++ PlantedFuzzy.rows)
       val ta = PlantedFuzzy.tcSql("a.t"); val tb = PlantedFuzzy.tcSql("b.t")
