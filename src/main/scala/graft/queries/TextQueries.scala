@@ -246,8 +246,11 @@ object TextQueries {
     val survivors = exact
       .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
       .where(col("doc_id") === col("cluster_id"))
+    graft.functions.TokenStats.register(spark)
+    // quality floor via the native one-pass token_stats (no token array
+    // materialized just to count it)
     val quality = survivors
-      .where(size(TextOps.tokens(col("text"))) >= 10)
+      .where(expr("token_stats(text).n_tokens") >= 10)
     quality
       .where(TextOps.systematicSample(col("doc_id"), keepBelow = 50))
       .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
@@ -261,13 +264,15 @@ object TextQueries {
     * quality floor, LCG sample, chunk explode) is SQL-expressible, so the
     * full chain gets a hash-matched correctness row instead of rows-only.
     * t09 keeps exercising the LSH stage, spec-checked. */
-  def trainingPipelineExact(spark: SparkSession, sfDir: String): DataFrame =
+  def trainingPipelineExact(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TokenStats.register(spark)
     Dedup.exactDedup(scan(spark, sfDir, "documents"), "text", "doc_id")
-      .where(size(TextOps.tokens(col("text"))) >= 10)
+      .where(expr("token_stats(text).n_tokens") >= 10)
       .where(TextOps.systematicSample(col("doc_id"), keepBelow = 50))
       .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
         col("col").as("chunk"))
+  }
 
   private val trainingPipelineExactOracle =
     """WITH kept AS (
@@ -300,10 +305,11 @@ object TextQueries {
     * would hinge on whether two libm `ln`s round the same way. The tfidf
     * value is still emitted (rounded) for consumers. */
   def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TokensOf.register(spark)
     val docs = scan(spark, sfDir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), explode(expr("tokens_of(text)")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // df as a window count over term on the ONE tf lineage — the former
     // tf.groupBy(term) + join-back referenced tf twice, and each
@@ -454,11 +460,13 @@ object TextQueries {
     * (topk_values, SpaceSavingTopKSpec) computes the same answer with
     * O(capacity) state instead of a distinct-term shuffle — the spec
     * asserts sketch == exact on this corpus. */
-  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TokensOf.register(spark)
     scan(spark, sfDir, "documents")
-      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .select(explode(expr("tokens_of(text)")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(20)
+  }
 
   private val heavyHittersOracle =
     """WITH tok AS (
@@ -1197,8 +1205,9 @@ object TextQueries {
     // s16 pattern), the groupBy and the term join both consume it with
     // their distribution already satisfied, and the global total becomes
     // a sum over the tiny term table instead of a third corpus pass.
+    graft.functions.TokensOf.register(spark)
     val toks = scan(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), explode(expr("tokens_of(text)")).as("term"))
       .repartition(col("term"))
     // tf counts doc_id (non-null by the repo-wide contract) rather than
     // lit(1) ON PURPOSE: count(*) would let column pruning strip doc_id
@@ -1425,8 +1434,9 @@ object TextQueries {
       transform(sequence(lit(1), size(ts) - lit(w - 1)),
         i => xxhash64(concat_ws(" ", slice(ts, i, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
+    graft.functions.TokensOf.register(rows.sparkSession)
     val occ = rows
-      .select(col(idCol), col("m"), TextOps.tokens(col("__text")).as("ts"))
+      .select(col(idCol), col("m"), expr("tokens_of(__text)").as("ts"))
       .select(col(idCol), col("m"), explode_outer(wins).as("w"))
       .groupBy(col(idCol), col("m"), col("w"))
       .agg(count(col("w")).as("occ")) // occ = 0 on the null row of a windowless doc
@@ -1513,9 +1523,10 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(pmod(col("doc_id") * 48271, lit(97)), col("doc_id"))
+    graft.functions.TokenStats.register(spark)
     scan(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        expr("token_stats(text).n_tokens").as("n_tok"))
       .withColumn("start_tok",
         coalesce(sum(col("n_tok")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),

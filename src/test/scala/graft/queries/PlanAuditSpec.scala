@@ -385,7 +385,7 @@ class PlanAuditSpec extends SparkSpec {
     // codegen-capable and WSCG subexpression elimination collapses them.
     val splitRe = "split\\(lower\\(trim\\(".r
     for ((q, want) <- Seq("t03_text_stats" -> 0, "t16_gopher_filter" -> 0,
-                          "t33_weighted_sample" -> 0, "t11_tfidf_topk" -> 1,
+                          "t33_weighted_sample" -> 0, "t11_tfidf_topk" -> 0,
                           "t19_ingest_pipeline" -> 0, "t04_lang_id" -> 0))
       assert(splitRe.findAllIn(planStr(q)).size == want,
         s"$q expected $want tokenization(s) in the plan")
@@ -393,6 +393,9 @@ class PlanAuditSpec extends SparkSpec {
                   "t33_weighted_sample"))
       assert(planStr(q).contains("token_stats"),
         s"$q must source token signals from the native token_stats pass")
+    // array consumers tokenize through the native tokens_of, exactly once
+    assert("tokens_of".r.findAllIn(planStr("t11_tfidf_topk")).size == 1,
+      "t11 must tokenize through ONE native tokens_of pass")
   }
 
   test("language-ID t04: native stopword_counts — pure narrow map, zero exchanges") {
@@ -416,8 +419,9 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert("split\\(lower\\(trim\\(".r.findAllIn(fin).size == 1,
-      s"t25 must tokenize/window the corpus exactly once:\n$fin")
+    assert("tokens_of".r.findAllIn(fin).size == 1 &&
+      "split\\(lower\\(trim\\(".r.findAllIn(fin).isEmpty,
+      s"t25 must tokenize/window the corpus exactly once (native):\n$fin")
     assert(fin.contains("ReusedExchange"),
       s"global count must reuse the occ exchange:\n$fin")
   }
@@ -433,8 +437,9 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert("split\\(lower\\(trim\\(".r.findAllIn(fin).size == 1,
-      s"t23 must tokenize the corpus exactly once:\n$fin")
+    assert("tokens_of".r.findAllIn(fin).size == 1 &&
+      "split\\(lower\\(trim\\(".r.findAllIn(fin).isEmpty,
+      s"t23 must tokenize the corpus exactly once (native):\n$fin")
     assert("ReusedExchange".r.findAllIn(fin).size >= 2,
       s"freq and total must both reuse the token exchange:\n$fin")
   }
