@@ -327,6 +327,112 @@ object SimilarityQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** PQ-encoded ANN — trained product-quantization codebooks (m=4
+    * subspaces × k=16 codes over the s07 bounded sample), integer ADC
+    * coarse scan over the SQ8-grid reconstructions, exact float rerank.
+    * The 100 TB shape lives in [[Similarity.pqTopK]]: the persisted
+    * structure is m CODES per vector (4 B here, m bytes in production —
+    * 64× smaller than the float column, which the coarse scan never
+    * reads), and the candidate boundary is pure integer arithmetic, so
+    * the whole pipeline is value-oracled like s14 rather than
+    * recall-tested like s02. Codebooks embed into the DuckDB oracle as
+    * VALUES literals at dump time (the s07 oracleFn pattern). */
+  /** s17's geometry: 8 subspaces × 16 codes (4-bit codes over 8-dim
+    * subvectors) and a 100-candidate coarse boundary — sized on the
+    * harness corpus for ≥0.7 recall@10 (PqSpec measures it); production
+    * would widen k to 256 (byte codes). Shared engine/oracle constants
+    * in the s14 sense: they are the OPERATOR'S parameters, not candidate
+    * sets — the oracle re-derives every code and candidate from them
+    * independently. */
+  val PqM = 8
+  val PqK = 16
+  val PqCoarseK = 100
+
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = scan(spark, sfDir, "embeddings")
+    Similarity.pqTopK(emb.where(col("vec_id") < 5), emb,
+      trainedPQBooks(spark, sfDir), k = 10, coarseK = PqCoarseK)
+  }
+
+  /** Per-dir memo of the trained PQ codebooks (the trainedCentroids
+    * contract: one bounded collect per JVM per dir; `lastPQ` is what the
+    * oracle thunk embeds). */
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]()
+  @volatile private var lastPQ: Option[Array[Array[Array[Double]]]] = None
+
+  private def trainedPQBooks(spark: SparkSession,
+                             sfDir: String): Array[Array[Array[Double]]] = {
+    val cbs = pqCache.getOrElseUpdate(sfDir,
+      Similarity.trainPQ(scan(spark, sfDir, "embeddings"), m = PqM, k = PqK))
+    lastPQ = Some(cbs)
+    cbs
+  }
+
+  private def intLit(p: Array[Int]): String =
+    p.mkString("[", ", ", "]::INT[]")
+
+  /** DuckDB twin of pqTopK: same per-subspace argmin (list_distance
+    * ordering, ties → lowest code — the s07 rule), same SQ8-grid integer
+    * reconstruction, same `rnorm2 − 2·dot` coarse score (every product
+    * ≤ 127² and every 64-term partial sum < 2^24, so even a float32
+    * accumulation of list_dot_product is EXACT — the ranking is
+    * bit-stable), same crank ≤ 50 boundary and exact-cosine rerank with
+    * neighbor_id tie-breaks. Built at dump time from the codebooks the
+    * query actually trained (seeded fallback only if s17 never ran in
+    * this JVM). */
+  private def annPqOracle: String = {
+    val cbs = lastPQ.getOrElse(
+      Array.tabulate(PqM)(s => Similarity.hyperplanes(PqK, 64 / PqM, 13L + s)))
+    val qcb = Similarity.quantizePQ(cbs)
+    val sub = cbs(0)(0).length
+    val rows = for { s <- cbs.indices; code <- cbs(s).indices }
+      yield s"($s, $code, ${vecLit(cbs(s)(code))}, ${intLit(qcb(s)(code))})"
+    val subspaces = cbs.indices.map(s => s"($s)").mkString(", ")
+    s"""WITH cb(s, code, c, qc) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, s, v[s*$sub+1:(s+1)*$sub] AS sv
+       |  FROM e, (VALUES $subspaces) ss(s)),
+       |assign AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.code,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |                              ORDER BY list_distance(sub.sv, cb.c),
+       |                                       cb.code) AS rn
+       |    FROM sub JOIN cb USING (s)) WHERE rn = 1),
+       |recon AS (
+       |  SELECT a.vec_id, flatten(list(cb.qc ORDER BY a.s)) AS r
+       |  FROM assign a JOIN cb ON cb.s = a.s AND cb.code = a.code
+       |  GROUP BY a.vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv,
+       |             list_transform(v, x -> greatest(-127,
+       |               least(127, CAST(floor(x*64) AS INT)))) AS qq
+       |      FROM e WHERE vec_id < 5),
+       |coarse AS (
+       |  SELECT query_id, r.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(r.r, r.r) AS BIGINT)
+       |         - 2*CAST(list_dot_product(qq, r.r) AS BIGINT) AS coarse
+       |  FROM recon r, q WHERE r.vec_id <> query_id),
+       |cr AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY coarse, neighbor_id) AS crank
+       |       FROM coarse),
+       |cand AS (SELECT query_id, neighbor_id FROM cr WHERE crank <= $PqCoarseK),
+       |rer AS (SELECT c.query_id, c.neighbor_id,
+       |               list_cosine_similarity(q.qv, e.v) AS sim
+       |        FROM cand c
+       |        JOIN q ON q.query_id = c.query_id
+       |        JOIN e ON e.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM rer)
+       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** Mean-pooling: chunk embeddings pooled back to one vector per parent
     * (grp = vec_id % 50 stands in for the chunk→doc mapping). Shaped as
     * posexplode → one map-side-combined shuffle on (grp, pos) — per-element
@@ -798,5 +904,7 @@ object SimilarityQueries {
     NamedQuery("s15_ann_cosine_neardup", annCosineNearDup,
       Some(annCosineNearDupOracle)),
     NamedQuery("s16_image_neardup", imageNearDup, Some(imageNearDupOracle)),
+    NamedQuery("s17_ann_pq", annPq, None,
+      oracleFn = Some(() => annPqOracle)),
   )
 }

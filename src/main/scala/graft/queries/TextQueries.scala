@@ -1247,6 +1247,98 @@ object TextQueries {
       |FROM tok JOIN freq USING (term), tot
       |GROUP BY doc_id""".stripMargin
 
+  /** Bigram-LM quality score — t23's conditional successor (the KenLM
+    * perplexity filter one order up): per document, the mean negative
+    * log-probability of each token given its predecessor under the
+    * corpus's own bigram MLE, `P(w2|w1) = c(w1,w2) / c(w1,·)`. Unigram
+    * scoring (t23) can't see scrambled word order; conditional scoring
+    * can — boilerplate and copy-paste text score low, shuffled or
+    * gibberish transitions score high. Documents with fewer than two
+    * tokens have no transitions and are excluded (matching the oracle's
+    * `len >= 2` gate).
+    *
+    * The 100 TB shape, t23's single-exchange pattern one key wider: the
+    * bigram stream is built NARROWLY from the staged token array
+    * (`slice` + `arrays_zip` — ordinary codegen'd expressions, not
+    * lambda array functions, so the staging projection stays inside
+    * WSCG), exploded once, and parked at ONE (w1,w2)-keyed Exchange that
+    * both consumers reuse: the bigram-frequency aggregate and the
+    * per-occurrence probability probe (AQE stage reuse, sameResult by
+    * construction). The context denominator `c(w1,·)` is NOT a third
+    * corpus pass — it re-aggregates the (vocabulary²-sized) frequency
+    * table and joins it back to that table, so only vocabulary-scale
+    * rows shuffle twice; corpus-scale rows shuffle exactly once. Each
+    * −ln(p) addend widens to DECIMAL(38,18) before SUM (double addition
+    * is order-dependent across partitionings; decimal is exact), and the
+    * mean divides in double at the end — the t23/s08 determinism
+    * discipline. */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLayout(scan(spark, sfDir, "documents"))
+
+  /** The scoring core behind [[bigramLogprob]], public for specs: input
+    * (doc_id, text), output (doc_id, n_bigrams, nll). */
+  def bigramLayout(docs: DataFrame): DataFrame = {
+    graft.functions.TokensOf.register(docs.sparkSession)
+    // No explicit >=2-token filter: it would be pushed below the staging
+    // projection with tokens_of inlined into the Filter (a second
+    // tokenization per row — WSCG does not eliminate subexpressions
+    // ACROSS operators). Short docs vanish naturally at the non-outer
+    // explode of their empty bigram array; greatest(n-1, 0) keeps the
+    // slice length legal for 0-token docs.
+    val n = size(col("ts"))
+    val bgLen = greatest(n - 1, lit(0))
+    val bg = docs
+      .select(col("doc_id"), expr("tokens_of(text)").as("ts"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), bgLen),
+        slice(col("ts"), lit(2), bgLen))).as("b"))
+      // arrays_zip pads unequal arrays with null, so the struct fields
+      // type as nullable even though both slices are provably n-1 long;
+      // coalesce to '' (never a token — empties are dropped) restores
+      // non-nullability so the probe join can't grow an isnotnull Filter
+      // the aggregate side lacks, which would break the sameResult stage
+      // reuse below (the t11/t25 precedent).
+      .select(col("doc_id"),
+        coalesce(col("b.0"), lit("")).as("w1"),
+        coalesce(col("b.1"), lit("")).as("w2"))
+      .repartition(col("w1"), col("w2"))
+    // count(doc_id), not count(*): keeps the aggregate subtree's input
+    // columns identical to the probe side's so the two lineages stay
+    // sameResult and land on one Exchange (the t23 pruning trap).
+    val bfreq = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(col("doc_id")).as("bc"))
+    val probs = bfreq.join(
+      bfreq.groupBy(col("w1")).agg(sum(col("bc")).as("cc")), Seq("w1"))
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (sum((-log(col("bc").cast("double") / col("cc").cast("double")))
+          .cast("decimal(38,18)")).cast("double") / count(lit(1)))
+          .as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("nll").cast("decimal(28,6)").cast("double").as("nll"))
+  }
+
+  private val bigramLogprobOracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                     x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(ts[1:len(ts)-1]) AS w1,
+      |         unnest(ts[2:len(ts)]) AS w2
+      |  FROM tok WHERE len(ts) >= 2),
+      |bfreq AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(bc) AS cc FROM bfreq GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(CAST(CAST(SUM(CAST(-ln(CAST(bc AS DOUBLE) / CAST(cc AS DOUBLE))
+      |                            AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+      |            AS DECIMAL(28,6)) AS DOUBLE) AS nll
+      |FROM bg JOIN bfreq USING (w1, w2) JOIN ctx USING (w1)
+      |GROUP BY doc_id""".stripMargin
+
   // jaro on PlantedFuzzy-transcoded args: byte JW == codepoint JW after
   // the closed multibyte alphabet maps to single bytes (ASCII identity)
   private val jaroNearDupOracle = {
@@ -1704,5 +1796,7 @@ object TextQueries {
       Some(incrementalDedupOracle)),
     NamedQuery("t33_weighted_sample", weightedSample,
       Some(weightedSampleOracle)),
+    NamedQuery("t34_bigram_logprob", bigramLogprob,
+      Some(bigramLogprobOracle)),
   )
 }

@@ -404,7 +404,16 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, k: Int = 8, maxSample: Int = 1024,
                      iters: Int = 5, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     sampleMod: Int = 4): Array[Array[Double]] = {
+                     sampleMod: Int = 4): Array[Array[Double]] =
+    kmeans(boundedSample(corpus, maxSample, idCol, vecCol, sampleMod),
+      k, iters)
+
+  /** The bounded deterministic sample collection behind [[trainCentroids]]
+    * and [[trainPQ]] — see trainCentroids' scaladoc for the hash-slice /
+    * ordered-cap / bit-reproducibility argument. */
+  private def boundedSample(corpus: DataFrame, maxSample: Int,
+                            idCol: String, vecCol: String,
+                            sampleMod: Int): Array[Array[Double]] = {
     val sample = corpus
       .where(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
@@ -417,7 +426,106 @@ object Similarity {
       throw graft.GraftError.NoData(
         s"trainCentroids: the 1/$sampleMod hash slice of $idCol matched " +
           "no vectors — lower sampleMod or check the corpus")
-    kmeans(sample, k, iters)
+    sample
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space split
+    * into `m` contiguous subspaces, each with its own k-means codebook
+    * over the SAME bounded deterministic sample as [[trainCentroids]] —
+    * one collect trains all m codebooks, and the id-sorted sample keeps
+    * the trained floats bit-reproducible, which is what lets an oracle
+    * embed them as literals. Returns `codebooks(s)(code) = centroid`
+    * (m × k × dim/m). */
+  def trainPQ(corpus: DataFrame, m: Int = 4, k: Int = 16,
+              maxSample: Int = 1024, iters: Int = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              sampleMod: Int = 4): Array[Array[Array[Double]]] = {
+    val sample = boundedSample(corpus, maxSample, idCol, vecCol, sampleMod)
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainPQ: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      kmeans(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)), k, iters)
+    }
+  }
+
+  /** PQ codebooks snapped to the SQ8 integer grid (s09's arithmetic,
+    * `clamp(-127, 127, floor(x·64))`) — the reconstruction table the
+    * integer ADC scan reads. Double math with an exact integer result,
+    * so Spark literals and a DuckDB `floor(x*64)` mirror agree. */
+  def quantizePQ(cbs: Array[Array[Array[Double]]]): Array[Array[Array[Int]]] =
+    cbs.map(_.map(_.map(x =>
+      math.max(-127, math.min(127, math.floor(x * 64).toInt)))))
+
+  /** PQ-encoded ANN top-k (encode → integer ADC coarse scan → exact float
+    * rerank) — the canonical billion-scale ANN layout: each corpus vector
+    * is m sub-codes (m bytes in production), and the coarse scan never
+    * touches the float column at all.
+    *
+    *   1. ENCODE: per subspace, [[graft.functions.IvfCell]]'s fused
+    *      argmin against that subspace's codebook (strict-`<` keeps the
+    *      first minimum — ties to the lowest code, the s07 rule) over a
+    *      codegen'd `slice` of the vector. Narrow, zero shuffle.
+    *   2. COARSE (integer ADC): the SQ8-grid reconstruction
+    *      `recon = concat(qcb(s)(code_s))` scores each (broadcast) query
+    *      by `rnorm2 − 2·int_dot(qq, recon)` — monotone in the squared L2
+    *      `‖qq − recon‖²` since `‖qq‖²` is constant per query, and PURE
+    *      INTEGER arithmetic (products ≤ 127², 64-term long sums), so the
+    *      top-coarseK boundary is bit-stable in every engine — the s14
+    *      trick that lets the candidate set be value-oracled, not merely
+    *      recall-tested. `rnorm2` is precomputed at encode; only narrow
+    *      (query_id, neighbor_id, coarse) triples reach the top-k window.
+    *   3. RERANK: the coarseK survivors fetch their float vectors by id
+    *      (broadcast id list) for exact FloatCosine — FAISS's refine step.
+    *
+    * Ties break by neighbor_id in both stages. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             codebooks: Array[Array[Array[Double]]],
+             k: Int, coarseK: Int = 50,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    graft.functions.FloatCosine.register(queries.sparkSession)
+    graft.functions.IntDot.register(queries.sparkSession)
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val qcb = quantizePQ(codebooks)
+    val codeCols = (0 until m).map { s =>
+      exprCol(graft.functions.IvfCell(
+        colExpr(slice(col("v"), s * sub + 1, sub)), codebooks(s))).as(s"c$s")
+    }
+    val recon = concat((0 until m).map { s =>
+      element_at(typedlit(qcb(s).map(_.toSeq).toSeq), col(s"c$s") + 1)
+    }: _*)
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .select(col("neighbor_id") +: codeCols: _*)
+      .withColumn("recon", recon)
+      .withColumn("rnorm2", expr("int_dot(recon, recon)"))
+      .select(col("neighbor_id"), col("recon"), col("rnorm2"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), quantize8(col(vecCol)).as("qq"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse"), col("neighbor_id"))
+    val cand = enc.crossJoin(broadcast(q.select(col("query_id"), col("qq"))))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("rnorm2") - lit(2L) * expr("int_dot(qq, recon)")).as("coarse"))
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val fetch = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    fetch.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("sim", expr("float_cosine(qv, cv)"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest of

@@ -77,6 +77,7 @@ class PlanAuditSpec extends SparkSpec {
       "t20_jaro_neardup",
       "s01_cosine_topk", // broadcasts a 5-row query set by design
       "s14_ann_quantized", // the SQ8 coarse scan broadcasts the same 5 rows
+      "s17_ann_pq", // the integer-ADC coarse scan broadcasts the same 5 rows
       "t11_tfidf_topk", // crossJoin(broadcast(1-row n_docs aggregate))
       "t23_unigram_logprob") // same shape: 1-row token-total broadcast
     Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
@@ -442,6 +443,36 @@ class PlanAuditSpec extends SparkSpec {
       s"t23 must tokenize the corpus exactly once (native):\n$fin")
     assert("ReusedExchange".r.findAllIn(fin).size >= 2,
       s"freq and total must both reuse the token exchange:\n$fin")
+  }
+
+  test("bigram logprob t34: one tokenization lineage, the (w1,w2) exchange " +
+    "reused by freq and probe (runtime check — AQE stage cache)") {
+    // t23's single-exchange pattern one key wider: the bigram stream is
+    // built narrowly (slice + arrays_zip — codegen'd, not lambdas),
+    // exploded once, and parked at one (w1,w2)-keyed repartition that the
+    // frequency aggregate and the probability probe both consume. The
+    // coalesce-to-'' on the zip fields is what keeps the probe join from
+    // growing an isnotnull Filter the aggregate side lacks (sameResult).
+    val df = Registry.queries("t34_bigram_logprob")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("tokens_of".r.findAllIn(fin).size == 1 &&
+      "split\\(lower\\(trim\\(".r.findAllIn(fin).isEmpty,
+      s"t34 must tokenize the corpus exactly once (native):\n$fin")
+    assert("ReusedExchange".r.findAllIn(fin).size >= 2,
+      s"probe and context must both reuse the bigram exchange:\n$fin")
+  }
+
+  test("pq ann s17: coarse scan moves codes/recon only — the float column " +
+    "is pruned off the candidate side; rerank fetches by id") {
+    val s = planStr("s17_ann_pq")
+    assert(s.contains("intdot("),
+      s"s17 must coarse-score through the native integer dot:\n$s")
+    assert(s.contains("ivfcell("),
+      s"s17 must encode through the fused argmin expression:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"s17's rerank fetch must be a broadcast hash join on neighbor_id:\n$s")
   }
 
   test("incremental dedup: anti-join on the key, no corpus re-shuffle blowup") {
