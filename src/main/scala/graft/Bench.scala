@@ -10,9 +10,15 @@ import org.apache.spark.sql.SparkSession
   * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
   * the per-query MEDIAN — single-shot timings on this box drift ±30%
   * run-to-run (documented in BASELINE.md), which fuzzes every regression
-  * comparison; the median of 3 cuts that band substantially. `value` is
-  * the sum of medians; `wall` is the true end-to-end wall including all
-  * repeats. */
+  * comparison; the median of 3 cuts that band substantially. Runs are
+  * INTERLEAVED (full passes over the surface, not back-to-back repeats):
+  * the r15 box shows multi-second host-side throughput-collapse episodes
+  * — autocorrelated noise that back-to-back repeats hand straight to the
+  * median. `value` is the sum of medians (the methodology of record);
+  * `best_total` is the sum of per-query minimums — the episode-robust
+  * estimate of what the code costs (value >> best_total reads as
+  * machine-state inflation, both high reads as a real regression).
+  * `wall` is the true end-to-end wall including all repeats. */
 object Bench {
   /** Default repeat count — pinned by BenchContractSpec so an env change
     * can't silently revert the median-of-3 methodology to single-shot. */
@@ -131,10 +137,19 @@ object Bench {
     require(selected.nonEmpty, "SPARK_GRAFT_BENCH_ONLY/SKIP matched no queries")
     val wall0 = System.nanoTime()
     var failed = List.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // INTERLEAVED passes (r15): run the whole surface once per pass
+    // instead of `runs` back-to-back repeats per query. This box (r15
+    // forensics in BASELINE.md) suffers multi-second HOST-side
+    // throughput-collapse episodes — autocorrelated noise that poisons
+    // all 3 back-to-back repeats of whichever query it lands on, sailing
+    // straight through a per-query median. Spreading a query's samples
+    // minutes apart makes a poisoned median require two independent
+    // episode hits. Per-query timing semantics are unchanged (same
+    // noop-write force, same median).
+    val samples = (1 to runs).flatMap { _ =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
+        val t = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
@@ -142,7 +157,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+        name -> t
       }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val results = selected.map { case (name, _) =>
+      val times = samples(name)
       if (times.contains(-1.0)) failed ::= name
       // per-run distribution on demand: medians hide bimodality (the r14
       // t31-t33 tail-query investigation needed exactly this view)
@@ -151,6 +170,18 @@ object Bench {
           times.map(t => f"$t%.3f").mkString(" "))
       name -> Bench.medianOrFail(times)
     }
+    // Episode-robust twin of the median total: the per-query MINIMUM is
+    // the least-noise estimator of what the CODE costs on a box with
+    // documented external throughput collapses (a min is poisoned only
+    // if every interleaved pass was hit). `value` stays the sum of
+    // medians — the methodology of record — and best_total is reported
+    // beside it so a reader can tell machine-state inflation (value >>
+    // best_total) from a real regression (both high).
+    val bests = selected.map { case (name, _) =>
+      val ts = samples(name)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val bestTotal = bests.map(_._2).filter(_ >= 0).sum
     val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -164,7 +195,10 @@ object Bench {
       val refFile = java.nio.file.Paths.get(QueryRefFile)
       if (java.nio.file.Files.exists(refFile)) {
         val ref = parseQueryTimes(java.nio.file.Files.readString(refFile))
-        regressions(results.toMap, ref).map { case (q, t, r) =>
+        // gate on the per-query MIN, not the median: a real regression
+        // slows every pass, while a host episode (r15 forensics) slows
+        // one — min-based flags survive the noise the median can't
+        regressions(bests.toMap, ref).map { case (q, t, r) =>
           f"""{"q":"$q","now":$t%.3f,"ref":$r%.3f}"""
         }.mkString("[", ",", "]")
       } else "[]"
@@ -172,7 +206,7 @@ object Bench {
     if (regs != "[]")
       System.err.println(s"[bench] per-query regressions vs $QueryRefFile: $regs")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"regressions":$regs,"wall":$wall}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"best_total":$bestTotal,"regressions":$regs,"wall":$wall}"""
     println(json)
     // also land the full JSON in a file: the driver's log-tail capture has
     // truncated the stdout line before (r4 clipped e01/e02); the file is
