@@ -1339,6 +1339,97 @@ object TextQueries {
       |FROM bg JOIN bfreq USING (w1, w2) JOIN ctx USING (w1)
       |GROUP BY doc_id""".stripMargin
 
+  /** Content-defined chunking + chunk-level dedup (the rsync/LBFS
+    * rolling-boundary idea, e.g. Muthitacharoen et al. 2001, applied to
+    * token streams): a chunk boundary falls after any token whose
+    * trailing trigram hashes to 0 mod `mask` — so boundaries are a
+    * function of CONTENT, not position, and an insertion early in a
+    * document only perturbs the chunk it lands in; every later chunk
+    * re-aligns and still dedups against other documents (fixed-size
+    * chunking loses all alignment after one shift). Output: one row per
+    * distinct chunk with its corpus-wide copy count and min-doc survivor
+    * — t01's exact-dedup contract at sub-document granularity.
+    *
+    * The 100 TB shape: ONE doc-keyed exchange total for the stateful
+    * part — the boundary lags and the running chunk counter are two
+    * stacked WindowExecs over the same (doc_id, pos) sort (t24's
+    * shard-cumsum precedent; partitions are doc-sized), and the chunk
+    * assembly groupBy(doc_id, chunk) is satisfied by the same
+    * partitioning (subset clustering keys — no second corpus exchange).
+    * Only narrow (chunk_hash, n_toks, doc_id) rows reach the final
+    * dedup shuffle. Boundary hash = first 32 md5 bits of the prefixed
+    * trigram (t33's engine-portable hex idiom); chunk identity =
+    * 64-bit sha256 prefix (t01's exactKey arithmetic). */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cdcLayout(scan(spark, sfDir, "documents"), mask = 8)
+
+  /** The chunking core behind [[cdcChunkDedup]], public for specs:
+    * input (doc_id, text), output (chunk_hash, n_tokens, n_copies,
+    * keep_doc). Expected chunk length ≈ `mask` tokens. */
+  def cdcLayout(docs: DataFrame, mask: Int): DataFrame = {
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    graft.functions.TokensOf.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pe = docs.select(col("doc_id"),
+      posexplode(expr("tokens_of(text)")).as(Seq("pos", "tok")))
+    val gram = concat(lit("cdc:"), concat_ws(" ",
+      lag(col("tok"), 2).over(w), lag(col("tok"), 1).over(w), col("tok")))
+    // pos >= 2 guards the partial grams at a doc's head (concat_ws drops
+    // the null lags there, which would otherwise hash a 1-2 token gram)
+    val b = when(col("pos") >= 2 &&
+        pmod(conv(substring(md5(gram.cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(mask.toLong)) === 0, 1)
+      .otherwise(0)
+    // boundary token CLOSES its chunk: chunk(pos) counts boundaries
+    // strictly before pos (second WindowExec on the same sort — no
+    // extra exchange)
+    val chunked = pe.withColumn("b", b)
+      .withColumn("chunk", coalesce(sum(col("b")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+    val chunks = chunked.groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        substring(sha2(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))), 256), 1, 16).as("chunk_hash"),
+        count(lit(1)).as("n_toks"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("n_toks")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_doc"))
+  }
+
+  private val cdcChunkDedupOracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                     x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |pe AS (
+      |  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts)+1)) AS pos
+      |  FROM tok),
+      |g AS (
+      |  SELECT doc_id, pos, tok,
+      |         CASE WHEN pos >= 3 AND
+      |                   ('0x' || substr(md5('cdc:' || lag(tok, 2) OVER w || ' ' ||
+      |                                        lag(tok, 1) OVER w || ' ' || tok), 1, 8))::BIGINT % 8 = 0
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM pe WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |c AS (
+      |  SELECT doc_id, pos, tok,
+      |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM g),
+      |ch AS (
+      |  SELECT doc_id, chunk,
+      |         substr(sha256(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS chunk_hash,
+      |         count(*) AS n_toks
+      |  FROM c GROUP BY 1, 2)
+      |SELECT chunk_hash, CAST(min(n_toks) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_copies, min(doc_id) AS keep_doc
+      |FROM ch GROUP BY 1""".stripMargin
+
   // jaro on PlantedFuzzy-transcoded args: byte JW == codepoint JW after
   // the closed multibyte alphabet maps to single bytes (ASCII identity)
   private val jaroNearDupOracle = {
@@ -1798,5 +1889,7 @@ object TextQueries {
       Some(weightedSampleOracle)),
     NamedQuery("t34_bigram_logprob", bigramLogprob,
       Some(bigramLogprobOracle)),
+    NamedQuery("t35_cdc_chunk_dedup", cdcChunkDedup,
+      Some(cdcChunkDedupOracle)),
   )
 }

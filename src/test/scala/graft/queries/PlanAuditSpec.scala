@@ -464,6 +464,28 @@ class PlanAuditSpec extends SparkSpec {
       s"probe and context must both reuse the bigram exchange:\n$fin")
   }
 
+  test("cdc chunking t35: one tokenize pass, ONE doc-keyed exchange for " +
+    "both windows AND the chunk assembly; only the hash dedup re-shuffles") {
+    val df = Registry.queries("t35_cdc_chunk_dedup")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("tokens_of".r.findAllIn(fin).size == 1 &&
+      "split\\(lower\\(trim\\(".r.findAllIn(fin).isEmpty,
+      s"t35 must tokenize the corpus exactly once (native):\n$fin")
+    // exactly two shuffles: hashpartitioning(doc_id) feeding the stacked
+    // windows + the (doc_id, chunk) assembly (subset clustering keys —
+    // no extra exchange), then hashpartitioning(chunk_hash) for the dedup
+    val exch = "Exchange hashpartitioning\\(([a-z_]+)#"
+      .r.findAllMatchIn(fin).map(_.group(1)).toSeq
+    assert(exch.sorted == Seq("chunk_hash", "doc_id"),
+      s"t35 must shuffle exactly twice (doc_id, chunk_hash), got $exch:\n$fin")
+    // the two window passes share one sort: a second Sort node above the
+    // exchange would mean the stacked windows stopped sharing ordering
+    assert("WindowGroupLimit|Window ".r.findAllIn(fin).size >= 2,
+      s"expected two stacked window passes:\n$fin")
+  }
+
   test("pq ann s17: coarse scan moves codes/recon only — the float column " +
     "is pruned off the candidate side; rerank fetches by id") {
     val s = planStr("s17_ann_pq")
