@@ -40,6 +40,9 @@ object PlanDump {
     "t32_bloom_incremental_dedup" -> "t17 with the runtime filter pointed at the big side: sketch over the small batch's keys gates the corpus key index scan; only might-collide keys reach the exact anti-join (corpus branch ships ONLY `k`)",
     "t33_weighted_sample" -> "priority sampling: narrow single-pass quality-weight map over the scan (token array staged once — lambda array ops are CodegenFallback, so duplicated split subtrees would all evaluate) -> TakeOrderedAndProject partial top-k — NO Exchange, no global sort, k rows per partition to the driver",
     "s16_image_neardup" -> "perceptual-hash image dedup: narrow decode+aHash mapPartitions (payloads die before the join) -> 4x16-bit band equi-join, provably lossless at Hamming radius 3 (pigeonhole), exact bit_count verify. The static plan below PRINTS the self-join's lineage twice; at runtime AQE's stage cache dedupes the two identical band-keyed Exchanges into one materialized decode+hash pass (ReusedExchange in the final adaptive plan — ImageNearDupSpec pins it)",
+    "t34_bigram_logprob" -> "bigram-LM quality score: ONE (w1,w2)-keyed exchange for the corpus bigram stream (built narrowly via slice+arrays_zip — codegen'd, no lambdas), reused by the frequency aggregate AND the probability probe (ReusedExchange x2 in the final adaptive plan); the context denominator re-aggregates the vocabulary-sized frequency table, never the corpus",
+    "s17_ann_pq" -> "PQ ANN: narrow per-subspace IvfCell encode -> integer-ADC coarse scan over SQ8-grid reconstructions (rnorm2 - 2*int_dot, bit-stable candidate boundary, float column pruned off the candidate side) -> broadcast candidate fetch + exact FloatCosine rerank",
+    "t35_cdc_chunk_dedup" -> "content-defined chunking: ONE doc-keyed exchange feeds two stacked WindowExecs (trigram boundary lags + running chunk counter share the sort) AND the (doc_id,chunk) assembly via subset clustering keys; only narrow (chunk_hash,n_toks,doc_id) rows reach the final dedup shuffle — two exchanges total, plan-pinned",
   )
 
   def main(args: Array[String]): Unit = {
