@@ -1430,6 +1430,96 @@ object TextQueries {
       |       count(*) AS n_copies, min(doc_id) AS keep_doc
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** DSIR-style importance scoring for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling", simplified to unigram LMs): score every
+    * document by the mean per-token log-likelihood RATIO between a
+    * target-domain LM and the general-corpus LM, both estimated from
+    * the corpus itself with add-1 smoothing over the corpus vocabulary;
+    * keep the top-k. Here the "target domain" is the src0/src1 slice —
+    * in production it is the high-quality reference corpus (Wikipedia,
+    * books) and this query is the selection pass over the crawl.
+    *
+    * The 100 TB shape (t23's single-exchange pattern with both LMs in
+    * ONE aggregate): the token stream carries (doc_id, source, term)
+    * and parks at one term-keyed Exchange; the frequency aggregate
+    * computes corpus count AND target count per term in one pass
+    * (`count + conditional sum` — not two filtered aggregations over
+    * two corpus reads), and the per-doc probe reuses the same exchange
+    * (both subtrees reference all three columns, so column pruning
+    * cannot de-unify them — the t23 trap). Totals are a 1-row broadcast
+    * off the vocabulary-sized table; λ_w joins back vocabulary-scale.
+    * Per-token λ addends widen to DECIMAL(38,18) before SUM (the
+    * determinism discipline); selection orders by the ROUNDED score
+    * with a doc_id tie-break, so the top-k boundary is engine-stable,
+    * and executes as TakeOrderedAndProject (no global sort). */
+  def dsirSelection(spark: SparkSession, sfDir: String): DataFrame =
+    dsirLayout(scan(spark, sfDir, "documents"),
+      targetSources = Seq("src0", "src1"), k = 100)
+
+  /** The scoring core behind [[dsirSelection]], public for specs: input
+    * (doc_id, source, text), output top-k (doc_id, n_tokens,
+    * dsir_score). */
+  def dsirLayout(docs: DataFrame, targetSources: Seq[String],
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.TokensOf.register(docs.sparkSession)
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr("tokens_of(text)")).as("term"))
+      .repartition(col("term"))
+    val tf = toks.groupBy(col("term")).agg(
+      count(col("doc_id")).as("cf"),
+      sum(when(col("source").isInCollection(targetSources), 1L)
+        .otherwise(0L)).as("tft"))
+    val tot = tf.agg(
+      coalesce(sum(col("cf")), lit(0L)).cast("long").as("c_total"),
+      coalesce(sum(col("tft")), lit(0L)).cast("long").as("t_total"),
+      count(lit(1)).cast("long").as("v"))
+    val lam = tf.crossJoin(broadcast(tot)).select(col("term"),
+      (log((col("tft") + 1L).cast("double") /
+           (col("t_total") + col("v")).cast("double")) -
+       log((col("cf") + 1L).cast("double") /
+           (col("c_total") + col("v")).cast("double"))).as("lw"))
+    toks.join(lam, Seq("term"))
+      // count(source), not count(*): keeps the probe subtree's input
+      // columns identical to the aggregate side's (doc_id, source, term)
+      // so both lineages stay sameResult on ONE exchange
+      .groupBy(col("doc_id"))
+      .agg(count(col("source")).cast("long").as("n_tokens"),
+        (sum(col("lw").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("score"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("score").cast("decimal(28,6)").cast("double").as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private val dsirSelectionOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                            x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT term, count(*) AS cf,
+      |         count(*) FILTER (WHERE source IN ('src0', 'src1')) AS tft
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(cf) AS c_total, sum(tft) AS t_total, count(*) AS v
+      |        FROM tf),
+      |lam AS (
+      |  SELECT term,
+      |         ln(CAST(tft + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))
+      |         - ln(CAST(cf + 1 AS DOUBLE) / CAST(c_total + v AS DOUBLE)) AS lw
+      |  FROM tf, tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(CAST(CAST(SUM(CAST(lw AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+      |            AS DECIMAL(28,6)) AS DOUBLE) AS dsir_score
+      |FROM tok JOIN lam USING (term)
+      |GROUP BY doc_id
+      |ORDER BY dsir_score DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   // jaro on PlantedFuzzy-transcoded args: byte JW == codepoint JW after
   // the closed multibyte alphabet maps to single bytes (ASCII identity)
   private val jaroNearDupOracle = {
@@ -1891,5 +1981,7 @@ object TextQueries {
       Some(bigramLogprobOracle)),
     NamedQuery("t35_cdc_chunk_dedup", cdcChunkDedup,
       Some(cdcChunkDedupOracle)),
+    NamedQuery("t36_dsir_selection", dsirSelection,
+      Some(dsirSelectionOracle)),
   )
 }

@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
       "s14_ann_quantized", // the SQ8 coarse scan broadcasts the same 5 rows
       "s17_ann_pq", // the integer-ADC coarse scan broadcasts the same 5 rows
       "t11_tfidf_topk", // crossJoin(broadcast(1-row n_docs aggregate))
-      "t23_unigram_logprob") // same shape: 1-row token-total broadcast
+      "t23_unigram_logprob", // same shape: 1-row token-total broadcast
+      "t36_dsir_selection") // same shape: 1-row LM-totals broadcast
     Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
       val s = Registry.queries(q.name)(spark, sf)
         .queryExecution.executedPlan.toString
@@ -484,6 +485,21 @@ class PlanAuditSpec extends SparkSpec {
     // exchange would mean the stacked windows stopped sharing ordering
     assert("WindowGroupLimit|Window ".r.findAllIn(fin).size >= 2,
       s"expected two stacked window passes:\n$fin")
+  }
+
+  test("dsir selection t36: one tokenization lineage reused by the " +
+    "two-LM aggregate and the probe; top-k via TakeOrderedAndProject") {
+    val df = Registry.queries("t36_dsir_selection")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("tokens_of".r.findAllIn(fin).size == 1 &&
+      "split\\(lower\\(trim\\(".r.findAllIn(fin).isEmpty,
+      s"t36 must tokenize the corpus exactly once (native):\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"the probe must reuse the token exchange:\n$fin")
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"top-k must be partial per-partition, not a global sort:\n$fin")
   }
 
   test("pq ann s17: coarse scan moves codes/recon only — the float column " +
