@@ -433,6 +433,115 @@ object SimilarityQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** s18 — video-level near-dup via keyframe-fingerprint containment
+    * (the video twin of s16's image dedup, the shape real pipelines use
+    * for re-encode detection): each video's payload is cut into
+    * fixed-length keyframes, every frame gets a content fingerprint,
+    * and two videos are near-duplicates when the smaller one's frames
+    * are ≥ 80% contained in the other. Catches the classic re-encodes —
+    * a TRIMMED copy (tail dropped) shares every complete frame and
+    * scores 1.0; a half-rewritten video shares ~50% and is correctly
+    * excluded. Planted in-query like t17/t27: docs `id%10==3` carry a
+    * tail-trimmed copy (+2,000,000), docs `id%10==6` a half-mutated
+    * negative control (+3,000,000).
+    *
+    * The 100 TB shape: frames are built NARROWLY — `posexplode` over a
+    * codegen'd `sequence` of frame numbers, fingerprint =
+    * `sha2(substring(payload))` computed in the same projection, so
+    * payload bytes never leave the scan stage; the distinct and the
+    * candidate equi-join move only (asset_id, 16-char hash) pairs
+    * (t30's gram-join shape — no broadcast assumption, a corpus-scale
+    * frame index shuffles on fixed-width keys); the containment
+    * denominator joins per-asset frame counts back by id. Identical
+    * frames WITHIN a video collapse at the distinct, so a
+    * boilerplate-heavy video cannot quadratically inflate its own
+    * pairs. */
+  def videoNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    videoLayout(scan(spark, sfDir, "documents"),
+      frameLen = 32, threshold = 0.8)
+
+  /** The containment core behind [[videoNearDup]], public for specs:
+    * input (doc_id, text), output (id_a, id_b, n_shared, overlap). */
+  def videoLayout(docs: DataFrame, frameLen: Int,
+                  threshold: Double): DataFrame = {
+    require(frameLen >= 1 && threshold > 0 && threshold <= 1)
+    val base = docs.select(col("doc_id").as("asset_id"),
+      col("text").as("payload"))
+    val trimmed = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 2000000L).as("asset_id"),
+        expr("substring(text, 1, greatest(length(text) - 80, 0))")
+          .as("payload"))
+    val halfMod = docs.where(pmod(col("doc_id"), lit(10)) === 6)
+      .select((col("doc_id") + 3000000L).as("asset_id"),
+        expr("substring(text, 1, CAST(length(text) / 2 AS INT)) || " +
+          "upper(substring(text, CAST(length(text) / 2 AS INT) + 1))")
+          .as("payload"))
+    val assets = base.unionAll(trimmed).unionAll(halfMod)
+    // complete frames only: frame f covers chars [f*len+1, (f+1)*len];
+    // a payload shorter than one frame gets an EMPTY array (sequence
+    // with start > stop would generate a DESCENDING one) and drops at
+    // the non-outer explode
+    val nf = (length(col("payload")) / frameLen).cast("int")
+    val frames = assets
+      .select(col("asset_id"), col("payload"),
+        explode(when(nf >= 1, sequence(lit(0), nf - 1))
+          .otherwise(array().cast("array<int>"))).as("fno"))
+      .select(col("asset_id"),
+        substring(sha2(expr(s"substring(payload, fno * $frameLen + 1, " +
+          s"$frameLen)"), 256), 1, 16).as("fh"))
+      .distinct()
+    val counts = frames.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("nfr"))
+    val shared = frames.select(col("asset_id").as("id_a"), col("fh"))
+      .join(frames.select(col("asset_id").as("id_b"), col("fh")), Seq("fh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col("asset_id").as("id_a"), col("nfr").as("na")),
+        Seq("id_a"))
+      .join(counts.select(col("asset_id").as("id_b"), col("nfr").as("nb")),
+        Seq("id_b"))
+      .withColumn("overlap",
+        (col("n_shared").cast("double") / least(col("na"), col("nb"))
+          .cast("double")).cast("decimal(28,6)").cast("double"))
+      .where(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("overlap"))
+  }
+
+  private val videoNearDupOracle =
+    """WITH assets AS (
+      |  SELECT doc_id AS asset_id, text AS payload FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, substring(text, 1, greatest(length(text) - 80, 0))
+      |  FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |         substring(text, 1, length(text) // 2)
+      |         || upper(substring(text, length(text) // 2 + 1))
+      |  FROM documents WHERE doc_id % 10 = 6),
+      |fx AS (
+      |  SELECT asset_id, payload,
+      |         unnest(generate_series(0, length(payload) // 32 - 1)) AS fno
+      |  FROM assets),
+      |fr AS (
+      |  SELECT DISTINCT asset_id,
+      |         substr(sha256(substring(payload, fno * 32 + 1, 32)), 1, 16) AS fh
+      |  FROM fx),
+      |cnt AS (SELECT asset_id, count(*) AS nfr FROM fr GROUP BY 1),
+      |sh AS (
+      |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, count(*) AS n_shared
+      |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.asset_id < b.asset_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_shared,
+      |       CAST(CAST(CAST(n_shared AS DOUBLE) / least(ca.nfr, cb.nfr)
+      |            AS DECIMAL(28,6)) AS DOUBLE) AS overlap
+      |FROM sh
+      |JOIN cnt ca ON ca.asset_id = id_a
+      |JOIN cnt cb ON cb.asset_id = id_b
+      |WHERE CAST(CAST(CAST(n_shared AS DOUBLE) / least(ca.nfr, cb.nfr)
+      |           AS DECIMAL(28,6)) AS DOUBLE) >= 0.8""".stripMargin
+
   /** Mean-pooling: chunk embeddings pooled back to one vector per parent
     * (grp = vec_id % 50 stands in for the chunk→doc mapping). Shaped as
     * posexplode → one map-side-combined shuffle on (grp, pos) — per-element
@@ -906,5 +1015,6 @@ object SimilarityQueries {
     NamedQuery("s16_image_neardup", imageNearDup, Some(imageNearDupOracle)),
     NamedQuery("s17_ann_pq", annPq, None,
       oracleFn = Some(() => annPqOracle)),
+    NamedQuery("s18_video_neardup", videoNearDup, Some(videoNearDupOracle)),
   )
 }

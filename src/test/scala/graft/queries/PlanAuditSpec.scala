@@ -196,6 +196,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("video near-dup s18: frame-hash equi-join on fixed-width keys; " +
+    "payload never rides a shuffle") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = Registry.queries("s18_video_neardup")(spark, sf)
+      .queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val s = root.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"s18 candidates must come from the frame-hash equi-join:\n$s")
+    // every exchange moves (asset ids, 16-char fh, counts) — the video
+    // payload dies in the scan-stage hash projection
+    root.collect { case e: Exchange => e }.foreach { e =>
+      assert(!e.output.exists(_.name == "payload"),
+        s"payload rode a shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
+
   test("bloom contamination t31: sketch-gated before ANY exchange; " +
     "exact verify join still present") {
     import org.apache.spark.sql.execution.FilterExec
