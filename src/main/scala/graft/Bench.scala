@@ -69,6 +69,14 @@ object Bench {
     * the guardrail — the total-only pin cannot see single-query swings. */
   val RegressionFactor = 2.0
 
+  /** Wider band for the MEDIAN-based info channel: the median absorbs one
+    * episode hit out of 3 interleaved passes but rides surface-wide host
+    * inflation (r15 measured a uniform ~1.5–1.6× band), so the info
+    * threshold sits above that band. Queries here with a CLEAN min are
+    * either two-of-three episode hits or genuine intermittents — exactly
+    * the class the hard min-gate cannot see (r15 advice). */
+  val MedianInfoFactor = 2.5
+
   /** Extract the per-query times from a bench JSON line (either shape:
     * the flat file this main writes, or any string embedding the same
     * `"name":seconds` pairs). Names are [A-Za-z0-9_] by construction. */
@@ -191,22 +199,37 @@ object Bench {
     // is flagged in the output line itself even when the total stays
     // inside the guardrail. Surfaced, not fatal — the drift band is
     // documented and the judge/driver read the flag in context.
-    val regs = {
+    val refTimes = {
       val refFile = java.nio.file.Paths.get(QueryRefFile)
-      if (java.nio.file.Files.exists(refFile)) {
-        val ref = parseQueryTimes(java.nio.file.Files.readString(refFile))
-        // gate on the per-query MIN, not the median: a real regression
-        // slows every pass, while a host episode (r15 forensics) slows
-        // one — min-based flags survive the noise the median can't
-        regressions(bests.toMap, ref).map { case (q, t, r) =>
-          f"""{"q":"$q","now":$t%.3f,"ref":$r%.3f}"""
-        }.mkString("[", ",", "]")
-      } else "[]"
+      if (java.nio.file.Files.exists(refFile))
+        parseQueryTimes(java.nio.file.Files.readString(refFile))
+      else Map.empty[String, Double]
     }
+    def regJson(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (q, t, r) => f"""{"q":"$q","now":$t%.3f,"ref":$r%.3f}""" }
+        .mkString("[", ",", "]")
+    // gate on the per-query MIN, not the median: a real regression
+    // slows every pass, while a host episode (r15 forensics) slows
+    // one — min-based flags survive the noise the median can't
+    val regs = regJson(regressions(bests.toMap, refTimes))
     if (regs != "[]")
       System.err.println(s"[bench] per-query regressions vs $QueryRefFile: $regs")
+    // INFO-level median exceedances (r15 advice): the min-based gate is
+    // blind to a bimodal/intermittent regression that slows SOME passes
+    // (the r14 t33 class) — its min stays clean while its median runs
+    // hot. Surfaced at MedianInfoFactor so one host episode out of 3
+    // interleaved passes (which moves the median of 3 to the middle
+    // sample, not the poisoned one) doesn't spam; two-of-three episode
+    // hits and true intermittents both land here, for a human to
+    // separate with a quiet-box re-run. Informational, never fatal.
+    val medRegs = regJson(
+      regressions(results.toMap, refTimes, factor = MedianInfoFactor))
+    if (medRegs != "[]")
+      System.err.println(
+        s"[bench] INFO median exceedances (>${MedianInfoFactor}x ref, " +
+          s"min-gate may still pass): $medRegs")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"best_total":$bestTotal,"regressions":$regs,"wall":$wall}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"best_total":$bestTotal,"regressions":$regs,"median_exceedances":$medRegs,"wall":$wall}"""
     println(json)
     // also land the full JSON in a file: the driver's log-tail capture has
     // truncated the stdout line before (r4 clipped e01/e02); the file is

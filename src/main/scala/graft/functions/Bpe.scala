@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Trained subword tokenization — byte-pair encoding in the Sennrich et
+  * al. 2016 formulation ("Neural Machine Translation of Rare Words with
+  * Subword Units"): a word decomposes into characters with `</w>` fused
+  * onto the final one, and an ORDERED merge table (trained by iterated
+  * most-frequent-adjacent-pair counting) collapses symbol pairs until no
+  * listed pair remains. The reference pipeline counts tokens with
+  * whitespace/regex proxies; budget decisions at production scale are
+  * made in real tokenizer units, which is what this provides
+  * (VERDICT r15, missing-capability #1).
+  *
+  * APPLY semantics (the engine/oracle contract): at each step, among all
+  * adjacent symbol pairs present in the merge table, merge the LEFTMOST
+  * occurrence of the LOWEST-RANK pair; repeat to fixpoint. One
+  * occurrence per step keeps the recursion expressible as a DuckDB
+  * recursive CTE — and for any merge table this fixpoint is reached in
+  * < |word| steps, so both sides terminate. Token count = symbols at
+  * the fixpoint.
+  *
+  * TRAIN determinism: greedy most-frequent-pair with ties broken by the
+  * lexicographically smallest (left, right) pair — the merge list is a
+  * pure function of the (bounded, id-ordered) sample, which is what
+  * lets the oracle embed it as VALUES literals at dump time (the s07
+  * trained-centroid pattern).
+  *
+  * 100 TB shape: training is one bounded deterministic collect (the
+  * trainCentroids contract); apply is a per-row scalar expression in
+  * whole-stage codegen — the merge table rides task broadcast as a
+  * reference object, no join, no shuffle. The fixpoint loop is
+  * O(|word|²) hash lookups on words the pre-tokenizer already bounded. */
+case class BpeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_count requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = Bpe.name
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+
+  // rank lookup as left → (right → rank); built once per task deser,
+  // shared by interpreted eval and codegen (via addReferenceObj)
+  @transient private lazy val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]] =
+    Bpe.toRanks(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countTokens(input.asInstanceOf[UTF8String].toString, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, java.util.HashMap<String, Integer>>")
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.Bpe.countTokens($input.toString(), $r);")
+  }
+}
+
+object Bpe {
+  val name = "bpe_count"
+
+  /** End-of-word marker fused onto a word's final character at
+    * decomposition — never a standalone symbol, so a bare single-char
+    * word is already ONE token. */
+  val EndMark = "</w>"
+
+  /** Pre-tokenizer (train side; the distributed apply side states the
+    * same thing as `split(lower(text), "[^a-z0-9']+")`). */
+  def pretokenize(text: String): Seq[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9']+").toSeq.filter(_.nonEmpty)
+
+  private def decompose(w: String): Array[String] = {
+    val syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      syms(i) = if (i == w.length - 1) w.charAt(i).toString + EndMark
+                else w.charAt(i).toString
+      i += 1
+    }
+    syms
+  }
+
+  /** Greedy BPE training over a word-frequency table: `numMerges`
+    * iterations of count-adjacent-pairs → merge the most frequent
+    * (ties: lexicographically smallest pair), every occurrence,
+    * left-to-right. Stops early when no pair repeats. */
+  def train(texts: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(t => pretokenize(t).foreach(w =>
+      wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)))
+    var words: Array[(Array[String], Long)] =
+      wordFreq.toArray.sortBy(_._1).map { case (w, c) => (decompose(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pairCount = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCount.update(p, pairCount.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      // a pair seen once carries no generalizable signal — stop there
+      val live = pairCount.filter(_._2 >= 2)
+      if (live.isEmpty) exhausted = true
+      else {
+        val best = live.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergeAll(syms, best), c) }
+        m += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def mergeAll(syms: Array[String], p: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  def toRanks(merges: Seq[(String, String)])
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val r = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      r.computeIfAbsent(a, _ => new java.util.HashMap[String, Integer]())
+        .putIfAbsent(b, Int.box(i))
+    }
+    r
+  }
+
+  /** The apply fixpoint — leftmost occurrence of the lowest-rank pair,
+    * one merge per step (see the [[BpeCount]] scaladoc for why). */
+  def countTokens(word: String,
+                  ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
+      : Int = {
+    if (word.isEmpty) return 0
+    var syms = decompose(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val inner = ranks.get(syms(i))
+        if (inner != null) {
+          val rk = inner.get(syms(i + 1))
+          if (rk != null && rk < bestRank) { bestRank = rk; bestI = i }
+        }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        val out = new Array[String](syms.length - 1)
+        System.arraycopy(syms, 0, out, 0, bestI)
+        out(bestI) = syms(bestI) + syms(bestI + 1)
+        System.arraycopy(syms, bestI + 2, out, bestI + 1,
+          syms.length - bestI - 2)
+        syms = out
+      }
+    }
+    syms.length
+  }
+
+  /** Strict-arity SQL builder bound to a TRAINED merge table (unlike
+    * TokenStats' static stopwords, the binding is per-training — callers
+    * re-register after training; registerFunction overwrites). */
+  def builder(merges: Seq[(String, String)]): Seq[Expression] => Expression = {
+    case Seq(a) => BpeCount(a, merges)
+    case args => throw new IllegalArgumentException(
+      s"$name(word) takes exactly 1 argument, got ${args.length}")
+  }
+
+  /** Per-session registration of `bpe_count` with the given merges. */
+  def register(spark: SparkSession, merges: Seq[(String, String)]): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[BpeCount].getName, name), builder(merges))
+}

@@ -286,7 +286,16 @@ object SimilarityQueries {
     * centroids the query actually trained (falling back to the seeded set
     * only if s07 never ran in this JVM). */
   private def annIvfOracle: String = {
-    val cents = lastTrained.getOrElse(Similarity.hyperplanes(8, 64, 11L))
+    val cents = lastTrained.getOrElse {
+      // loud, not silent (r15 advice, fixed alongside the s17 twin): an
+      // oracle dumped before s07 ran embeds the SEEDED centroid set and
+      // verification fails as a confusing numeric diff
+      System.err.println(
+        "[graft] WARNING: annIvfOracle dumped with UNTRAINED (seeded) " +
+          "centroids — s07_ann_ivf never ran in this JVM; run the query " +
+          "before dumping its oracle.")
+      Similarity.hyperplanes(8, 64, 11L)
+    }
     val rows = cents.zipWithIndex.map {
       case (c, i) => s"($i, ${vecLit(c)})"
     }
@@ -327,23 +336,21 @@ object SimilarityQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
-  /** PQ-encoded ANN — trained product-quantization codebooks (m=4
-    * subspaces × k=16 codes over the s07 bounded sample), integer ADC
-    * coarse scan over the SQ8-grid reconstructions, exact float rerank.
-    * The 100 TB shape lives in [[Similarity.pqTopK]]: the persisted
-    * structure is m CODES per vector (4 B here, m bytes in production —
-    * 64× smaller than the float column, which the coarse scan never
-    * reads), and the candidate boundary is pure integer arithmetic, so
-    * the whole pipeline is value-oracled like s14 rather than
-    * recall-tested like s02. Codebooks embed into the DuckDB oracle as
-    * VALUES literals at dump time (the s07 oracleFn pattern). */
-  /** s17's geometry: 8 subspaces × 16 codes (4-bit codes over 8-dim
-    * subvectors) and a 100-candidate coarse boundary — sized on the
-    * harness corpus for ≥0.7 recall@10 (PqSpec measures it); production
-    * would widen k to 256 (byte codes). Shared engine/oracle constants
-    * in the s14 sense: they are the OPERATOR'S parameters, not candidate
-    * sets — the oracle re-derives every code and candidate from them
-    * independently. */
+  /** s17's geometry — trained product-quantization codebooks over the
+    * s07 bounded sample: PqM=8 subspaces × PqK=16 codes (4-bit codes
+    * over 8-dim subvectors) and a PqCoarseK=100-candidate coarse
+    * boundary — sized on the harness corpus for ≥0.7 recall@10 (PqSpec
+    * measures it); production would widen k to 256 (byte codes). The
+    * 100 TB shape lives in [[Similarity.pqTopK]]: the persisted
+    * structure is m CODES per vector (m bytes — far smaller than the
+    * float column, which the integer-ADC coarse scan never reads), and
+    * the candidate boundary is pure integer arithmetic, so the whole
+    * pipeline is value-oracled like s14 rather than recall-tested like
+    * s02. Shared engine/oracle constants in the s14 sense: they are the
+    * OPERATOR'S parameters, not candidate sets — the oracle re-derives
+    * every code and candidate from them independently, embedding the
+    * trained codebooks as VALUES literals at dump time (the s07
+    * oracleFn pattern). */
   val PqM = 8
   val PqK = 16
   val PqCoarseK = 100
@@ -382,8 +389,19 @@ object SimilarityQueries {
     * query actually trained (seeded fallback only if s17 never ran in
     * this JVM). */
   private def annPqOracle: String = {
-    val cbs = lastPQ.getOrElse(
-      Array.tabulate(PqM)(s => Similarity.hyperplanes(PqK, 64 / PqM, 13L + s)))
+    val cbs = lastPQ.getOrElse {
+      // loud, not silent (r15 advice): a dump that never ran s17 in this
+      // JVM embeds SEEDED codebooks, and the resulting verify failure
+      // reads as an inscrutable numeric diff instead of what it is — a
+      // dump-ordering bug. Verify.scala runs every query before dumping
+      // oracles, so this path firing outside ad-hoc tooling IS the bug.
+      System.err.println(
+        "[graft] WARNING: annPqOracle dumped with UNTRAINED (seeded) PQ " +
+          "codebooks — s17_ann_pq never ran in this JVM; the oracle will " +
+          "NOT match a run that trains on real data. Run the query before " +
+          "dumping its oracle.")
+      Array.tabulate(PqM)(s => Similarity.hyperplanes(PqK, 64 / PqM, 13L + s))
+    }
     val qcb = Similarity.quantizePQ(cbs)
     val sub = cbs(0)(0).length
     val rows = for { s <- cbs.indices; code <- cbs(s).indices }
@@ -455,16 +473,33 @@ object SimilarityQueries {
     * denominator joins per-asset frame counts back by id. Identical
     * frames WITHIN a video collapse at the distinct, so a
     * boilerplate-heavy video cannot quadratically inflate its own
-    * pairs. */
+    * pairs; and candidate pairs come only from frames whose CORPUS
+    * document frequency is ≤ [[VideoMaxFrameDf]] (the t31 two-phase
+    * shape: the df cap is a performance gate on candidate generation —
+    * a fingerprint shared by F assets would otherwise emit O(F²) join
+    * pairs, and black frames / boilerplate intros are exactly such hot
+    * keys at corpus scale — while the exact verify join recomputes
+    * n_shared over ALL frames, ubiquitous ones included, so a
+    * surfaced pair's containment score is unchanged). The one
+    * semantic delta, documented: a pair whose EVERY shared frame is
+    * ubiquitous (> cap assets) is not surfaced — such frames carry no
+    * dedup signal (they don't distinguish a re-encode from two
+    * unrelated videos with the same intro slate). */
   def videoNearDup(spark: SparkSession, sfDir: String): DataFrame =
     videoLayout(scan(spark, sfDir, "documents"),
       frameLen = 32, threshold = 0.8)
 
+  /** Ubiquity cap for s18 candidate generation: a frame fingerprint
+    * held by more than this many assets is boilerplate, not signal.
+    * Shared engine/oracle constant (the s14 sense — an operator
+    * parameter both sides apply independently). */
+  val VideoMaxFrameDf = 50
+
   /** The containment core behind [[videoNearDup]], public for specs:
     * input (doc_id, text), output (id_a, id_b, n_shared, overlap). */
-  def videoLayout(docs: DataFrame, frameLen: Int,
-                  threshold: Double): DataFrame = {
-    require(frameLen >= 1 && threshold > 0 && threshold <= 1)
+  def videoLayout(docs: DataFrame, frameLen: Int, threshold: Double,
+                  maxFrameDf: Int = VideoMaxFrameDf): DataFrame = {
+    require(frameLen >= 1 && threshold > 0 && threshold <= 1 && maxFrameDf >= 1)
     val base = docs.select(col("doc_id").as("asset_id"),
       col("text").as("payload"))
     val trimmed = docs.where(pmod(col("doc_id"), lit(10)) === 3)
@@ -492,9 +527,26 @@ object SimilarityQueries {
       .distinct()
     val counts = frames.groupBy(col("asset_id"))
       .agg(count(lit(1)).as("nfr"))
-    val shared = frames.select(col("asset_id").as("id_a"), col("fh"))
-      .join(frames.select(col("asset_id").as("id_b"), col("fh")), Seq("fh"))
+    // candidate gate: only non-ubiquitous fingerprints (df ≤ cap) pair
+    // assets — the hot-key O(df²) blowup dies here, before any pair
+    // exists. One extra exchange on fh (the dfreq agg reuses the frame
+    // shuffle's key), nothing wider than (asset_id, fh) moves.
+    val rareFh = frames.groupBy(col("fh"))
+      .agg(count(lit(1)).as("fdf"))
+      .where(col("fdf") <= maxFrameDf)
+      .select(col("fh"))
+    val rare = frames.join(rareFh, Seq("fh"))
+    val cand = rare.select(col("asset_id").as("id_a"), col("fh"))
+      .join(rare.select(col("asset_id").as("id_b"), col("fh")), Seq("fh"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact verify over ALL frames (ubiquitous included) for candidate
+    // pairs only — the cap gates performance, not the containment count
+    val shared = cand
+      .join(frames.select(col("asset_id").as("id_a"), col("fh")), Seq("id_a"))
+      .join(frames.select(col("asset_id").as("id_b"), col("fh")),
+        Seq("id_b", "fh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
@@ -509,8 +561,11 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("overlap"))
   }
 
-  private val videoNearDupOracle =
-    """WITH assets AS (
+  private def videoNearDupOracle =
+    s"""-- df-capped candidates (fdf <= $VideoMaxFrameDf), exact verify
+       |-- over all frames: the engine's two-phase shape, mirrored
+       |""".stripMargin +
+    s"""WITH assets AS (
       |  SELECT doc_id AS asset_id, text AS payload FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000, substring(text, 1, greatest(length(text) - 80, 0))
@@ -529,9 +584,17 @@ object SimilarityQueries {
       |         substr(sha256(substring(payload, fno * 32 + 1, 32)), 1, 16) AS fh
       |  FROM fx),
       |cnt AS (SELECT asset_id, count(*) AS nfr FROM fr GROUP BY 1),
+      |rarefh AS (SELECT fh FROM fr GROUP BY fh
+      |           HAVING count(*) <= $VideoMaxFrameDf),
+      |rare AS (SELECT fr.asset_id, fr.fh FROM fr JOIN rarefh USING (fh)),
+      |cand AS (
+      |  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+      |  FROM rare a JOIN rare b ON a.fh = b.fh AND a.asset_id < b.asset_id),
       |sh AS (
-      |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, count(*) AS n_shared
-      |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.asset_id < b.asset_id
+      |  SELECT c.id_a, c.id_b, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN fr a ON a.asset_id = c.id_a
+      |  JOIN fr b ON b.asset_id = c.id_b AND b.fh = a.fh
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b, n_shared,
       |       CAST(CAST(CAST(n_shared AS DOUBLE) / least(ca.nfr, cb.nfr)

@@ -42,6 +42,39 @@ class VideoNearDupSpec extends SparkSpec {
     assert(SimilarityQueries.videoLayout(docs, 32, 0.8).count() == 0L)
   }
 
+  test("ubiquitous-frame cap: a boilerplate frame shared by more than " +
+    "maxFrameDf videos generates NO candidate pairs, while a surfaced " +
+    "pair's exact n_shared still counts it") {
+    import spark.implicits._
+    // ids avoid %10∈{3,6} so the in-query planted copies stay out of the way
+    val boiler = blk('i') // shared by all 6 videos → df 6 > cap 3
+    val docs = Seq(
+      21L -> (boiler + blk('a') + blk('b') + blk('c')),
+      22L -> (boiler + blk('a') + blk('b') + blk('c')), // exact copy of 21
+      24L -> (boiler + blk('d') + blk('e') + blk('f')),
+      25L -> (boiler + blk('g') + blk('h') + blk('j')),
+      27L -> (boiler + blk('k') + blk('l') + blk('m')),
+      28L -> (boiler + blk('n') + blk('o') + blk('q'))
+    ).toDF("doc_id", "text")
+    val got = SimilarityQueries
+      .videoLayout(docs, 32, 0.8, maxFrameDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the copy pair survives (found via its rare frames a,b,c) and its
+    // containment count INCLUDES the capped boilerplate frame: 4/4 shared,
+    // not 3/4 — the cap gates candidate generation, never the verify count.
+    // The 14 boilerplate-only pairs (each would share 1/4 = 0.25) never
+    // even become candidates.
+    assert(got == Set((21L, 22L, 4L, 1.0)), s"got $got")
+    // and on this corpus the capped run agrees with the uncapped default —
+    // boilerplate-only pairs were below threshold anyway; the cap's delta
+    // is candidate VOLUME, which is what kills the O(df²) hot key at scale
+    val dflt = SimilarityQueries.videoLayout(docs, 32, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(dflt == got, s"default-cap run diverged: $dflt")
+  }
+
   test("repeated frames within one video collapse at the distinct " +
     "(a boilerplate-heavy video cannot inflate containment)") {
     import spark.implicits._
