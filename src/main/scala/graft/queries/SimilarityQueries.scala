@@ -451,6 +451,139 @@ object SimilarityQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** s19 — composed IVF-PQ ANN (VERDICT r15 missing-capability #2):
+    * s07's trained coarse cells and s17's PQ codes in their canonical
+    * composition — PQ codebooks trained on RESIDUALS `v − c(v)` within
+    * cells, queries probing nprobe cells and integer-ADC-scoring only
+    * those cells' codes, exact rerank last. The centroid training is
+    * SHARED with s07 (same memo, same bounded collect); the residual
+    * codebooks add one more k-means over the same sample. Both trained
+    * structures embed into the DuckDB oracle as VALUES at dump time.
+    * IvfPqSpec measures recall@10 against brute-force cosine. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = scan(spark, sfDir, "embeddings")
+    val (cents, cbs) = trainedIvfPq(spark, sfDir)
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < 5), emb, cents, cbs,
+      k = 10, nprobe = 2, coarseK = PqCoarseK)
+  }
+
+  private val ivfPqCache = new scala.collection.concurrent.TrieMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+  @volatile private var lastIvfPq:
+      Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
+  private def trainedIvfPq(spark: SparkSession, sfDir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val pair = ivfPqCache.getOrElseUpdate(sfDir, {
+      val cents = trainedCentroids(spark, sfDir) // s07's memo, shared
+      val cbs = Similarity.trainResidualPQ(
+        scan(spark, sfDir, "embeddings"), cents, m = PqM, k = PqK)
+      (cents, cbs)
+    })
+    lastIvfPq = Some(pair)
+    pair
+  }
+
+  /** DuckDB twin of ivfPqTopK — the s07 assignment/probe SQL composed
+    * with the s17 subspace-argmin/integer-ADC SQL, on residuals. The
+    * coarse score carries qnorm2 (it varies per probed cell — see the
+    * ivfPqTopK scaladoc), every dot product CASTs to BIGINT under the
+    * s17 exactness bound, and ties break (coarse, neighbor_id) /
+    * (sim DESC, neighbor_id). Dumping before s19 ran fails fast (r15
+    * advice: loud beats a confusing numeric diff). */
+  private def annIvfPqOracle: String = {
+    val (cents, cbs) = lastIvfPq.getOrElse(throw new IllegalStateException(
+      "s19 oracle dumped before s19_ann_ivfpq ran in this JVM — run the " +
+        "query first (Verify does; ad-hoc dumps must too)"))
+    val qcb = Similarity.quantizePQ(cbs)
+    val sub = cbs(0)(0).length
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${vecLit(c)})" }
+    val cbRows = for { s <- cbs.indices; code <- cbs(s).indices }
+      yield s"($s, $code, ${vecLit(cbs(s)(code))}, ${intLit(qcb(s)(code))})"
+    val subspaces = cbs.indices.map(s => s"($s)").mkString(", ")
+    s"""WITH cents(cell, c) AS (VALUES
+       |  ${centRows.mkString(",\n  ")}),
+       |cb(s, code, c, qc) AS (VALUES
+       |  ${cbRows.mkString(",\n  ")}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |adist AS (
+       |  SELECT e.vec_id, ct.cell, list_distance(e.v, ct.c) AS dist
+       |  FROM e, cents ct),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM adist) WHERE rn = 1),
+       |resid AS (
+       |  SELECT e.vec_id, a.cell,
+       |         list_transform(range(1, len(e.v)+1),
+       |           i -> e.v[CAST(i AS INT)] - ct.c[CAST(i AS INT)]) AS r
+       |  FROM e JOIN assign a USING (vec_id)
+       |  JOIN cents ct ON ct.cell = a.cell),
+       |sub AS (
+       |  SELECT vec_id, s, r[s*$sub+1:(s+1)*$sub] AS sv
+       |  FROM resid, (VALUES $subspaces) ss(s)),
+       |passign AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.code,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |                              ORDER BY list_distance(sub.sv, cb.c),
+       |                                       cb.code) AS rn
+       |    FROM sub JOIN cb USING (s)) WHERE rn = 1),
+       |recon AS (
+       |  SELECT a.vec_id, flatten(list(cb.qc ORDER BY a.s)) AS rr
+       |  FROM passign a JOIN cb ON cb.s = a.s AND cb.code = a.code
+       |  GROUP BY a.vec_id),
+       |enc AS (
+       |  SELECT r.vec_id AS neighbor_id, a.cell, rr,
+       |         CAST(list_dot_product(rr, rr) AS BIGINT) AS rnorm2
+       |  FROM recon r JOIN assign a ON a.vec_id = r.vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |qp AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, ct.cell,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY list_distance(q.qv, ct.c),
+       |                                       ct.cell) AS rn
+       |    FROM q, cents ct) WHERE rn <= 2),
+       |qn AS (
+       |  SELECT qp.query_id, qp.cell, qq,
+       |         CAST(list_dot_product(qq, qq) AS BIGINT) AS qnorm2
+       |  FROM (SELECT qp.query_id, qp.cell,
+       |               list_transform(
+       |                 list_transform(range(1, len(q.qv)+1),
+       |                   i -> q.qv[CAST(i AS INT)] - ct.c[CAST(i AS INT)]),
+       |                 x -> greatest(-127,
+       |                   least(127, CAST(floor(x*64) AS INT)))) AS qq
+       |        FROM qp JOIN q USING (query_id)
+       |        JOIN cents ct ON ct.cell = qp.cell) qp),
+       |coarse AS (
+       |  SELECT qn.query_id, enc.neighbor_id,
+       |         qn.qnorm2
+       |         - 2*CAST(list_dot_product(qn.qq, enc.rr) AS BIGINT)
+       |         + enc.rnorm2 AS coarse
+       |  FROM enc JOIN qn ON qn.cell = enc.cell
+       |  WHERE enc.neighbor_id <> qn.query_id),
+       |cr AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY coarse, neighbor_id) AS crank
+       |       FROM coarse),
+       |cand AS (SELECT query_id, neighbor_id FROM cr WHERE crank <= $PqCoarseK),
+       |rer AS (SELECT c.query_id, c.neighbor_id,
+       |               list_cosine_similarity(q.qv, e.v) AS sim
+       |        FROM cand c
+       |        JOIN q ON q.query_id = c.query_id
+       |        JOIN e ON e.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM rer)
+       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** s18 — video-level near-dup via keyframe-fingerprint containment
     * (the video twin of s16's image dedup, the shape real pipelines use
     * for re-encode detection): each video's payload is cut into
@@ -1079,5 +1212,7 @@ object SimilarityQueries {
     NamedQuery("s17_ann_pq", annPq, None,
       oracleFn = Some(() => annPqOracle)),
     NamedQuery("s18_video_neardup", videoNearDup, Some(videoNearDupOracle)),
+    NamedQuery("s19_ann_ivfpq", annIvfPq, None,
+      oracleFn = Some(() => annIvfPqOracle)),
   )
 }

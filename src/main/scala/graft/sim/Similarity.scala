@@ -528,6 +528,122 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Residual PQ codebooks for the composed IVF-PQ layout (Jégou et al.
+    * 2011 §IV: quantize `v − c(v)`, not `v` — residuals within a cell
+    * have far less variance than raw vectors, so the same code budget
+    * yields finer cells). Same bounded deterministic sample, same
+    * per-subspace k-means as [[trainPQ]]; the cell assignment uses the
+    * strict-`<` first-wins argmin [[graft.functions.IvfCell]] applies,
+    * so the driver-side residuals match what the distributed encode
+    * computes for the same vectors. One collect trains everything. */
+  def trainResidualPQ(corpus: DataFrame, centroids: Array[Array[Double]],
+                      m: Int = 4, k: Int = 16,
+                      maxSample: Int = 1024, iters: Int = 5,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      sampleMod: Int = 4): Array[Array[Array[Double]]] = {
+    val sample = boundedSample(corpus, maxSample, idCol, vecCol, sampleMod)
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainResidualPQ: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val residuals = sample.map { v =>
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c } // strict <: first minimum wins
+        c += 1
+      }
+      Array.tabulate(dim)(i => v(i) - centroids(best)(i))
+    }
+    Array.tabulate(m) { s =>
+      kmeans(residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)), k, iters)
+    }
+  }
+
+  /** Composed IVF-PQ top-k — the canonical billion-vector ANN layout
+    * (FAISS `IVFx,PQy`): coarse IVF cells bound WHICH vectors a query
+    * scores, residual-PQ codes bound WHAT the scoring reads.
+    *
+    *   1. Corpus: assign cell (IvfCell argmin), residual `v − c(cell)`
+    *      (exact double subtraction), PQ-encode the residual per
+    *      subspace, reconstruct on the SQ8 integer grid, precompute
+    *      `rnorm2`. All narrow, zero shuffle; the persisted structure is
+    *      (cell, m codes) per vector.
+    *   2. Query: probe `nprobe` nearest cells (IvfCells), form the
+    *      PER-CELL quantized residual query `qq = sq8(q − c(cell))` and
+    *      its `qnorm2`. The candidate join is enc ⋈ broadcast(probes) ON
+    *      cell — a query touches |corpus|·nprobe/|cells| rows, and the
+    *      coarse score `qnorm2 − 2·int_dot(qq, recon) + rnorm2` is the
+    *      FULL squared distance `‖qq − recon‖²` in pure integer
+    *      arithmetic: unlike [[pqTopK]]'s fixed-query form, `‖qq‖²`
+    *      varies per probed cell, so it must ride the score for the
+    *      cross-cell ranking to be well-ordered — and bit-stable, which
+    *      keeps the candidate boundary value-oracled (the s14/s17 rule).
+    *   3. Exact float-cosine rerank of the coarseK survivors, ties by
+    *      neighbor_id throughout. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                k: Int, nprobe: Int = 2, coarseK: Int = 50,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    graft.functions.FloatCosine.register(queries.sparkSession)
+    graft.functions.IntDot.register(queries.sparkSession)
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val qcb = quantizePQ(codebooks)
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .withColumn("r", zip_with(col("v"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+    val codeCols = (0 until m).map { s =>
+      exprCol(graft.functions.IvfCell(
+        colExpr(slice(col("r"), s * sub + 1, sub)), codebooks(s))).as(s"c$s")
+    }
+    val recon = concat((0 until m).map { s =>
+      element_at(typedlit(qcb(s).map(_.toSeq).toSeq), col(s"c$s") + 1)
+    }: _*)
+    val enc = assigned
+      .select(Seq(col(idCol).as("neighbor_id"), col("cell")) ++ codeCols: _*)
+      .withColumn("recon", recon)
+      .withColumn("rnorm2", expr("int_dot(recon, recon)"))
+      .select(col("neighbor_id"), col("cell"), col("recon"), col("rnorm2"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      asDouble(col(vecCol)).as("qd"))
+    val qProbes = q0
+      .select(col("query_id"), col("qd"),
+        explode(exprCol(graft.functions.IvfCells(
+          colExpr(col("qd")), centroids, nprobe))).as("cell"))
+      .withColumn("qr", zip_with(col("qd"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .withColumn("qq", quantize8(col("qr")))
+      .withColumn("qnorm2", expr("int_dot(qq, qq)"))
+      .select(col("query_id"), col("cell"), col("qq"), col("qnorm2"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse"), col("neighbor_id"))
+    val cand = enc.join(broadcast(qProbes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qnorm2") - lit(2L) * expr("int_dot(qq, recon)")
+          + col("rnorm2")).as("coarse"))
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val fetch = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    fetch.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q0.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("sim", expr("float_cosine(qv, cv)"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (tiny, broadcast). Centroids would come from a
     * sample-and-kmeans step in production; any fixed centroid set works

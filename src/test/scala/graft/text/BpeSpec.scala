@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.Bpe
+import graft.queries.TextQueries
+
+/** Trained-BPE tokenizer (t37): train determinism, the hand-worked apply
+  * fixpoint, and engine-vs-reference-impl parity through the registered
+  * codegen expression. */
+class BpeSpec extends SparkSpec {
+
+  test("apply: leftmost lowest-rank merge per step, to fixpoint") {
+    val ranks = Bpe.toRanks(Seq("h" -> "e", "l" -> "l", "he" -> "ll"))
+    // hello = h e l l o</w> -> he l l -> he ll -> hell ; o</w> remains
+    assert(Bpe.countTokens("hello", ranks) == 2)
+    // he = h e</w>: ("h","e") does NOT apply to the fused final symbol
+    assert(Bpe.countTokens("he", ranks) == 2)
+    // single char is already one fused token; empty is zero
+    assert(Bpe.countTokens("x", ranks) == 1)
+    assert(Bpe.countTokens("", ranks) == 0)
+    // llll = l l l l</w> -> ll l l</w>; neither (ll,l) nor (l,l</w>) is
+    // trained, so the fixpoint is [ll, l, l</w>]
+    assert(Bpe.countTokens("llll", Bpe.toRanks(Seq("l" -> "l"))) == 3)
+  }
+
+  test("apply on repeated symbols merges leftmost-first, stepwise") {
+    // aaaa = a a a a</w>; merge ("a","a"): -> aa a a</w> -> aa aa? no —
+    // second pair is (a, a</w>) which is NOT in the table -> aa a a</w>
+    // then (aa, a)? not in table either. Fixpoint: [aa, a, a</w>] = 3
+    val ranks = Bpe.toRanks(Seq("a" -> "a"))
+    assert(Bpe.countTokens("aaaa", ranks) == 3)
+    // with the fused-tail merge too, the tail collapses further:
+    // a a a a</w> -> aa a a</w> -> aa a a</w> ... ("a","a</w>") rank 1:
+    // -> aa aa</w> -> fixpoint ("aa","aa</w>") untrained -> 2
+    val ranks2 = Bpe.toRanks(Seq("a" -> "a", "a" -> "a</w>"))
+    assert(Bpe.countTokens("aaaa", ranks2) == 2)
+  }
+
+  test("train: deterministic, and learns the dominant pair first") {
+    val corpus = Seq("aa aa aa bc", "aa bc bc")
+    val m1 = Bpe.train(corpus, 10)
+    val m2 = Bpe.train(corpus, 10)
+    assert(m1 == m2, "training must be deterministic")
+    // 'aa' occurs 4x as (a, a</w>); 'bc' 3x as (b, c</w>) — the most
+    // frequent adjacent pair trains first
+    assert(m1.head == ("a" -> "a</w>"), s"got $m1")
+    assert(m1.contains("b" -> "c</w>"))
+    val ranks = Bpe.toRanks(m1)
+    assert(Bpe.countTokens("aa", ranks) == 1)
+    assert(Bpe.countTokens("bc", ranks) == 1)
+  }
+
+  test("train ignores singleton pairs (no generalizable signal)") {
+    // every word unique, every pair count 1 -> empty merge table
+    assert(Bpe.train(Seq("xy zq"), 10).isEmpty)
+  }
+
+  test("engine layout matches the reference impl word-for-word, and " +
+    "compresses below character count") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "the cat and the hat and the bat",
+      2L -> "the the the and and cat",
+      3L -> "Hatter's hat, and THE cat!",
+      4L -> "")
+    val docs = texts.toDF("doc_id", "text")
+    val merges = Bpe.train(texts.map(_._2), 50)
+    assert(merges.nonEmpty)
+    val ranks = Bpe.toRanks(merges)
+    val want = texts.map { case (id, t) =>
+      val ws = Bpe.pretokenize(t)
+      (id, ws.size.toLong,
+        ws.map(w => Bpe.countTokens(w, ranks).toLong).sum)
+    }.filter(_._2 > 0).toSet
+    val got = TextQueries.bpeLayout(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got $got want $want")
+    // trained units compress: strictly fewer tokens than characters for
+    // the repetitive docs (the point of training)
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) < texts.head._2.count(_ != ' '),
+      s"no compression: ${byId(1L)}")
+  }
+}
