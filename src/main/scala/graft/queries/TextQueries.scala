@@ -2065,7 +2065,13 @@ object TextQueries {
     * Pair generation reuses the s18 two-phase form: candidates only
     * from prints with corpus df ≤ cap (a print shared by F docs is
     * boilerplate and would emit O(F²) pairs), exact n_shared recomputed
-    * over ALL prints for candidate pairs. */
+    * over ALL prints for candidate pairs. The cap's contract is
+    * pruning, not suppression: a pair whose every shared print is
+    * ubiquitous is not guaranteed to surface — though edge windows
+    * (boilerplate grams winnowed against doc-specific neighbors) give
+    * some boilerplate-bearing pairs doc-dependent rare prints that
+    * legitimately survive (WinnowSpec pins the subset/pruning/
+    * exact-count algebra). */
   def winnowSubstringDedup(spark: SparkSession, sfDir: String): DataFrame =
     winnowLayout(scan(spark, sfDir, "documents"),
       gramLen = WinnowGram, window = WinnowWindow)
@@ -2210,5 +2216,7 @@ object TextQueries {
       Some(dsirSelectionOracle)),
     NamedQuery("t37_bpe_token_count", bpeTokenCount, None,
       oracleFn = Some(() => bpeTokenCountOracle)),
+    NamedQuery("t38_winnow_substring_dedup", winnowSubstringDedup,
+      Some(winnowSubstringDedupOracle)),
   )
 }

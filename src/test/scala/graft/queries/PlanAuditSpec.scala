@@ -586,4 +586,78 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2,
       "partial+final aggregation expected")
   }
+
+  test("BPE token count t37: scalar apply — NO join anywhere; document " +
+    "text never rides a shuffle; map-side combine on both aggs") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = Registry.queries("t37_bpe_token_count")(spark, sf)
+      .queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val s = root.toString
+    // the merge table rides the task closure inside bpe_count — a
+    // vocab-join formulation would show a join here
+    assert(!s.contains("Join"), s"t37 must be join-free:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      "partial+final pairs for both the (doc,word) and doc aggregates")
+    root.collect { case e: Exchange => e }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text rode a shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
+
+  test("winnow dedup t38: prints stream from the scan (explode of the " +
+    "one-pass expression, no stride-1 row blowup, no WindowExec); " +
+    "text never rides a shuffle; candidates from equi-joins only") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = Registry.queries("t38_winnow_substring_dedup")(spark, sf)
+      .queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val s = root.toString
+    assert(s.contains("winnow_prints"),
+      s"the native one-pass expression must be in the plan:\n$s")
+    assert(!s.contains("Window"),
+      s"the sliding min lives INSIDE the expression, not a WindowExec:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"t38 candidates must come from the fingerprint equi-join:\n$s")
+    root.collect { case e: Exchange => e }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text rode a shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
+
+  test("IVF-PQ s19: probes and candidates broadcast; no cartesian; the " +
+    "float embedding column never rides a shuffle") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val qe = Registry.queries("s19_ann_ivfpq")(spark, sf).queryExecution
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val s = root.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"s19 must join on cell / id equi-keys:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3,
+      s"probe, candidate and query-fetch joins all broadcast:\n$s")
+    // the corpus encode path is narrow: any SHUFFLE carries codes /
+    // coarse scores / ids, never the float vectors (broadcasts of the
+    // bounded query side legitimately carry qv — that's the point of
+    // broadcasting it)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    root.collect { case e: ShuffleExchangeLike => e }.foreach { e =>
+      assert(!e.output.exists(a => a.name == "v" || a.name == "qv" ||
+          a.name == "cv" || a.name == "embedding"),
+        s"float vectors rode a shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
 }
