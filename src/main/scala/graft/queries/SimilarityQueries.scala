@@ -644,7 +644,11 @@ object SimilarityQueries {
         expr("substring(text, 1, CAST(length(text) / 2 AS INT)) || " +
           "upper(substring(text, CAST(length(text) / 2 AS INT) + 1))")
           .as("payload"))
+    // explicit non-null key below the shared frame exchange (see the
+    // t38 twin): joins on id_a/id_b would infer isnotnull(asset_id) on
+    // their branches only, breaking sameResult for ReuseExchange
     val assets = base.unionAll(trimmed).unionAll(halfMod)
+      .where(col("asset_id").isNotNull)
     // complete frames only: frame f covers chars [f*len+1, (f+1)*len];
     // a payload shorter than one frame gets an EMPTY array (sequence
     // with start > stop would generate a DESCENDING one) and drops at
@@ -658,14 +662,26 @@ object SimilarityQueries {
         substring(sha2(expr(s"substring(payload, fno * $frameLen + 1, " +
           s"$frameLen)"), 256), 1, 16).as("fh"))
       .distinct()
+      // fingerprint ONCE (the s16 ReuseExchange idiom): five consumers
+      // (per-asset counts, df agg, rare join, both exact-verify joins)
+      // hang off `frames` — a common fh-keyed Exchange lets
+      // ReuseExchange materialize the explode+sha2 pass once instead of
+      // once per consumer (the r16 cap fix had doubled s18's measured
+      // cost by adding consumers; see BASELINE round-16)
+      .repartition(col("fh"))
+    // count(fh)/count(asset_id), not count(*) — the t36 trick: each agg
+    // references the column its groupBy does NOT, so column pruning
+    // cannot shrink the distinct's output below (asset_id, fh) on any
+    // branch and every consumer stays sameResult on the ONE fh-keyed
+    // Exchange (both columns are non-null: counts are equal)
     val counts = frames.groupBy(col("asset_id"))
-      .agg(count(lit(1)).as("nfr"))
+      .agg(count(col("fh")).as("nfr"))
     // candidate gate: only non-ubiquitous fingerprints (df ≤ cap) pair
     // assets — the hot-key O(df²) blowup dies here, before any pair
     // exists. One extra exchange on fh (the dfreq agg reuses the frame
     // shuffle's key), nothing wider than (asset_id, fh) moves.
     val rareFh = frames.groupBy(col("fh"))
-      .agg(count(lit(1)).as("fdf"))
+      .agg(count(col("asset_id")).as("fdf"))
       .where(col("fdf") <= maxFrameDf)
       .select(col("fh"))
     val rare = frames.join(rareFh, Seq("fh"))

@@ -2095,10 +2095,29 @@ object TextQueries {
         concat(expr("repeat('z', 37)"),
           expr("substring(text, 101, 100000)")).as("text"))
     val prints = base.unionAll(planted)
+      // explicit non-null key BELOW the shared exchange: the verify
+      // joins would otherwise INFER isnotnull(doc_id) and push it down
+      // only on their own branches, breaking sameResult with the
+      // candidate branches (doc_id is never null; this is a no-op
+      // filter that pins one identical subtree for all consumers)
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(expr("winnow_prints(text)")).as("fp"))
+      // fingerprint ONCE (the s16 ReuseExchange idiom): four consumers
+      // (df agg, rare join, both exact-verify joins) hang off this plan
+      // — without a common Exchange each would re-run the O(n·L) md5
+      // pass over the full corpus; ending them all at an identical
+      // fp-keyed Exchange lets ReuseExchange materialize it once (the
+      // df agg and candidate join consume the partitioning directly;
+      // the verify joins re-key the small print stream). Measured 4.5 s
+      // → see BASELINE round-16.
+      .repartition(col("fp"))
     // prints are already distinct per doc (the expression returns a set)
+    // count(doc_id), not count(*) — the t36 trick: keeps the agg
+    // subtree's input columns identical to the join sides' (doc_id, fp)
+    // so every consumer stays sameResult on the ONE fp-keyed Exchange
+    // (doc_id is the non-null key: the counts are equal)
     val rareFp = prints.groupBy(col("fp"))
-      .agg(count(lit(1)).as("fdf"))
+      .agg(count(col("doc_id")).as("fdf"))
       .where(col("fdf") <= maxDf)
       .select(col("fp"))
     val rare = prints.join(rareFp, Seq("fp"))

@@ -216,6 +216,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!e.output.exists(_.name == "payload"),
         s"payload rode a shuffle: ${e.output.map(_.name).mkString(",")}")
     }
+    // the frame build must materialize ONCE for all five consumers —
+    // AQE's stage cache dedupes the identical fh-keyed Exchanges AT
+    // RUNTIME (the s16 pin's protocol: execute, then read the final plan)
+    val df = Registry.queries("s18_video_neardup")(spark, sf)
+    df.collect()
+    val finalStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalStr.contains("ReusedExchange"),
+      s"the frame build must run once, reused across consumers:\n$finalStr")
   }
 
   test("bloom contamination t31: sketch-gated before ANY exchange; " +
@@ -632,6 +641,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!e.output.exists(_.name == "text"),
         s"text rode a shuffle: ${e.output.map(_.name).mkString(",")}")
     }
+    // the fingerprint pass must materialize ONCE for all four consumers
+    // — AQE's stage cache dedupes the identical fp-keyed Exchanges AT
+    // RUNTIME (the s16 pin's protocol: execute, then read the final plan)
+    val df = Registry.queries("t38_winnow_substring_dedup")(spark, sf)
+    df.collect()
+    val finalStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalStr.contains("ReusedExchange"),
+      s"winnow_prints must run once, reused across all consumers:\n$finalStr")
   }
 
   test("IVF-PQ s19: probes and candidates broadcast; no cartesian; the " +
