@@ -384,7 +384,7 @@ object SimilarityQueries {
     * reconstruction, same `rnorm2 − 2·dot` coarse score (every product
     * ≤ 127² and every 64-term partial sum < 2^24, so even a float32
     * accumulation of list_dot_product is EXACT — the ranking is
-    * bit-stable), same crank ≤ 50 boundary and exact-cosine rerank with
+    * bit-stable), same crank ≤ PqCoarseK boundary and exact-cosine rerank with
     * neighbor_id tie-breaks. Built at dump time from the codebooks the
     * query actually trained (seeded fallback only if s17 never ran in
     * this JVM). */
