@@ -68,8 +68,44 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
   }
 }
 
+/** Whole-document trained-BPE token count: pre-tokenize the text and sum
+  * [[BpeCount]]'s per-word fixpoint over every occurrence — the counter
+  * budget operators (t24 packing, t26 mixing) decide in, as ONE codegen
+  * scalar: no explode, no per-word row blowup, text never leaves the
+  * scan-side map. (t37 keeps the per-distinct-word layout because it
+  * REPORTS per-word structure; a budget only needs the sum.) */
+case class BpeDocCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_doc_count requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = Bpe.docName
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDocCount =
+    copy(child = newChild)
+
+  @transient private lazy val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]] =
+    Bpe.toRanks(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countDocTokens(input.asInstanceOf[UTF8String].toString, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, java.util.HashMap<String, Integer>>")
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.Bpe.countDocTokens($input.toString(), $r);")
+  }
+}
+
 object Bpe {
   val name = "bpe_count"
+  val docName = "bpe_doc_count"
 
   /** End-of-word marker fused onto a word's final character at
     * decomposition — never a standalone symbol, so a bare single-char
@@ -183,6 +219,18 @@ object Bpe {
     syms.length
   }
 
+  /** Whole-text sum of per-word fixpoint counts — every OCCURRENCE
+    * counts (a budget is paid per occurrence), words bounded by the same
+    * pre-tokenizer. Empty/word-free text is 0 tokens. */
+  def countDocTokens(text: String,
+                     ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
+      : Int = {
+    var total = 0
+    val it = pretokenize(text).iterator
+    while (it.hasNext) total += countTokens(it.next(), ranks)
+    total
+  }
+
   /** Strict-arity SQL builder bound to a TRAINED merge table (unlike
     * TokenStats' static stopwords, the binding is per-training — callers
     * re-register after training; registerFunction overwrites). */
@@ -192,9 +240,21 @@ object Bpe {
       s"$name(word) takes exactly 1 argument, got ${args.length}")
   }
 
-  /** Per-session registration of `bpe_count` with the given merges. */
-  def register(spark: SparkSession, merges: Seq[(String, String)]): Unit =
+  def docBuilder(merges: Seq[(String, String)]): Seq[Expression] => Expression = {
+    case Seq(a) => BpeDocCount(a, merges)
+    case args => throw new IllegalArgumentException(
+      s"$docName(text) takes exactly 1 argument, got ${args.length}")
+  }
+
+  /** Per-session registration of `bpe_count` + `bpe_doc_count` with the
+    * given merges. */
+  def register(spark: SparkSession, merges: Seq[(String, String)]): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[BpeCount].getName, name), builder(merges))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(docName),
+      new ExpressionInfo(classOf[BpeDocCount].getName, docName),
+      docBuilder(merges))
+  }
 }

@@ -890,14 +890,22 @@ object TextQueries {
     * integer-only arithmetic, so bit-identical on any engine and any
     * partitioning. One shuffle on shard; at 100 TB raise the shard
     * count, the shape is unchanged (packs are shard-local by design —
-    * packers on a real cluster are independent workers). */
-  def sequencePack(spark: SparkSession, sfDir: String): DataFrame =
+    * packers on a real cluster are independent workers).
+    *
+    * Budgets count TRAINED BPE tokens (r16): the `bpe_doc_count` scalar
+    * sums the per-word merge fixpoint over each chunk in the same
+    * codegen'd scan-side map the proxy ran in — no join, no extra
+    * shuffle, the merge table rides the task closure. */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Bpe.register(spark, trainedBpe(spark, sfDir))
     packLayout(
       scan(spark, sfDir, "documents")
         .select(col("doc_id"), posexplode(TextOps.chunkWindows(col("text"))))
         .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
           col("col").as("chunk")),
-      shards = 32, budget = 256)
+      shards = 32, budget = 256,
+      nTok = expr("bpe_doc_count(chunk)"))
+  }
 
   /** The shard-local packing core behind [[sequencePack]], public and
     * shard-count-parameterized so the 100 TB story is PINNED rather than
@@ -912,12 +920,18 @@ object TextQueries {
     * ceil(totalTokens/(budget + maxChunkTokens − 1)), and never exceeds
     * it by more than one partial tail pack per shard).
     * `SequencePackSpec` asserts the identity and both bounds at 32 and
-    * 128 shards. Input: (doc_id, chunk_no, chunk). */
-  def packLayout(chunks: DataFrame, shards: Int, budget: Int): DataFrame = {
+    * 128 shards. Input: (doc_id, chunk_no, chunk). The token counter is
+    * a parameter (layout invariants are counter-independent; specs use
+    * the default proxy, [[sequencePack]] passes the TRAINED `bpe_doc_
+    * count` — r15 verdict: budget decisions are made in real tokenizer
+    * units). */
+  def packLayout(chunks: DataFrame, shards: Int, budget: Int,
+                 nTok: org.apache.spark.sql.Column =
+                   TextOps.bpeishTokenCount(col("chunk"))): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_no"))
     chunks
-      .withColumn("n_tok", TextOps.bpeishTokenCount(col("chunk")))
+      .withColumn("n_tok", nTok)
       .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
       .withColumn("cum_after", sum(col("n_tok")).over(w))
       .select(col("shard"), col("doc_id"), col("chunk_no"), col("n_tok"),
@@ -926,8 +940,14 @@ object TextQueries {
           .as("tok_offset"))
   }
 
-  private val sequencePackOracle =
-    """WITH c AS (
+  /** DuckDB twin of t24 (dump-time: embeds the trained merges): same
+    * chunk layout, per-chunk trained-BPE counts via the shared fixpoint
+    * over the distinct chunk-word vocabulary (a chunk with no words —
+    * all punctuation — counts 0 via the LEFT JOIN), same shard-local
+    * cumulative arithmetic. */
+  private def sequencePackOracle: String =
+    """WITH RECURSIVE @MERGES,
+      |c AS (
       |  SELECT doc_id, text,
       |         unnest(generate_series(1,
       |           CAST(floor((greatest(length(text), 1) - 1) / 150) + 1 AS BIGINT))) AS i
@@ -936,12 +956,23 @@ object TextQueries {
       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_no,
       |         substring(text, CAST(1 + (i - 1) * 150 AS BIGINT), 200) AS chunk
       |  FROM c),
-      |t AS (
+      |cw AS (
       |  SELECT doc_id, chunk_no,
-      |         CAST(len(regexp_extract_all(lower(trim(chunk)),
-      |              '[a-z0-9]{1,4}|[^a-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_tok,
-      |         CAST(doc_id % 32 AS INTEGER) AS shard
+      |         unnest(regexp_split_to_array(lower(chunk), '[^a-z0-9'']+')) AS w
       |  FROM ch),
+      |wcc AS (SELECT doc_id, chunk_no, w, count(*) AS cnt FROM cw
+      |        WHERE w <> '' GROUP BY 1, 2, 3),
+      |v AS (SELECT DISTINCT w FROM wcc),
+      |@FIXPOINT,
+      |tok AS (
+      |  SELECT doc_id, chunk_no,
+      |         CAST(sum(wcc.cnt * d.ntok) AS INTEGER) AS n_tok
+      |  FROM wcc JOIN done d ON d.w = wcc.w GROUP BY 1, 2),
+      |t AS (
+      |  SELECT ch.doc_id, ch.chunk_no,
+      |         CAST(coalesce(tok.n_tok, 0) AS INTEGER) AS n_tok,
+      |         CAST(ch.doc_id % 32 AS INTEGER) AS shard
+      |  FROM ch LEFT JOIN tok USING (doc_id, chunk_no)),
       |s AS (
       |  SELECT shard, doc_id, chunk_no, n_tok,
       |         SUM(n_tok) OVER (PARTITION BY shard
@@ -951,6 +982,8 @@ object TextQueries {
       |       CAST((cum_after - n_tok) // 256 AS INTEGER) AS pack_id,
       |       CAST((cum_after - n_tok) % 256 AS INTEGER) AS tok_offset
       |FROM s""".stripMargin
+      .replace("@MERGES", bpeMergesCte("t24"))
+      .replace("@FIXPOINT", bpeFixpointCtes)
 
   /** Benchmark decontamination — the training-pipeline gate every eval
     * suite demands: drop any corpus document sharing a long character
@@ -1790,16 +1823,21 @@ object TextQueries {
     * t22's rank filter, a running-SUM filter gets no WindowGroupLimit
     * early-out from the planner — the full source partition sorts
     * before the cumsum; the budget bounds the OUTPUT, not the sort.)
-    * Integer-only arithmetic end to end. */
+    * Integer-only arithmetic end to end.
+    *
+    * Budgets count TRAINED BPE tokens (r16): `bpe_doc_count` runs in
+    * the same codegen'd scan-side map the whitespace proxy ran in —
+    * text is dropped before the one source-keyed exchange either way. */
   def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 700L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(pmod(col("doc_id") * 48271, lit(97)), col("doc_id"))
-    graft.functions.TokenStats.register(spark)
+    graft.functions.Bpe.register(spark, trainedBpe(spark, sfDir))
     scan(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
-        expr("token_stats(text).n_tokens").as("n_tok"))
+        coalesce(expr("bpe_doc_count(text)").cast("long"), lit(0L))
+          .as("n_tok"))
       .withColumn("start_tok",
         coalesce(sum(col("n_tok")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
@@ -1808,21 +1846,37 @@ object TextQueries {
       .select(col("source"), col("doc_id"), col("n_tok"), col("start_tok"))
   }
 
-  private val tokenBudgetMixOracle =
-    """SELECT source, doc_id, n_tok, start_tok FROM (
+  /** DuckDB twin of t26 (dump-time: embeds the trained merges): per-doc
+    * trained-BPE counts via the shared fixpoint (word-free docs count 0
+    * via the LEFT JOIN), same per-source cumulative admission. */
+  private def tokenBudgetMixOracle: String =
+    """WITH RECURSIVE @MERGES,
+      |wx AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS w
+      |  FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS cnt FROM wx
+      |       WHERE w <> '' GROUP BY 1, 2),
+      |v AS (SELECT DISTINCT w FROM wc),
+      |@FIXPOINT,
+      |tok AS (
+      |  SELECT doc_id, CAST(sum(wc.cnt * d.ntok) AS BIGINT) AS n_tok
+      |  FROM wc JOIN done d ON d.w = wc.w GROUP BY 1),
+      |nt AS (
+      |  SELECT dd.source, dd.doc_id,
+      |         CAST(coalesce(tok.n_tok, 0) AS BIGINT) AS n_tok
+      |  FROM documents dd LEFT JOIN tok USING (doc_id))
+      |SELECT source, doc_id, n_tok, start_tok FROM (
       |  SELECT source, doc_id, n_tok,
       |         CAST(coalesce(sum(n_tok) OVER (
       |           PARTITION BY source
       |           ORDER BY (doc_id * 48271) % 97, doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |         AS BIGINT) AS start_tok
-      |  FROM (
-      |    SELECT source, doc_id,
-      |           CAST(len(list_filter(
-      |             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
-      |             x -> len(x) > 0)) AS BIGINT) AS n_tok
-      |    FROM documents))
+      |  FROM nt)
       |WHERE start_tok < 700""".stripMargin
+      .replace("@MERGES", bpeMergesCte("t26"))
+      .replace("@FIXPOINT", bpeFixpointCtes)
 
   /** t33 — quality-weighted sample WITHOUT replacement via priority
     * sampling (Duffield, Lund & Thorup, "Priority sampling", JACM 54(6),
@@ -1929,9 +1983,11 @@ object TextQueries {
     * missing-capability #1): a subword BPE merge table trained on a
     * bounded deterministic sample of the corpus (the trainCentroids
     * collect contract), then applied corpus-wide to report per-document
-    * word and BPE-token counts. Every budget operator (t24 packing, t26
-    * mix, t23/t34/t36 LMs) measures in proxy units; this is the real
-    * unit those decisions are made in at production scale.
+    * word and BPE-token counts — the real unit budget decisions are
+    * made in at production scale. The budget operators (t24 packing,
+    * t26 mix) decide in these trained units since r16; the LM scores
+    * (t23/t34/t36) stay word-level by design (their models ARE
+    * word-distribution models).
     *
     * 100 TB shape: training is ONE capped collect; apply is
     * [[graft.functions.BpeCount]] — a whole-stage-codegen scalar whose
@@ -1939,7 +1995,9 @@ object TextQueries {
     * scan-side with NO join and NO extra shuffle. The (doc_id, word)
     * count agg map-side-combines before its one exchange, and the apply
     * runs on those already-collapsed rows — once per distinct word per
-    * doc, not once per occurrence. (At extreme vocab-skew one could go
+    * doc, not once per occurrence. Since r16 the budget operators (t24
+    * packing, t26 mixing) decide in these units too, via the
+    * whole-document `bpe_doc_count` sibling scalar. (At extreme vocab-skew one could go
     * further — distinct-word vocab join — but that trades a second
     * word-keyed shuffle for the dedup, a loss while the expression is
     * this cheap.) The oracle embeds the trained merges as VALUES at dump
@@ -1996,21 +2054,58 @@ object TextQueries {
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** DuckDB twin: same pre-tokenization, same Sennrich decomposition
-    * (`</w>` fused onto the final char), same leftmost-lowest-rank
-    * one-merge-per-step fixpoint — expressed as a recursive CTE over the
-    * DISTINCT vocabulary (symbols never contain spaces, so `'a b'` pair
-    * keys are unambiguous). Built at dump time from the merges the query
-    * actually trained; dumping before the query ran is a dump-ordering
-    * bug and fails fast (r15 advice: loud beats a confusing diff). */
-  private def bpeTokenCountOracle: String = {
+  /** Trained merge table as a VALUES CTE — shared by every trained-BPE
+    * oracle (t24/t26/t37), embedded at dump time from the merges the
+    * queries actually trained (the s07/s17 pattern). Dumping before any
+    * BPE query ran is a dump-ordering bug and fails fast (r15 advice:
+    * loud beats a confusing diff). */
+  private def bpeMergesCte(caller: String): String = {
     val merges = lastBpe.getOrElse(throw new IllegalStateException(
-      "t37 oracle dumped before t37_bpe_token_count ran in this JVM — " +
-        "run the query first (Verify does; ad-hoc dumps must too)"))
+      s"$caller oracle dumped before any trained-BPE query ran in this " +
+        "JVM — run the query first (Verify does; ad-hoc dumps must too)"))
     val rows = merges.zipWithIndex
       .map { case ((a, b), i) => s"(${sqlStr(a + " " + b)}, $i)" }
-    s"""WITH RECURSIVE m(pair, rank) AS (VALUES
-       |  ${rows.mkString(",\n  ")}),
+    s"""m(pair, rank) AS (VALUES
+       |  ${rows.mkString(",\n  ")})""".stripMargin
+  }
+
+  /** The per-word fixpoint as CTE blocks over a caller-supplied vocab
+    * relation `v(w)`: same Sennrich decomposition (`</w>` fused onto the
+    * final char), same leftmost-lowest-rank one-merge-per-step recursion
+    * as the engine (symbols never contain spaces, so `'a b'` pair keys
+    * are unambiguous). Emits `done(w, ntok)`. */
+  private val bpeFixpointCtes: String =
+    """init AS (
+      |  SELECT w, list_transform(range(1, length(w)+1),
+      |           i -> substr(w, CAST(i AS INT), 1)
+      |                || CASE WHEN i = length(w) THEN '</w>' ELSE '' END)
+      |         AS syms
+      |  FROM v),
+      |steps AS (
+      |  SELECT w, syms FROM init
+      |  UNION ALL
+      |  SELECT s.w,
+      |         s.syms[1:b.bi-1] || [s.syms[b.bi] || s.syms[b.bi+1]]
+      |                          || s.syms[b.bi+2:]
+      |  FROM steps s, LATERAL (
+      |    SELECT CAST(i AS INT) AS bi
+      |    FROM unnest(range(1, len(s.syms))) t(i)
+      |    JOIN m ON m.pair = s.syms[CAST(i AS INT)] || ' '
+      |                       || s.syms[CAST(i AS INT)+1]
+      |    ORDER BY m.rank, i LIMIT 1) b),
+      |done AS (
+      |  SELECT w, len(syms) AS ntok FROM steps s
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM unnest(range(1, len(s.syms))) t(i)
+      |    JOIN m ON m.pair = s.syms[CAST(i AS INT)] || ' '
+      |                       || s.syms[CAST(i AS INT)+1]))""".stripMargin
+
+  /** DuckDB twin of t37 — word counts per doc, the shared fixpoint over
+    * the distinct vocabulary, per-doc sums. (Placeholders are substituted
+    * AFTER stripMargin: the fixpoint body contains `||` concat lines an
+    * outer stripMargin would truncate to bitwise `|`.) */
+  private def bpeTokenCountOracle: String =
+    """WITH RECURSIVE @MERGES,
        |wx AS (
        |  SELECT doc_id,
        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS w
@@ -2018,35 +2113,13 @@ object TextQueries {
        |wc AS (SELECT doc_id, w, count(*) AS cnt FROM wx
        |       WHERE w <> '' GROUP BY 1, 2),
        |v AS (SELECT DISTINCT w FROM wc),
-       |init AS (
-       |  SELECT w, list_transform(range(1, length(w)+1),
-       |           i -> substr(w, CAST(i AS INT), 1)
-       |                || CASE WHEN i = length(w) THEN '</w>' ELSE '' END)
-       |         AS syms
-       |  FROM v),
-       |steps AS (
-       |  SELECT w, syms FROM init
-       |  UNION ALL
-       |  SELECT s.w,
-       |         s.syms[1:b.bi-1] || [s.syms[b.bi] || s.syms[b.bi+1]]
-       |                          || s.syms[b.bi+2:]
-       |  FROM steps s, LATERAL (
-       |    SELECT CAST(i AS INT) AS bi
-       |    FROM unnest(range(1, len(s.syms))) t(i)
-       |    JOIN m ON m.pair = s.syms[CAST(i AS INT)] || ' '
-       |                       || s.syms[CAST(i AS INT)+1]
-       |    ORDER BY m.rank, i LIMIT 1) b),
-       |done AS (
-       |  SELECT w, len(syms) AS ntok FROM steps s
-       |  WHERE NOT EXISTS (
-       |    SELECT 1 FROM unnest(range(1, len(s.syms))) t(i)
-       |    JOIN m ON m.pair = s.syms[CAST(i AS INT)] || ' '
-       |                       || s.syms[CAST(i AS INT)+1]))
+       |@FIXPOINT
        |SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_words,
        |       CAST(sum(wc.cnt * d.ntok) AS BIGINT) AS n_bpe_tokens
        |FROM wc JOIN done d ON d.w = wc.w
        |GROUP BY 1""".stripMargin
-  }
+      .replace("@MERGES", bpeMergesCte("t37"))
+      .replace("@FIXPOINT", bpeFixpointCtes)
 
   /** t38 — suffix-granularity substring dedup via winnowed fingerprints
     * (VERDICT r15 missing-capability #3): which document pairs share a
@@ -2205,11 +2278,12 @@ object TextQueries {
     NamedQuery("t22_source_quota", sourceQuota, Some(sourceQuotaOracle)),
     NamedQuery("t23_unigram_logprob", unigramLogprob,
       Some(unigramLogprobOracle)),
-    NamedQuery("t24_sequence_pack", sequencePack, Some(sequencePackOracle)),
+    NamedQuery("t24_sequence_pack", sequencePack, None,
+      oracleFn = Some(() => sequencePackOracle)),
     NamedQuery("t28_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
     NamedQuery("t25_span_dedup", spanDedup, Some(spanDedupOracle)),
-    NamedQuery("t26_token_budget_mix", tokenBudgetMix,
-      Some(tokenBudgetMixOracle)),
+    NamedQuery("t26_token_budget_mix", tokenBudgetMix, None,
+      oracleFn = Some(() => tokenBudgetMixOracle)),
     NamedQuery("t27_incremental_neardup", incrementalNearDup, None,
       oracleFn = Some(() => HashOracles.incrementalNearDupOracle)),
     NamedQuery("t29_fuzzy_neardup", fuzzyNearDup, None,

@@ -81,4 +81,29 @@ class BpeSpec extends SparkSpec {
     assert(byId(1L) < texts.head._2.count(_ != ' '),
       s"no compression: ${byId(1L)}")
   }
+
+  test("bpe_doc_count: whole-text sum of per-word counts through the " +
+    "registered codegen scalar; null -> null, word-free -> 0") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the cat and the hat"),
+      (2L, "Hatter's hat, THE cat!"),
+      (3L, ""),        // no words
+      (4L, "?!... "),  // punctuation only
+      (5L, null))
+    val merges = Bpe.train(texts.map(_._2).filter(_ != null), 50)
+    val ranks = Bpe.toRanks(merges)
+    Bpe.register(spark, merges)
+    val got = texts.toDF("doc_id", "text")
+      .selectExpr("doc_id", "bpe_doc_count(text) AS n")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    texts.foreach { case (id, t) =>
+      val want =
+        if (t == null) None
+        else Some(Bpe.pretokenize(t).map(w => Bpe.countTokens(w, ranks)).sum)
+      assert(got(id) == want, s"doc $id: got ${got(id)} want $want")
+    }
+    assert(got(3L) == Some(0) && got(4L) == Some(0) && got(5L).isEmpty)
+  }
 }
