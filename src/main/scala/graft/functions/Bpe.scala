@@ -103,9 +103,50 @@ case class BpeDocCount(child: Expression, merges: Seq[(String, String)])
   }
 }
 
+/** Full trained-BPE tokenization of one pre-tokenized word to its
+  * deterministic vocabulary-id sequence (see [[Bpe.vocab]]) — the
+  * tokenize-for-export stage every training run ends with, as a codegen
+  * scalar: the merge table AND the id table ride the task closure, so
+  * the whole corpus tokenizes in the scan-side map with zero exchanges
+  * (t39 plan-pins that). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = Bpe.tokensName
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+
+  @transient private lazy val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]] =
+    Bpe.toRanks(merges)
+
+  @transient private lazy val ids: java.util.HashMap[String, Integer] =
+    Bpe.toIds(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.tokenIds(input.asInstanceOf[UTF8String].toString, ranks, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, java.util.HashMap<String, Integer>>")
+    val v = ctx.addReferenceObj("bpeIds", ids,
+      "java.util.HashMap<String, Integer>")
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.Bpe.tokenIds($input.toString(), $r, $v);")
+  }
+}
+
 object Bpe {
   val name = "bpe_count"
   val docName = "bpe_doc_count"
+  val tokensName = "bpe_tokens"
 
   /** End-of-word marker fused onto a word's final character at
     * decomposition — never a standalone symbol, so a bare single-char
@@ -187,11 +228,12 @@ object Bpe {
   }
 
   /** The apply fixpoint — leftmost occurrence of the lowest-rank pair,
-    * one merge per step (see the [[BpeCount]] scaladoc for why). */
-  def countTokens(word: String,
-                  ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
-      : Int = {
-    if (word.isEmpty) return 0
+    * one merge per step (see the [[BpeCount]] scaladoc for why). Returns
+    * the symbol sequence at the fixpoint; empty word → empty array. */
+  def applySyms(word: String,
+                ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
+      : Array[String] = {
+    if (word.isEmpty) return Array.empty
     var syms = decompose(word)
     var done = false
     while (!done && syms.length > 1) {
@@ -216,7 +258,58 @@ object Bpe {
         syms = out
       }
     }
-    syms.length
+    syms
+  }
+
+  def countTokens(word: String,
+                  ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
+      : Int = applySyms(word, ranks).length
+
+  /** Closed deterministic vocabulary over a merge table. Base symbols
+    * first: for the i-th character of the pre-tokenizer's sorted alphabet
+    * (`'`, 0-9, a-z — 37 chars), id 2i is the bare char and id 2i+1 its
+    * EndMark-fused form (74 base ids). Then each DISTINCT merge output
+    * a+b gets the next id in merge order — first merge wins when two
+    * merges concatenate to the same string (e.g. (ab,c) and (a,bc) both
+    * yield "abc"): the fixpoint operates on symbol STRINGS, so one string
+    * is one vocabulary entry regardless of derivation. A pure function of
+    * the merge table — what lets the oracle embed it as VALUES at dump
+    * time. */
+  val Alphabet = "'0123456789abcdefghijklmnopqrstuvwxyz"
+
+  def vocab(merges: Seq[(String, String)]): Seq[String] = {
+    val base = Alphabet.flatMap(c => Seq(c.toString, c.toString + EndMark))
+    val seen = scala.collection.mutable.LinkedHashSet(base: _*)
+    merges.foreach { case (a, b) => seen += (a + b) }
+    seen.toSeq
+  }
+
+  def toIds(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    vocab(merges).zipWithIndex.foreach { case (s, i) =>
+      m.put(s, Int.box(i))
+    }
+    m
+  }
+
+  /** Fixpoint symbols → vocabulary ids. A symbol outside the vocabulary
+    * (impossible for pre-tokenized input — the alphabet is closed — but
+    * reachable if a caller feeds raw un-normalized text) maps to -1
+    * rather than throwing: a distributed tokenize job must not abort on
+    * one stray row, and -1 is greppable downstream. */
+  def tokenIds(word: String,
+               ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]],
+               ids: java.util.HashMap[String, Integer])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val syms = applySyms(word, ranks)
+    val out = new Array[Int](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val id = ids.get(syms(i))
+      out(i) = if (id == null) -1 else id.intValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Whole-text sum of per-word fixpoint counts — every OCCURRENCE
@@ -246,8 +339,14 @@ object Bpe {
       s"$docName(text) takes exactly 1 argument, got ${args.length}")
   }
 
-  /** Per-session registration of `bpe_count` + `bpe_doc_count` with the
-    * given merges. */
+  def tokensBuilder(merges: Seq[(String, String)]): Seq[Expression] => Expression = {
+    case Seq(a) => BpeTokens(a, merges)
+    case args => throw new IllegalArgumentException(
+      s"$tokensName(word) takes exactly 1 argument, got ${args.length}")
+  }
+
+  /** Per-session registration of `bpe_count` + `bpe_doc_count` +
+    * `bpe_tokens` with the given merges. */
   def register(spark: SparkSession, merges: Seq[(String, String)]): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
@@ -256,5 +355,9 @@ object Bpe {
       FunctionIdentifier(docName),
       new ExpressionInfo(classOf[BpeDocCount].getName, docName),
       docBuilder(merges))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(tokensName),
+      new ExpressionInfo(classOf[BpeTokens].getName, tokensName),
+      tokensBuilder(merges))
   }
 }

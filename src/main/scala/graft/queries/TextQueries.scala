@@ -2006,6 +2006,35 @@ object TextQueries {
   def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     bpeLayout(scan(spark, sfDir, "documents"), trainedBpe(spark, sfDir))
 
+  /** t39 — full trained-BPE tokenization to vocabulary-id sequences:
+    * the tokenize-for-export stage a training run ends with (t37 counts
+    * tokens; a trainer consumes the ids themselves). Output one row per
+    * (doc, word occurrence, subword): (doc_id, word_pos, sym_pos,
+    * token_id), word_pos the position in the document's split array
+    * (holes where separators produced empty strings — both engines index
+    * identically), token_id from the closed deterministic vocabulary
+    * ([[graft.functions.Bpe.vocab]]: 74 base ids, then distinct merge
+    * outputs in merge order).
+    *
+    * 100 TB shape: ZERO exchanges (plan-pinned) — scan → generate →
+    * codegen scalar → generate; both the merge table and the id table
+    * ride the task closure, so tokenization parallelizes per input
+    * split with nothing global. The oracle replays the fixpoint's
+    * symbol SEQUENCES (not just counts) through the shared recursive
+    * CTE and maps them through the vocabulary embedded as VALUES at
+    * dump time. */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Bpe.register(spark, trainedBpe(spark, sfDir))
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9']+")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"), col("pos").cast("int").as("word_pos"),
+        posexplode(expr("bpe_tokens(w)")).as(Seq("sym_pos", "token_id")))
+      .select(col("doc_id"), col("word_pos"),
+        col("sym_pos").cast("int").as("sym_pos"), col("token_id"))
+  }
+
   /** Merge-table size / sample bound — operator parameters in the s14
     * shared-constant sense. 200 merges over a 256-doc id-ordered sample
     * give a vocabulary that tokenizes the harness corpus at ~1.5–3
@@ -2073,7 +2102,9 @@ object TextQueries {
     * relation `v(w)`: same Sennrich decomposition (`</w>` fused onto the
     * final char), same leftmost-lowest-rank one-merge-per-step recursion
     * as the engine (symbols never contain spaces, so `'a b'` pair keys
-    * are unambiguous). Emits `done(w, ntok)`. */
+    * are unambiguous). Emits `done(w, syms, ntok)` — counts for the
+    * budget/count twins (t24/t26/t37), the symbol sequence itself for
+    * the full tokenizer (t39). */
   private val bpeFixpointCtes: String =
     """init AS (
       |  SELECT w, list_transform(range(1, length(w)+1),
@@ -2094,7 +2125,7 @@ object TextQueries {
       |                       || s.syms[CAST(i AS INT)+1]
       |    ORDER BY m.rank, i LIMIT 1) b),
       |done AS (
-      |  SELECT w, len(syms) AS ntok FROM steps s
+      |  SELECT w, syms, len(syms) AS ntok FROM steps s
       |  WHERE NOT EXISTS (
       |    SELECT 1 FROM unnest(range(1, len(s.syms))) t(i)
       |    JOIN m ON m.pair = s.syms[CAST(i AS INT)] || ' '
@@ -2119,6 +2150,51 @@ object TextQueries {
        |FROM wc JOIN done d ON d.w = wc.w
        |GROUP BY 1""".stripMargin
       .replace("@MERGES", bpeMergesCte("t37"))
+      .replace("@FIXPOINT", bpeFixpointCtes)
+
+  /** The closed vocabulary as a VALUES CTE `vb(sym, id)` — dumped from
+    * the same trained merges the engine tokenized with (pure function of
+    * the merge table, so dump-time embedding is exact, the s07 pattern). */
+  private def bpeVocabCte(caller: String): String = {
+    val merges = lastBpe.getOrElse(throw new IllegalStateException(
+      s"$caller oracle dumped before any trained-BPE query ran in this " +
+        "JVM — run the query first (Verify does; ad-hoc dumps must too)"))
+    val rows = graft.functions.Bpe.vocab(merges).zipWithIndex
+      .map { case (s, i) => s"(${sqlStr(s)}, $i)" }
+    s"""vb(sym, id) AS (VALUES
+       |  ${rows.mkString(",\n  ")})""".stripMargin
+  }
+
+  /** DuckDB twin of t39 — indexed word split (positions over the FULL
+    * split array, empties filtered after, exactly like posexplode), the
+    * shared fixpoint's symbol sequences, ids via the dumped vocabulary.
+    * The LEFT JOIN's -1 branch mirrors the engine's unknown-symbol
+    * contract (unreachable for pretokenized input; kept so a contract
+    * drift reads as a value diff, not a dropped row). */
+  private def bpeTokenizeOracle: String =
+    """WITH RECURSIVE @MERGES,
+       |@VOCAB,
+       |wx AS (
+       |  SELECT q.doc_id, CAST(t.i - 1 AS INTEGER) AS word_pos,
+       |         q.a[CAST(t.i AS INT)] AS w
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(lower(text), '[^a-z0-9'']+') AS a
+       |        FROM documents) q,
+       |       unnest(generate_series(1, len(q.a))) t(i)),
+       |wf AS (SELECT doc_id, word_pos, w FROM wx WHERE w <> ''),
+       |v AS (SELECT DISTINCT w FROM wf),
+       |@FIXPOINT,
+       |tok AS (
+       |  SELECT wf.doc_id, wf.word_pos,
+       |         CAST(u.i AS INTEGER) - 1 AS sym_pos,
+       |         d.syms[CAST(u.i AS INT)] AS sym
+       |  FROM wf JOIN done d ON d.w = wf.w,
+       |       unnest(generate_series(1, len(d.syms))) u(i))
+       |SELECT tok.doc_id, tok.word_pos, tok.sym_pos,
+       |       CAST(coalesce(vb.id, -1) AS INTEGER) AS token_id
+       |FROM tok LEFT JOIN vb ON vb.sym = tok.sym""".stripMargin
+      .replace("@MERGES", bpeMergesCte("t39"))
+      .replace("@VOCAB", bpeVocabCte("t39"))
       .replace("@FIXPOINT", bpeFixpointCtes)
 
   /** t38 — suffix-granularity substring dedup via winnowed fingerprints
@@ -2311,5 +2387,7 @@ object TextQueries {
       oracleFn = Some(() => bpeTokenCountOracle)),
     NamedQuery("t38_winnow_substring_dedup", winnowSubstringDedup,
       Some(winnowSubstringDedupOracle)),
+    NamedQuery("t39_bpe_tokenize", bpeTokenize, None,
+      oracleFn = Some(() => bpeTokenizeOracle)),
   )
 }

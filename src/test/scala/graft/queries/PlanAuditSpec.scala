@@ -441,6 +441,17 @@ class PlanAuditSpec extends SparkSpec {
       s"t04 must score through the native multi-set counter:\n$s")
   }
 
+  test("bpe tokenize t39: scan -> generate -> codegen scalar -> generate, " +
+    "zero exchanges") {
+    // the tokenize-for-export stage must parallelize per input split with
+    // nothing global: both the merge table and the id table ride the task
+    // closure, so any Exchange here is a scale bug
+    val s = planStr("t39_bpe_tokenize")
+    assert(!s.contains("Exchange"), s"t39 must not shuffle:\n$s")
+    assert(s.contains("bpe_tokens"),
+      s"t39 must tokenize through the native bpe_tokens scalar:\n$s")
+  }
+
   test("span dedup t25: one tokenize+window+count pass, reused across the " +
     "global-count join (runtime check — AQE stage cache)") {
     // The global window-count join re-keys on coalesce(w, MinValue)

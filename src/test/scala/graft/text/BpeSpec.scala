@@ -106,4 +106,53 @@ class BpeSpec extends SparkSpec {
     }
     assert(got(3L) == Some(0) && got(4L) == Some(0) && got(5L).isEmpty)
   }
+
+  test("vocab: 74 fixed base ids, then distinct merge outputs in merge " +
+    "order — first merge wins a duplicate concatenation") {
+    // (b,c)->bc, (a,bc)->abc, (a,b)->ab, (ab,c)->abc AGAIN: one entry,
+    // at the FIRST derivation's position
+    val merges = Seq("b" -> "c", "a" -> "bc", "a" -> "b", "ab" -> "c")
+    val v = Bpe.vocab(merges)
+    assert(v.length == 74 + 3, s"got ${v.length}")
+    assert(v.distinct == v, "vocab must be duplicate-free")
+    assert(v(0) == "'" && v(1) == "'" + Bpe.EndMark)
+    assert(v(72) == "z" && v(73) == "z" + Bpe.EndMark)
+    assert(v(74) == "bc" && v(75) == "abc" && v(76) == "ab")
+    // id lookup agrees with the sequence
+    val ids = Bpe.toIds(merges)
+    assert(ids.get("abc").intValue == 75 && ids.get("ab").intValue == 76)
+  }
+
+  test("bpe_tokens: id sequence decodes back to the word, length equals " +
+    "bpe_count, unknown symbol maps to -1") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the cat and the hat and the bat"),
+      (2L, "Hatter's hat, THE cat!"))
+    val merges = Bpe.train(texts.map(_._2), 50)
+    val v = Bpe.vocab(merges)
+    val ranks = Bpe.toRanks(merges)
+    Bpe.register(spark, merges)
+    import org.apache.spark.sql.functions._
+    val rows = texts.toDF("doc_id", "text")
+      .select(explode(split(lower(col("text")), "[^a-z0-9']+")).as("w"))
+      .where(length(col("w")) > 0)
+      .selectExpr("w", "bpe_tokens(w) AS ids", "bpe_count(w) AS n")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val ids = r.getSeq[Int](1)
+      assert(ids.length == r.getInt(2), s"$w: length != bpe_count")
+      // decode: vocab strings concatenated == word with EndMark fused
+      val decoded = ids.map(v(_)).mkString
+      assert(decoded == w + Bpe.EndMark, s"$w decoded to $decoded")
+      // parity with the plain-Scala fixpoint
+      assert(ids.map(v(_)) == Bpe.applySyms(w, ranks).toSeq, s"$w syms")
+    }
+    // raw un-pretokenized input: 'C' is outside the closed alphabet
+    val ranksE = Bpe.toRanks(merges)
+    val bad = Bpe.tokenIds("Cat", ranksE, Bpe.toIds(merges))
+    assert(bad.toIntArray()(0) == -1, "unknown symbol must map to -1")
+  }
 }
