@@ -2021,8 +2021,9 @@ object TextQueries {
     * ride the task closure, so tokenization parallelizes per input
     * split with nothing global. The oracle replays the fixpoint's
     * symbol SEQUENCES (not just counts) through the shared recursive
-    * CTE and maps them through the vocabulary embedded as VALUES at
-    * dump time. */
+    * CTE and maps them through a vocabulary RE-DERIVED in SQL from the
+    * embedded merge table — only the trained merges are shared
+    * constants, so a vocab-layout drift in the engine is caught. */
   def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Bpe.register(spark, trainedBpe(spark, sfDir))
     scan(spark, sfDir, "documents")
@@ -2152,25 +2153,42 @@ object TextQueries {
       .replace("@MERGES", bpeMergesCte("t37"))
       .replace("@FIXPOINT", bpeFixpointCtes)
 
-  /** The closed vocabulary as a VALUES CTE `vb(sym, id)` — dumped from
-    * the same trained merges the engine tokenized with (pure function of
-    * the merge table, so dump-time embedding is exact, the s07 pattern). */
-  private def bpeVocabCte(caller: String): String = {
-    val merges = lastBpe.getOrElse(throw new IllegalStateException(
-      s"$caller oracle dumped before any trained-BPE query ran in this " +
-        "JVM — run the query first (Verify does; ad-hoc dumps must too)"))
-    val rows = graft.functions.Bpe.vocab(merges).zipWithIndex
-      .map { case (s, i) => s"(${sqlStr(s)}, $i)" }
-    s"""vb(sym, id) AS (VALUES
-       |  ${rows.mkString(",\n  ")})""".stripMargin
-  }
+  /** The closed vocabulary `vb(sym, id)` RE-DERIVED in SQL from the
+    * merge table `m` — NOT dumped from the engine's vocab builder, so a
+    * vocabulary-layout drift in the engine reads as a value diff (the
+    * HashOracles discipline: only the trained merges themselves are
+    * shared constants). Layout contract, stated independently here:
+    * alphabet char i gets id 2i (bare) and 2i+1 (EndMark-fused), 74 base
+    * ids total; then each DISTINCT merge output in first-derivation
+    * order (symbols never contain spaces, so stripping the pair
+    * separator IS the concatenation). */
+  private val bpeVocabCte: String =
+    """ab AS (
+      |  SELECT substr(q.s, CAST(t.i AS INT), 1) AS c,
+      |         CAST(t.i AS INT) - 1 AS ci
+      |  FROM (SELECT '''0123456789abcdefghijklmnopqrstuvwxyz' AS s) q,
+      |       unnest(generate_series(1, 37)) t(i)),
+      |vbase AS (
+      |  SELECT c AS sym, ci * 2 AS ord FROM ab
+      |  UNION ALL
+      |  SELECT c || '</w>', ci * 2 + 1 FROM ab),
+      |vmerge AS (
+      |  SELECT sym, 74 + row_number() OVER (ORDER BY mr) - 1 AS ord
+      |  FROM (SELECT replace(pair, ' ', '') AS sym, min(rank) AS mr
+      |        FROM m GROUP BY 1)
+      |  WHERE sym NOT IN (SELECT sym FROM vbase)),
+      |vb AS (
+      |  SELECT sym, CAST(ord AS INT) AS id FROM vbase
+      |  UNION ALL
+      |  SELECT sym, CAST(ord AS INT) FROM vmerge)""".stripMargin
 
   /** DuckDB twin of t39 — indexed word split (positions over the FULL
     * split array, empties filtered after, exactly like posexplode), the
-    * shared fixpoint's symbol sequences, ids via the dumped vocabulary.
-    * The LEFT JOIN's -1 branch mirrors the engine's unknown-symbol
-    * contract (unreachable for pretokenized input; kept so a contract
-    * drift reads as a value diff, not a dropped row). */
+    * shared fixpoint's symbol sequences, ids via the INDEPENDENTLY
+    * re-derived vocabulary (see [[bpeVocabCte]]). The LEFT JOIN's -1
+    * branch mirrors the engine's unknown-symbol contract (unreachable
+    * for pretokenized input; kept so a contract drift reads as a value
+    * diff, not a dropped row). */
   private def bpeTokenizeOracle: String =
     """WITH RECURSIVE @MERGES,
        |@VOCAB,
@@ -2194,7 +2212,7 @@ object TextQueries {
        |       CAST(coalesce(vb.id, -1) AS INTEGER) AS token_id
        |FROM tok LEFT JOIN vb ON vb.sym = tok.sym""".stripMargin
       .replace("@MERGES", bpeMergesCte("t39"))
-      .replace("@VOCAB", bpeVocabCte("t39"))
+      .replace("@VOCAB", bpeVocabCte)
       .replace("@FIXPOINT", bpeFixpointCtes)
 
   /** t38 — suffix-granularity substring dedup via winnowed fingerprints
