@@ -278,6 +278,74 @@ object SimilarityQueries {
     cents
   }
 
+  /** s20 — cluster-balanced sampling: cap every embedding-space cluster
+    * at a fixed quota, keeping a deterministic uniform slice of the
+    * over-represented clusters and everything in the rare ones — the
+    * topic-rebalancing selection step (SemDeDup prunes duplicates; this
+    * reshapes the DISTRIBUTION). Cells are s07's trained k-means
+    * quantizer (shared per-dir memo, so the geometry is identical across
+    * s07/s13/s19/s20); in-cell order is the t22 LCG rank, so admission
+    * is a pure function of vec_id — replay-stable and
+    * partitioning-independent.
+    *
+    * 100 TB shape: assignment is the narrow fused-argmin scalar; vectors
+    * are DROPPED before the one cell-keyed exchange (plan-pinned — only
+    * (vec_id, cell) shuffle) and the rank filter gets the partial
+    * WindowGroupLimit early-out map-side, so each task forwards at most
+    * quota rows per cell it sees. Output (cell, rk, vec_id): the id list
+    * a downstream fetch joins back against, never the payload. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(pmod(col("vec_id") * 48271, lit(104729)), col("vec_id"))
+    Similarity.ivfAssign(scan(spark, sfDir, "embeddings"),
+        trainedCentroids(spark, sfDir))
+      .select(col("vec_id"), col("cell"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= BalancedQuota)
+      .select(col("cell"), col("rk"), col("vec_id"))
+  }
+
+  /** Per-cell cap. The 8 trained cells over the ~500-vector harness
+    * corpus span 41–107 members across the gate SFs, so 55 leaves some
+    * cells under quota (keep-all branch) and caps the rest — both
+    * admission branches live at every gate SF (spec-enforced). */
+  val BalancedQuota = 55
+
+  /** DuckDB twin of s20: same trained centroids (dump-time VALUES, the
+    * s07 thunk pattern — loud if s20 never ran), same strict-< argmin
+    * (row_number ties → lowest cell), same LCG in-cell rank. */
+  private def clusterBalancedSampleOracle: String = {
+    val cents = lastTrained.getOrElse {
+      System.err.println(
+        "[graft] WARNING: clusterBalancedSampleOracle dumped with " +
+          "UNTRAINED (seeded) centroids — s20 never ran in this JVM; " +
+          "run the query before dumping its oracle.")
+      Similarity.hyperplanes(8, 64, 11L)
+    }
+    val rows = cents.zipWithIndex.map {
+      case (c, i) => s"($i, ${vecLit(c)})"
+    }
+    s"""WITH cents(cell, c) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dists AS (
+       |  SELECT e.vec_id, ct.cell, list_distance(e.v, ct.c) AS dist
+       |  FROM e, cents ct),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM dists) WHERE rn = 1)
+       |SELECT cell, rk, vec_id FROM (
+       |  SELECT cell, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY cell
+       |           ORDER BY (vec_id * 48271) % 104729, vec_id) AS INTEGER)
+       |           AS rk
+       |  FROM assign) WHERE rk <= ${BalancedQuota}""".stripMargin
+  }
+
   /** DuckDB twin of ivfTopK: same centroid argmin (ties → lowest cell, as
     * the Spark fold's strict `<` keeps the first minimum), same nprobe=2
     * probe order (dist, cell), same in-cell cosine top-k. list_distance is
@@ -1230,5 +1298,7 @@ object SimilarityQueries {
     NamedQuery("s18_video_neardup", videoNearDup, Some(videoNearDupOracle)),
     NamedQuery("s19_ann_ivfpq", annIvfPq, None,
       oracleFn = Some(() => annIvfPqOracle)),
+    NamedQuery("s20_cluster_balanced_sample", clusterBalancedSample, None,
+      oracleFn = Some(() => clusterBalancedSampleOracle)),
   )
 }
