@@ -2014,7 +2014,10 @@ object TextQueries {
     * (holes where separators produced empty strings — both engines index
     * identically), token_id from the closed deterministic vocabulary
     * ([[graft.functions.Bpe.vocab]]: 74 base ids, then distinct merge
-    * outputs in merge order).
+    * outputs in merge order). The exploded row form is the
+    * oracle-exact surface; a production export would keep the id ARRAY
+    * per document (same zero-exchange plan minus the second generate —
+    * parquet list column, no row amplification).
     *
     * 100 TB shape: ZERO exchanges (plan-pinned) — scan → generate →
     * codegen scalar → generate; both the merge table and the id table

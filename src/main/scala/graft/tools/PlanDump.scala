@@ -43,6 +43,13 @@ object PlanDump {
     "t34_bigram_logprob" -> "bigram-LM quality score: ONE (w1,w2)-keyed exchange for the corpus bigram stream (built narrowly via slice+arrays_zip — codegen'd, no lambdas), reused by the frequency aggregate AND the probability probe (ReusedExchange x2 in the final adaptive plan); the context denominator re-aggregates the vocabulary-sized frequency table, never the corpus",
     "s17_ann_pq" -> "PQ ANN: narrow per-subspace IvfCell encode -> integer-ADC coarse scan over SQ8-grid reconstructions (rnorm2 - 2*int_dot, bit-stable candidate boundary, float column pruned off the candidate side) -> broadcast candidate fetch + exact FloatCosine rerank",
     "t35_cdc_chunk_dedup" -> "content-defined chunking: ONE doc-keyed exchange feeds two stacked WindowExecs (trigram boundary lags + running chunk counter share the sort) AND the (doc_id,chunk) assembly via subset clustering keys; only narrow (chunk_hash,n_toks,doc_id) rows reach the final dedup shuffle — two exchanges total, plan-pinned",
+    "t36_dsir_selection" -> "DSIR importance selection: BOTH hashed-gram LMs off ONE aggregate pass, 1-row totals broadcast back (never driver-baked), TakeOrderedAndProject partial top-k",
+    "s18_video_neardup" -> "video near-dup: narrow frame build (payload dies scan-side), df-capped candidate generation off a shared fh-keyed Exchange (ubiquitous frames pair nothing), exact containment verify over candidate pairs only — the verify joins REUSE the same materialized fingerprint pass (ReusedExchange, spec-pinned)",
+    "t37_bpe_token_count" -> "trained-BPE token accounting: merge table rides the task closure into the codegen bpe_count scalar — NO join, text off every exchange; (doc,word) counts map-side-combine, apply runs once per distinct word per doc",
+    "t38_winnow_substring_dedup" -> "winnowed substring dedup: native winnow_prints keeps the stride-1 gram explosion AND the sliding min in one codegen pass (~2n/W prints reach the first exchange, no WindowExec); pairs via the df-capped two-phase form off a shared print-keyed Exchange (ReusedExchange, spec-pinned)",
+    "t39_bpe_tokenize" -> "trained-BPE tokenize-for-export: scan -> generate -> bpe_tokens codegen scalar -> generate, ZERO exchanges — merge and id tables ride the task closure, tokenization parallelizes per input split with nothing global",
+    "s19_ann_ivfpq" -> "IVF-PQ ANN: narrow cell assign + per-subspace residual PQ encode, integer-ADC scoring over PROBED cells only with the per-cell qnorm2 term carried, exact float rerank of the top-K only",
+    "s20_cluster_balanced_sample" -> "cluster-balanced sampling: narrow fused-argmin cell assign, vectors DROPPED before the one cell-keyed exchange ((vec_id,cell) only), partial WindowGroupLimit caps each task at quota rows per cell",
   )
 
   def main(args: Array[String]): Unit = {
