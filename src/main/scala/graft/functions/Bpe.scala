@@ -52,19 +52,17 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeCount =
     copy(child = newChild)
 
-  // rank lookup as left → (right → rank); built once per task deser,
-  // shared by interpreted eval and codegen (via addReferenceObj)
-  @transient private lazy val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]] =
-    Bpe.toRanks(merges)
+  // apply table (rank lookup + per-executor count memo); built once per
+  // task deser, shared by interpreted eval and codegen (addReferenceObj)
+  @transient private lazy val table: BpeTable = new BpeTable(merges)
 
   override def nullSafeEval(input: Any): Any =
-    Bpe.countTokens(input.asInstanceOf[UTF8String].toString, ranks)
+    Bpe.countTokens(input.asInstanceOf[UTF8String].toString, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val r = ctx.addReferenceObj("bpeRanks", ranks,
-      "java.util.HashMap<String, java.util.HashMap<String, Integer>>")
+    val t = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
     nullSafeCodeGen(ctx, ev, input =>
-      s"${ev.value} = graft.functions.Bpe.countTokens($input.toString(), $r);")
+      s"${ev.value} = graft.functions.Bpe.countTokens($input.toString(), $t);")
   }
 }
 
@@ -89,17 +87,15 @@ case class BpeDocCount(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeDocCount =
     copy(child = newChild)
 
-  @transient private lazy val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]] =
-    Bpe.toRanks(merges)
+  @transient private lazy val table: BpeTable = new BpeTable(merges)
 
   override def nullSafeEval(input: Any): Any =
-    Bpe.countDocTokens(input.asInstanceOf[UTF8String].toString, ranks)
+    Bpe.countDocTokens(input.asInstanceOf[UTF8String].toString, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val r = ctx.addReferenceObj("bpeRanks", ranks,
-      "java.util.HashMap<String, java.util.HashMap<String, Integer>>")
+    val t = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
     nullSafeCodeGen(ctx, ev, input =>
-      s"${ev.value} = graft.functions.Bpe.countDocTokens($input.toString(), $r);")
+      s"${ev.value} = graft.functions.Bpe.countDocTokens($input.toString(), $t);")
   }
 }
 
@@ -124,29 +120,82 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =
     copy(child = newChild)
 
-  @transient private lazy val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]] =
-    Bpe.toRanks(merges)
-
-  @transient private lazy val ids: java.util.HashMap[String, Integer] =
-    Bpe.toIds(merges)
+  @transient private lazy val table: BpeTable = new BpeTable(merges)
 
   override def nullSafeEval(input: Any): Any =
-    Bpe.tokenIds(input.asInstanceOf[UTF8String].toString, ranks, ids)
+    Bpe.tokenIds(input.asInstanceOf[UTF8String].toString, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val r = ctx.addReferenceObj("bpeRanks", ranks,
-      "java.util.HashMap<String, java.util.HashMap<String, Integer>>")
-    val v = ctx.addReferenceObj("bpeIds", ids,
-      "java.util.HashMap<String, Integer>")
+    val t = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
     nullSafeCodeGen(ctx, ev, input =>
-      s"${ev.value} = graft.functions.Bpe.tokenIds($input.toString(), $r, $v);")
+      s"${ev.value} = graft.functions.Bpe.tokenIds($input.toString(), $t);")
   }
+}
+
+/** One trained merge table, apply-ready: the rank lookup plus a bounded
+  * per-JVM memo of per-word fixpoint counts. Corpus text is Zipfian —
+  * the same words recur constantly (and duplicate-heavy corpora recur
+  * 100×) — while the fixpoint is a pure function of the word, so the
+  * O(|word|²) hash-lookup loop needs to run once per DISTINCT word per
+  * executor, not once per occurrence. Measured at the ×100-hot wall
+  * cell: t24 36.5 → 23.0 s, t37 24.6 → 20.7, t39 23.5 → 18.9 (the
+  * remainder is the explode/window machinery, not the fixpoint — see
+  * BASELINE.md round-16). The cache is `@transient lazy`
+  * (rebuilt empty after task deserialization — per-executor, never
+  * shipped) and a ConcurrentHashMap because in local mode one
+  * deserialized instance serves many task threads; it stops inserting
+  * at [[Bpe.CacheCap]] entries so an adversarial unique-word stream
+  * degrades to the uncached cost instead of OOM. */
+final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
+  val ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]] =
+    Bpe.toRanks(merges)
+  lazy val ids: java.util.HashMap[String, Integer] = Bpe.toIds(merges)
+  @transient lazy val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  // id sequences memo for the tokenizer: returning one shared immutable
+  // UnsafeArrayData per distinct word is the Literal contract (consumers
+  // copy values out; nothing mutates an expression result)
+  @transient lazy val idSeqs =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]()
 }
 
 object Bpe {
   val name = "bpe_count"
   val docName = "bpe_doc_count"
   val tokensName = "bpe_tokens"
+
+  /** Memo bound — ~64k distinct words per executor (a few MB) covers any
+    * natural vocabulary's hot set; past it, compute uncached. */
+  val CacheCap = 1 << 16
+
+  /** Memoized per-word count through a [[BpeTable]]. */
+  def countTokens(word: String, t: BpeTable): Int = {
+    val hit = t.counts.get(word)
+    if (hit != null) return hit.intValue()
+    val n = countTokens(word, t.ranks)
+    if (t.counts.size() < CacheCap) t.counts.putIfAbsent(word, Int.box(n))
+    n
+  }
+
+  /** Memoized whole-text sum (the [[BpeDocCount]] entry point). */
+  def countDocTokens(text: String, t: BpeTable): Int = {
+    var total = 0
+    val it = pretokenize(text).iterator
+    while (it.hasNext) total += countTokens(it.next(), t)
+    total
+  }
+
+  /** Memoized id sequence (the [[BpeTokens]] entry point). */
+  def tokenIds(word: String, t: BpeTable)
+      : org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val hit = t.idSeqs.get(word)
+    if (hit != null) return hit
+    val a = tokenIds(word, t.ranks, t.ids)
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]
+    if (t.idSeqs.size() < CacheCap) t.idSeqs.putIfAbsent(word, a)
+    a
+  }
 
   /** End-of-word marker fused onto a word's final character at
     * decomposition — never a standalone symbol, so a bare single-char

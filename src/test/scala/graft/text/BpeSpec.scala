@@ -107,6 +107,26 @@ class BpeSpec extends SparkSpec {
     assert(got(3L) == Some(0) && got(4L) == Some(0) && got(5L).isEmpty)
   }
 
+  test("BpeTable memo: cached and uncached paths agree word-for-word, " +
+    "repeated lookups included") {
+    val merges = Bpe.train(Seq("the cat and the hat and the bat",
+      "the the the and and cat"), 50)
+    val t = new graft.functions.BpeTable(merges)
+    val words = Seq("the", "cat", "hat", "and", "the", "cat", "zzz", "a")
+    words.foreach { w =>
+      assert(Bpe.countTokens(w, t) == Bpe.countTokens(w, t.ranks),
+        s"count memo diverged on $w")
+      val cached = Bpe.tokenIds(w, t).toIntArray().toSeq
+      val plain = Bpe.tokenIds(w, t.ranks, t.ids).toIntArray().toSeq
+      assert(cached == plain, s"id memo diverged on $w")
+    }
+    // second pass hits the cache for every word — values identical
+    words.foreach { w =>
+      assert(Bpe.countTokens(w, t) == Bpe.countTokens(w, t.ranks))
+    }
+    assert(t.counts.size() > 0 && t.idSeqs.size() > 0, "memo never filled")
+  }
+
   test("vocab: 74 fixed base ids, then distinct merge outputs in merge " +
     "order — first merge wins a duplicate concatenation") {
     // (b,c)->bc, (a,bc)->abc, (a,b)->ab, (ab,c)->abc AGAIN: one entry,
