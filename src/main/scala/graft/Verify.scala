@@ -82,6 +82,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // declare which dir this dump is FOR: trained-constant thunks resolve
+    // their per-dir caches through this instead of a last-run-wins global
+    // (two dirs in one JVM would otherwise embed the wrong dir's
+    // merges/centroids — r16 advice)
+    graft.queries.OracleDump.sfDir = Some(sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

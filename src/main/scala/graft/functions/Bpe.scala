@@ -80,7 +80,9 @@ case class BpeDocCount(child: Expression, merges: Seq[(String, String)])
     else TypeCheckResult.TypeCheckFailure(
       s"bpe_doc_count requires a string argument, got ${child.dataType.simpleString}")
 
-  override def dataType: DataType = IntegerType
+  // Long, not Int: the document-level sum is unbounded by |word| (see
+  // Bpe.countDocTokens) — the scalar must not wrap before the cast.
+  override def dataType: DataType = LongType
 
   override def prettyName: String = Bpe.docName
 
@@ -178,9 +180,13 @@ object Bpe {
     n
   }
 
-  /** Memoized whole-text sum (the [[BpeDocCount]] entry point). */
-  def countDocTokens(text: String, t: BpeTable): Int = {
-    var total = 0
+  /** Memoized whole-text sum (the [[BpeDocCount]] entry point). Long:
+    * the per-WORD count is |word|-bounded and fits an Int, but a
+    * document is unbounded — a multi-GB text at the 100 TB design scale
+    * can exceed 2^31 tokens, and an Int accumulator would wrap negative
+    * BEFORE any downstream cast could save it (r16 advice). */
+  def countDocTokens(text: String, t: BpeTable): Long = {
+    var total = 0L
     val it = pretokenize(text).iterator
     while (it.hasNext) total += countTokens(it.next(), t)
     total

@@ -47,10 +47,16 @@ import org.apache.spark.sql.SparkSession
 object HashOracles {
 
   @volatile private var lastRun: Option[(SparkSession, String)] = None
+  private val runsByDir =
+    new scala.collection.concurrent.TrieMap[String, (SparkSession, String)]()
 
-  /** Called by s03/s04/t09 query builders on each run. */
-  def record(spark: SparkSession, sfDir: String): Unit =
+  /** Called by s03/s04/t09 query builders on each run. Keyed by dir so a
+    * dump after runs against TWO dirs in one JVM embeds the right
+    * corpus's signatures (OracleDump contract, r16 advice). */
+  def record(spark: SparkSession, sfDir: String): Unit = {
     lastRun = Some((spark, sfDir))
+    runsByDir.put(sfDir, (spark, sfDir))
+  }
 
   // ---------------------------------------------------------------------
   // Plain-Scala reference implementations (byte-level, ASCII-exact twins
@@ -170,12 +176,13 @@ object HashOracles {
 
   /** (doc_id, text) off the raw documents parquet — 500 rows at every
     * shipped SF, collected once per dump. */
-  private def docs(): Option[Array[(Long, String)]] = lastRun.map {
-    case (spark, sfDir) =>
-      graft.ops.CoreOps.scan(spark, sfDir, "documents")
-        .select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-  }
+  private def docs(): Option[Array[(Long, String)]] =
+    OracleDump.resolve(runsByDir, lastRun).map {
+      case (spark, sfDir) =>
+        graft.ops.CoreOps.scan(spark, sfDir, "documents")
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+    }
 
   private def withPerturbed(base: Array[(Long, String)],
                             suffix: String): Array[(Long, String)] =

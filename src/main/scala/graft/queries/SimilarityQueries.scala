@@ -316,7 +316,7 @@ object SimilarityQueries {
     * s07 thunk pattern — loud if s20 never ran), same strict-< argmin
     * (row_number ties → lowest cell), same LCG in-cell rank. */
   private def clusterBalancedSampleOracle: String = {
-    val cents = lastTrained.getOrElse {
+    val cents = OracleDump.resolve(trainedCache, lastTrained).getOrElse {
       System.err.println(
         "[graft] WARNING: clusterBalancedSampleOracle dumped with " +
           "UNTRAINED (seeded) centroids — s20 never ran in this JVM; " +
@@ -354,7 +354,7 @@ object SimilarityQueries {
     * centroids the query actually trained (falling back to the seeded set
     * only if s07 never ran in this JVM). */
   private def annIvfOracle: String = {
-    val cents = lastTrained.getOrElse {
+    val cents = OracleDump.resolve(trainedCache, lastTrained).getOrElse {
       // loud, not silent (r15 advice, fixed alongside the s17 twin): an
       // oracle dumped before s07 ran embeds the SEEDED centroid set and
       // verification fails as a confusing numeric diff
@@ -457,7 +457,7 @@ object SimilarityQueries {
     * query actually trained (seeded fallback only if s17 never ran in
     * this JVM). */
   private def annPqOracle: String = {
-    val cbs = lastPQ.getOrElse {
+    val cbs = OracleDump.resolve(pqCache, lastPQ).getOrElse {
       // loud, not silent (r15 advice): a dump that never ran s17 in this
       // JVM embeds SEEDED codebooks, and the resulting verify failure
       // reads as an inscrutable numeric diff instead of what it is — a
@@ -560,7 +560,8 @@ object SimilarityQueries {
     * (sim DESC, neighbor_id). Dumping before s19 ran fails fast (r15
     * advice: loud beats a confusing numeric diff). */
   private def annIvfPqOracle: String = {
-    val (cents, cbs) = lastIvfPq.getOrElse(throw new IllegalStateException(
+    val (cents, cbs) = OracleDump.resolve(ivfPqCache, lastIvfPq)
+      .getOrElse(throw new IllegalStateException(
       "s19 oracle dumped before s19_ann_ivfpq ran in this JVM — run the " +
         "query first (Verify does; ad-hoc dumps must too)"))
     val qcb = Similarity.quantizePQ(cbs)
@@ -1036,7 +1037,8 @@ object SimilarityQueries {
     * planted +0.1 replicas, in-cell lower-id pair counts, the 0.8
     * threshold, and the keep flag — all recomputed independently. */
   private def semanticDedupOracle: String = {
-    val cents = lastTrainedSem.getOrElse(Similarity.hyperplanes(8, 64, 11L))
+    val cents = OracleDump.resolve(semCache, lastTrainedSem)
+      .getOrElse(Similarity.hyperplanes(8, 64, 11L))
     val rows = cents.zipWithIndex.map {
       case (c, i) => s"($i, ${vecLit(c)})"
     }

@@ -931,7 +931,10 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_no"))
     chunks
-      .withColumn("n_tok", nTok)
+      // long: bpe_doc_count is LongType (document sums are unbounded);
+      // the proxy counter is cast up so the layout schema is
+      // counter-independent (specs run the proxy, t24 the trained scalar)
+      .withColumn("n_tok", nTok.cast("long"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
       .withColumn("cum_after", sum(col("n_tok")).over(w))
       .select(col("shard"), col("doc_id"), col("chunk_no"), col("n_tok"),
@@ -966,11 +969,11 @@ object TextQueries {
       |@FIXPOINT,
       |tok AS (
       |  SELECT doc_id, chunk_no,
-      |         CAST(sum(wcc.cnt * d.ntok) AS INTEGER) AS n_tok
+      |         CAST(sum(wcc.cnt * d.ntok) AS BIGINT) AS n_tok
       |  FROM wcc JOIN done d ON d.w = wcc.w GROUP BY 1, 2),
       |t AS (
       |  SELECT ch.doc_id, ch.chunk_no,
-      |         CAST(coalesce(tok.n_tok, 0) AS INTEGER) AS n_tok,
+      |         CAST(coalesce(tok.n_tok, 0) AS BIGINT) AS n_tok,
       |         CAST(ch.doc_id % 32 AS INTEGER) AS shard
       |  FROM ch LEFT JOIN tok USING (doc_id, chunk_no)),
       |s AS (
@@ -2093,9 +2096,19 @@ object TextQueries {
     * BPE query ran is a dump-ordering bug and fails fast (r15 advice:
     * loud beats a confusing diff). */
   private def bpeMergesCte(caller: String): String = {
-    val merges = lastBpe.getOrElse(throw new IllegalStateException(
-      s"$caller oracle dumped before any trained-BPE query ran in this " +
-        "JVM — run the query first (Verify does; ad-hoc dumps must too)"))
+    val merges = OracleDump.resolve(bpeCache, lastBpe)
+      .getOrElse(throw new IllegalStateException(
+        s"$caller oracle dumped before any trained-BPE query ran in this " +
+          "JVM — run the query first (Verify does; ad-hoc dumps must too)"))
+    // Bpe.train legitimately returns ZERO merges when no pair repeats in
+    // the sample (BpeSpec pins that); `VALUES` with no rows is a SYNTAX
+    // error, so a degenerate corpus must fail loudly here, not as an
+    // unrunnable oracle in the driver's compare (r16 advice).
+    if (merges.isEmpty) throw new IllegalStateException(
+      s"$caller oracle: the trained BPE merge table is EMPTY (no word " +
+        "pair repeats in the training sample) — the recursive-CTE oracle " +
+        "cannot express a zero-row VALUES; train on a non-degenerate " +
+        "corpus or widen the sample")
     val rows = merges.zipWithIndex
       .map { case ((a, b), i) => s"(${sqlStr(a + " " + b)}, $i)" }
     s"""m(pair, rank) AS (VALUES

@@ -11,7 +11,7 @@ class SequencePackSpec extends SparkSpec {
 
   test("packing is gapless, in-budget, and monotone per shard") {
     val rows = TextQueries.sequencePack(spark, sf)
-      .as[(Int, Long, Int, Int, Int, Int)].collect()
+      .as[(Int, Long, Int, Long, Int, Int)].collect()
       .sortBy(r => (r._1, r._2, r._3)) // shard, doc_id, chunk_no
     assert(rows.nonEmpty)
     rows.groupBy(_._1).values.foreach { shard =>
@@ -42,7 +42,7 @@ class SequencePackSpec extends SparkSpec {
     val budget = 256
     Seq(32, 128).foreach { shards =>
       val rows = TextQueries.packLayout(base, shards, budget)
-        .as[(Int, Long, Int, Int, Int, Int)].collect()
+        .as[(Int, Long, Int, Long, Int, Int)].collect()
         .sortBy(r => (r._1, r._2, r._3))
       assert(rows.map(_._1).distinct.forall(s => s >= 0 && s < shards))
       var totalTok = 0L

@@ -97,14 +97,15 @@ class BpeSpec extends SparkSpec {
     val got = texts.toDF("doc_id", "text")
       .selectExpr("doc_id", "bpe_doc_count(text) AS n")
       .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     texts.foreach { case (id, t) =>
       val want =
         if (t == null) None
-        else Some(Bpe.pretokenize(t).map(w => Bpe.countTokens(w, ranks)).sum)
+        else Some(Bpe.pretokenize(t)
+          .map(w => Bpe.countTokens(w, ranks).toLong).sum)
       assert(got(id) == want, s"doc $id: got ${got(id)} want $want")
     }
-    assert(got(3L) == Some(0) && got(4L) == Some(0) && got(5L).isEmpty)
+    assert(got(3L) == Some(0L) && got(4L) == Some(0L) && got(5L).isEmpty)
   }
 
   test("BpeTable memo: cached and uncached paths agree word-for-word, " +
