@@ -59,6 +59,16 @@ object Bench {
     * routine bench run (it is the one bench file under version control). */
   val QueryRefFile = "BENCH_QUERY_REF.json"
 
+  /** Extra interleaved passes over min-flagged queries (r16 verdict item
+    * 1: the driver's r16 run proved 3 interleaved samples can ALL be
+    * episode-poisoned — wall 3× the quiet record, six min flags, zero of
+    * which reproduced on a quiet box). Re-sampling ONLY the flagged set
+    * is cheap (flagged queries are few) and makes a surviving min flag
+    * require base+extra consecutive poisoned samples — the gate itself
+    * becomes episode-proof instead of relying on a human re-true.
+    * Override with SPARK_GRAFT_BENCH_RESAMPLE (0 disables). */
+  val DefaultResamplePasses = 4
+
   /** Regression floor: a query below this cost in BOTH runs is all
     * scheduler noise at sf0.1 (0.07 s queries routinely double); the gate
     * only fires when the current median is material. */
@@ -154,20 +164,58 @@ object Bench {
     // minutes apart makes a poisoned median require two independent
     // episode hits. Per-query timing semantics are unchanged (same
     // noop-write force, same median).
-    val samples = (1 to runs).flatMap { _ =>
-      selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val t = try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
-        name -> t
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
       }
-    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    val baseSamples = (1 to runs).flatMap { _ =>
+      selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    }
+    // committed reference snapshot — read before sampling ends so the
+    // re-sample-on-flag pass below can consult it
+    val refTimes = {
+      val refFile = java.nio.file.Paths.get(QueryRefFile)
+      if (java.nio.file.Files.exists(refFile))
+        parseQueryTimes(java.nio.file.Files.readString(refFile))
+      else Map.empty[String, Double]
+    }
+    // re-sample-on-flag (r16 verdict item 1): if any query's MIN over the
+    // base passes exceeds the gate, give exactly those queries extra
+    // interleaved passes before judging. A real regression stays flagged
+    // (every extra pass is slow too); an episode-poisoned flag clears the
+    // moment one quiet sample lands. The merged sample set feeds the
+    // final medians/mins, so a resampled query's reported numbers carry
+    // MORE evidence, not different methodology.
+    val resamplePasses = sys.env.get("SPARK_GRAFT_BENCH_RESAMPLE")
+      .map(_.toInt).getOrElse(DefaultResamplePasses).max(0)
+    val provisionalMins = baseSamples.groupBy(_._1).map { case (n, ts) =>
+      val vs = ts.map(_._2)
+      n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }
+    val flaggedSet = regressions(provisionalMins, refTimes).map(_._1).toSet
+    val extraSamples =
+      if (flaggedSet.isEmpty || resamplePasses == 0) Seq.empty
+      else {
+        System.err.println(s"[bench] re-sampling min-flagged queries " +
+          s"(${resamplePasses} extra passes): " +
+          flaggedSet.toSeq.sorted.mkString(", "))
+        (1 to resamplePasses).flatMap { _ =>
+          selected.collect { case (name, fn) if flaggedSet(name) =>
+            name -> timeOne(name, fn)
+          }
+        }
+      }
+    val samples = (baseSamples ++ extraSamples)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = selected.map { case (name, _) =>
       val times = samples(name)
       if (times.contains(-1.0)) failed ::= name
@@ -199,12 +247,6 @@ object Bench {
     // is flagged in the output line itself even when the total stays
     // inside the guardrail. Surfaced, not fatal — the drift band is
     // documented and the judge/driver read the flag in context.
-    val refTimes = {
-      val refFile = java.nio.file.Paths.get(QueryRefFile)
-      if (java.nio.file.Files.exists(refFile))
-        parseQueryTimes(java.nio.file.Files.readString(refFile))
-      else Map.empty[String, Double]
-    }
     def regJson(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (q, t, r) => f"""{"q":"$q","now":$t%.3f,"ref":$r%.3f}""" }
         .mkString("[", ",", "]")
@@ -228,8 +270,14 @@ object Bench {
       System.err.println(
         s"[bench] INFO median exceedances (>${MedianInfoFactor}x ref, " +
           s"min-gate may still pass): $medRegs")
+    // which queries got extra evidence, and how many samples each ended
+    // with — a reader of a surviving flag needs to know it survived the
+    // re-sample, not just the base passes
+    val resampled = flaggedSet.toSeq.sorted
+      .map(q => "\"" + q + "\":" + samples(q).size)
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"best_total":$bestTotal,"regressions":$regs,"median_exceedances":$medRegs,"wall":$wall}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"best_total":$bestTotal,"regressions":$regs,"median_exceedances":$medRegs,"resampled":$resampled,"wall":$wall}"""
     println(json)
     // also land the full JSON in a file: the driver's log-tail capture has
     // truncated the stdout line before (r4 clipped e01/e02); the file is

@@ -957,13 +957,16 @@ object SimilarityQueries {
     * sits in a wide gap, so engine/DuckDB last-ulp cosine divergence
     * cannot flip a pair.
     *
-    * The 100 TB shape: assignment is one narrow pass (native IvfCell
-    * argmin, centroids broadcast inside the expression); the only
-    * shuffle is the cell equi-join; the in-cell quadratic is bounded by
-    * cell size, which the cluster count controls. Oracled via the s07
-    * dump-time pattern: the trained centroids are embedded as VALUES
-    * and DuckDB recomputes assignment, in-cell pairs, cosine, and the
-    * survivor rule independently. */
+    * The 100 TB shape: assignment is one narrow pass (native IvfCells
+    * argmin-2, centroids broadcast inside the expression); the only
+    * corpus-wide shuffle is the (cell, sub) equi-join (the cell-size
+    * table is ≤ k rows and broadcasts); the in-cell quadratic is
+    * bounded by cell size, which the adaptive cluster count controls
+    * until its 1024 ceiling and the [[SemCellCap]] second-nearest split
+    * bounds past it. Oracled via the s07 dump-time pattern: the trained
+    * centroids are embedded as VALUES and DuckDB recomputes assignment,
+    * the split, in-cell pairs, cosine, and the survivor rule
+    * independently. */
   /** s13's own quantizer cache: unlike s07's fixed k=8 (whose 64-vs-4096
     * plan pins depend on that contract), the SemDeDup cluster count is
     * THE scale knob — k = clamp(8, 1024, N/1000), so cells stay
@@ -978,9 +981,11 @@ object SimilarityQueries {
 
   /** The adaptive cluster count: cells stay ~1000-membered, so the
     * in-cell quadratic is corpus-linear until the 1024 cap (~1M
-    * vectors; past that, raise the cap with the cluster fleet — the
-    * knob is one constant). Public so the clamp floor/ceiling are
-    * spec'd, not narrated (SimilaritySpec). */
+    * vectors). Past the cap, cells that outgrow [[SemCellCap]] split by
+    * second-nearest centroid before pair generation (r16 verdict item
+    * 2) — the quadratic stays bounded with no retraining and no fleet
+    * knob. Public so the clamp floor/ceiling are spec'd, not narrated
+    * (SimilaritySpec). */
   def semK(n: Long): Int =
     math.max(8L, math.min(1024L, n / 1000L)).toInt
 
@@ -996,9 +1001,30 @@ object SimilarityQueries {
     cents
   }
 
-  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.FloatCosine.register(spark)
-    val emb = scan(spark, sfDir, "embeddings")
+  /** Oversize-cell cap: cells whose membership exceeds this split by
+    * SECOND-nearest centroid before the in-cell quadratic. The adaptive
+    * [[semK]] keeps cells ~2000-membered (corpus + replicas) until its
+    * 1024 ceiling (~1M vectors); past the ceiling cells regrow as
+    * 2N/1024, and at ~2M vectors they cross this cap — the split then
+    * bounds the quadratic again WITHOUT retraining (the sub-key is the
+    * rn=2 row of the same (dist, cell) order the rn=1 assignment uses,
+    * so the oracle mirrors it exactly). The recall cost is the SemDeDup
+    * cell-boundary blind spot applied one level down: near-dups whose
+    * second-nearest centroids differ are no longer compared — accepted
+    * and documented, like the paper's first level. 4096 ≈ 2× the design
+    * cell size, so the split only activates where the geometry has
+    * already outgrown the adaptive-k band (never at the gate SFs or the
+    * ×10/×100 cells — SemSubBucketSpec proves activation and bounds on
+    * a planted hot cell instead). */
+  val SemCellCap = 4096
+
+  /** The sub-bucketed keyed assignment behind [[semanticDedup]], public
+    * for SemSubBucketSpec: (vec_id, cell, sub, vf) where `sub` is the
+    * second-nearest cell for members of oversize cells and -1 (one
+    * bucket, the pre-split behavior) everywhere else. Pair generation
+    * joins on (cell, sub). */
+  def semKeyed(emb: DataFrame, cents: Array[Array[Double]],
+               cap: Int): DataFrame = {
     // v (double) drives the cell argmin; vf (float) drives the pair
     // cosine through the native fused FloatCosine — the interpreted
     // zip_with/aggregate fold was the whole cost at bench scale
@@ -1014,18 +1040,45 @@ object SimilarityQueries {
       transform(col("v"), x => x + lit(0.01)).as("v"))
       .withColumn("vf", col("v").cast("array<float>"))
     val assigned = base.unionByName(planted)
-      .withColumn("cell",
-        Similarity.assignCell(col("v"), semCentroids(spark, sfDir)))
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      .withColumn("cc", Similarity.assignCells(col("v"), cents, 2))
+      .select(col("vec_id"), col("vf"),
+        col("cc")(0).as("cell"), col("cc")(1).as("cell2"))
+    // cell sizes: ≤ k rows (k ≤ 1024), broadcast onto the corpus — the
+    // split predicate costs one tiny aggregate, no corpus-wide shuffle
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+    assigned.join(broadcast(sizes), "cell")
+      .select(col("vec_id"), col("cell"),
+        when(col("cell_n") > cap, col("cell2")).otherwise(lit(-1))
+          .as("sub"),
+        col("vf"))
+  }
+
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedupLayout(spark, scan(spark, sfDir, "embeddings"),
+      semCentroids(spark, sfDir), SemCellCap)
+
+  /** The full SemDeDup pipeline over a caller-supplied corpus/quantizer/
+    * cap — [[semanticDedup]] binds the harness corpus and [[SemCellCap]];
+    * SemSubBucketSpec binds a planted hot cell and a small cap to
+    * value-check the SPLIT-ACTIVE path against a plain-Scala brute force
+    * (the gate SFs keep the production cap dormant by design, so the
+    * driver's oracle can't exercise it). */
+  def semanticDedupLayout(spark: SparkSession, emb: DataFrame,
+                          cents: Array[Array[Double]],
+                          cap: Int): DataFrame = {
+    graft.functions.FloatCosine.register(spark)
+    val keyed = semKeyed(emb, cents, cap)
+    val a = keyed.select(col("cell"), col("sub"), col("vec_id").as("id_a"),
       col("vf").as("vfa"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+    val b = keyed.select(col("cell"), col("sub"), col("vec_id").as("id_b"),
       col("vf").as("vfb"))
-    val lowerDups = a.join(b, "cell")
+    val lowerDups = a.join(b, Seq("cell", "sub"))
       .where(col("id_a") < col("id_b"))
       .where(expr("float_cosine(vfa, vfb)") >= 0.8)
       .groupBy(col("id_b")).agg(count(lit(1)).as("n_dups"))
-    assigned.join(lowerDups, assigned("vec_id") === lowerDups("id_b"), "left")
-      .select(assigned("vec_id"), col("cell"),
+    keyed.join(lowerDups, keyed("vec_id") === lowerDups("id_b"), "left")
+      .select(keyed("vec_id"), col("cell"),
         coalesce(col("n_dups"), lit(0L)).as("n_sem_dups"),
         when(col("n_dups").isNull, lit(1)).otherwise(lit(0)).as("keep_flag"))
   }
@@ -1034,8 +1087,10 @@ object SimilarityQueries {
     * adaptively-sized trained centroids (the s07 `lastTrained` contract,
     * separate cache): assignment
     * argmin (ties → lowest cell, matching IvfCell's strict <), the
-    * planted +0.1 replicas, in-cell lower-id pair counts, the 0.8
-    * threshold, and the keep flag — all recomputed independently. */
+    * planted +0.1 replicas, the oversize-cell second-nearest split (the
+    * rn=2 row of the SAME (dist, cell) window — IvfCells' probe order),
+    * in-(cell, sub) lower-id pair counts, the 0.8 threshold, and the
+    * keep flag — all recomputed independently. */
   private def semanticDedupOracle: String = {
     val cents = OracleDump.resolve(semCache, lastTrainedSem)
       .getOrElse(Similarity.hyperplanes(8, 64, 11L))
@@ -1055,16 +1110,27 @@ object SimilarityQueries {
        |  SELECT e.vec_id, ct.cell, list_distance(e.v, ct.c) AS dist
        |  FROM all_e e, cents ct),
        |assign AS (
-       |  SELECT d.vec_id, d.cell, e.vf FROM (
-       |    SELECT vec_id, cell,
-       |           row_number() OVER (PARTITION BY vec_id
-       |                              ORDER BY dist, cell) AS rn
-       |    FROM dists) d
-       |  JOIN all_e e USING (vec_id) WHERE d.rn = 1),
+       |  SELECT d.vec_id, d.cell, d.cell2, e.vf FROM (
+       |    SELECT vec_id,
+       |           max(CASE WHEN rn = 1 THEN cell END) AS cell,
+       |           max(CASE WHEN rn = 2 THEN cell END) AS cell2
+       |    FROM (
+       |      SELECT vec_id, cell,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                                ORDER BY dist, cell) AS rn
+       |      FROM dists) WHERE rn <= 2 GROUP BY vec_id) d
+       |  JOIN all_e e USING (vec_id)),
+       |sz AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+       |k AS (
+       |  SELECT a.vec_id, a.cell,
+       |         CASE WHEN s.n > ${SemCellCap} THEN a.cell2 ELSE -1 END
+       |           AS sub,
+       |         a.vf
+       |  FROM assign a JOIN sz s USING (cell)),
        |p AS (
        |  SELECT b.vec_id, count(*) AS n
-       |  FROM assign a JOIN assign b
-       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  FROM k a JOIN k b
+       |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
        |  WHERE list_cosine_similarity(a.vf, b.vf) >= 0.8
        |  GROUP BY 1)
        |SELECT a.vec_id, a.cell,

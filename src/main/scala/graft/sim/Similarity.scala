@@ -654,6 +654,16 @@ object Similarity {
   def assignCell(v: Column, centroids: Array[Array[Double]]): Column =
     exprCol(graft.functions.IvfCell(colExpr(v), centroids))
 
+  /** The IvfCells argmin-k as a bare Column: the `n` nearest cells in
+    * (squared distance asc, cell asc) order — element 0 is assignCell's
+    * argmin, element 1 the SECOND-nearest cell. s13's oversize-cell
+    * sub-bucketing keys on element 1 (a deterministic split that needs
+    * no extra training and that DuckDB mirrors as the rn=2 row of the
+    * same window the rn=1 assignment already uses). */
+  def assignCells(v: Column, centroids: Array[Array[Double]],
+                  n: Int): Column =
+    exprCol(graft.functions.IvfCells(colExpr(v), centroids, n))
+
   def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {

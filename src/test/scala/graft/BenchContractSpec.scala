@@ -19,6 +19,14 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.DefaultRuns >= 3)
   }
 
+  test("min-flagged queries get extra evidence by default (re-sample-on-flag)") {
+    // r16: the driver's bench run was episode-poisoned across ALL 3
+    // interleaved passes (wall 3x the quiet record, six min flags, none
+    // reproducible on a quiet box) — a surviving flag must have outlived
+    // base + extra passes, so the default extra count must be material
+    assert(Bench.DefaultResamplePasses >= 2)
+  }
+
   test("median of clean runs is the middle value") {
     assert(Bench.medianOrFail(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.medianOrFail(Seq(5.0)) == 5.0)
