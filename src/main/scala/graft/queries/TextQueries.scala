@@ -2423,5 +2423,103 @@ object TextQueries {
       Some(winnowSubstringDedupOracle)),
     NamedQuery("t39_bpe_tokenize", bpeTokenize, None,
       oracleFn = Some(() => bpeTokenizeOracle)),
+    NamedQuery("t40_quality_classifier", qualityClassifier, None,
+      oracleFn = Some(() => qualityClassifierOracle)),
   )
+
+  // -----------------------------------------------------------------
+  // t40 — trained discriminative quality classifier
+  // -----------------------------------------------------------------
+
+  /** Training-sample bound for t40 — the trainCentroids contract (one
+    * bounded deterministic collect per JVM per dir: hash slice,
+    * id-ordered cap). */
+  val NbMaxSample = 512
+
+  private val nbCache =
+    new scala.collection.concurrent.TrieMap[String, graft.functions.NbTable]()
+  @volatile private var lastNb: Option[graft.functions.NbTable] = None
+
+  /** Labels: `lang = 'en'` — the reference-distribution-vs-rest framing
+    * of the GPT-3 classifier filter (train on a slice labeled by a
+    * trusted signal, score the whole corpus). The harness corpus is
+    * synthetic with a near-shared vocabulary across langs, so the
+    * LEARNED margin is weak here by construction — NbQualitySpec proves
+    * separation on a planted separable corpus; this binding proves the
+    * corpus-scale plumbing and the oracle. */
+  private def trainedNb(spark: SparkSession,
+                        sfDir: String): graft.functions.NbTable = {
+    val t = nbCache.getOrElseUpdate(sfDir, {
+      val sample = scan(spark, sfDir, "documents")
+        .where(pmod(xxhash64(col("doc_id")), lit(4L)) === 0)
+        .where(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("id"), col("text"),
+          (col("lang") <=> lit("en")).as("label"))
+        .sort(col("id")).limit(NbMaxSample)
+        .collect().map(r => (r.getString(1), r.getBoolean(2))).toSeq
+      graft.functions.NbQuality.train(sample)
+    })
+    lastNb = Some(t)
+    t
+  }
+
+  /** t40 — the trained classifier-filter stage (fastText-shape hashed
+    * unigram+bigram Naive Bayes; see [[graft.functions.NbQuality]]):
+    * score every document with the trained log-odds and gate on sign.
+    *
+    * 100 TB shape: ZERO exchanges — the weight table (fixed 4096 Longs)
+    * and bias ride the task closure into one codegen scalar; scoring is
+    * scan-side map work that parallelizes per input split. Training is
+    * one bounded collect. Scores are scaled-integer Longs, so the
+    * dump-time VALUES oracle re-derives them EXACTLY (rolling hash and
+    * integer sums replayed in SQL — no float-order caveat anywhere). */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.NbQuality.register(spark, trainedNb(spark, sfDir))
+    scan(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("nb_quality_score(text)").as("score_1e9"))
+      .withColumn("pred", (col("score_1e9") > 0L).cast("int"))
+  }
+
+  /** DuckDB twin of t40, built at dump time from the trained table: the
+    * full 4096-bucket weight VALUES (dense — collisions and untouched
+    * buckets included), the same pretokenizer, the same `w1_w2` bigram
+    * formation over the FILTERED word list, the same base-31 rolling
+    * hash mod 1048573 folded to 4096, integer sums, strict sign gate. */
+  private def qualityClassifierOracle: String = {
+    val t = OracleDump.resolve(nbCache, lastNb)
+      .getOrElse(throw new IllegalStateException(
+        "t40 oracle dumped before t40_quality_classifier ran in this " +
+          "JVM — run the query first (Verify does; ad-hoc dumps must too)"))
+    val rows = t.weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }
+    s"""WITH wv(b, w) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |d AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+       |                     x -> x <> '') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id,
+       |         unnest(ws || list_transform(range(1, len(ws)),
+       |                        i -> ws[i] || '_' || ws[i + 1])) AS feat
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id,
+       |         list_reduce(
+       |           [CAST(0 AS BIGINT)] ||
+       |           list_transform(range(1, length(feat) + 1),
+       |             i -> CAST(unicode(substr(feat, CAST(i AS INT), 1)) AS BIGINT)),
+       |           (a, c) -> (a * 31 + c) % 1048573) % 4096 AS b
+       |  FROM f),
+       |s AS (
+       |  SELECT h.doc_id, SUM(wv.w) AS fsum
+       |  FROM h JOIN wv USING (b) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(${t.bias} + coalesce(s.fsum, 0) AS BIGINT) AS score_1e9,
+       |       CASE WHEN ${t.bias} + coalesce(s.fsum, 0) > 0
+       |            THEN 1 ELSE 0 END AS pred
+       |FROM d LEFT JOIN s USING (doc_id)""".stripMargin
+  }
 }
