@@ -958,12 +958,16 @@ object SimilarityQueries {
     * cannot flip a pair.
     *
     * The 100 TB shape: assignment is one narrow pass (native IvfCells
-    * argmin-2, centroids broadcast inside the expression); the only
-    * corpus-wide shuffle is the (cell, sub) equi-join (the cell-size
-    * table is ≤ k rows and broadcasts); the in-cell quadratic is
-    * bounded by cell size, which the adaptive cluster count controls
-    * until its 1024 ceiling and the [[SemCellCap]] second-nearest split
-    * bounds past it. Oracled via the s07 dump-time pattern: the trained
+    * argmin-2, centroids broadcast inside the expression) feeding ONE
+    * cell-keyed corpus exchange that everything downstream reuses —
+    * HashPartitioning(cell) satisfies the pair join's (cell, sub)
+    * clustering AND the final (id, cell) aggregation's, so the split
+    * sizes (partition-local count window over ~cell-sized runs), the
+    * self-join, and the keep-flag aggregation all run on that single
+    * materialized stage with zero further corpus shuffles (ReusedExchange,
+    * spec-pinned). The in-cell quadratic is bounded by cell size, which
+    * the adaptive cluster count controls until its 1024 ceiling and the
+    * [[SemCellCap]] second-nearest split bounds past it. Oracled via the s07 dump-time pattern: the trained
     * centroids are embedded as VALUES and DuckDB recomputes assignment,
     * the split, in-cell pairs, cosine, and the survivor rule
     * independently. */
@@ -1039,17 +1043,34 @@ object SimilarityQueries {
     val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("v"), x => x + lit(0.01)).as("v"))
       .withColumn("vf", col("v").cast("array<float>"))
-    val assigned = base.unionByName(planted)
+    // ONE corpus exchange, keyed by cell — HashPartitioning(cell)
+    // satisfies the pair join's ClusteredDistribution(cell, sub) (sub is
+    // a function of rows inside a cell), so no second shuffle is ever
+    // needed, and both self-join sides consume the SAME materialized
+    // stage (ReusedExchange — the s16/t38 pattern, pinned in
+    // SemSubBucketSpec). Cell sizes come from a partition-local count
+    // window over the already-exchanged data (cells are ~2·semK-target
+    // rows, so the in-partition sort is bounded), replacing the r17-draft
+    // broadcast-aggregate that re-scanned and re-assigned the corpus.
+    // Net per run: 2 scans, ONE argmin pass, one corpus exchange — the
+    // pre-r17 shape paid 8 scans and 4 argmin passes (3 consumers plus
+    // the size aggregate, no stage reuse because the keep-flag branch
+    // pruned vf out of its copy of the subtree).
+    base.unionByName(planted)
       .withColumn("cc", Similarity.assignCells(col("v"), cents, 2))
+      // coalesce makes cell/sub NON-NULLABLE (array extraction is
+      // nullable to Catalyst even though ivfcells never returns nulls):
+      // otherwise the join infers isnotnull filters on the build side's
+      // copy of this subtree only, the copies stop canonicalizing equal,
+      // and the stage cache materializes the exchange twice.
       .select(col("vec_id"), col("vf"),
-        col("cc")(0).as("cell"), col("cc")(1).as("cell2"))
-    // cell sizes: ≤ k rows (k ≤ 1024), broadcast onto the corpus — the
-    // split predicate costs one tiny aggregate, no corpus-wide shuffle
-    val sizes = assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("cell_n"))
-    assigned.join(broadcast(sizes), "cell")
+        coalesce(col("cc")(0), lit(-1)).as("cell"),
+        coalesce(col("cc")(1), lit(-1)).as("cell2"))
+      .repartition(col("cell"))
+      .withColumn("cell_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
       .select(col("vec_id"), col("cell"),
-        when(col("cell_n") > cap, col("cell2")).otherwise(lit(-1))
+        coalesce(when(col("cell_n") > cap, col("cell2")), lit(-1))
           .as("sub"),
         col("vf"))
   }
@@ -1073,14 +1094,26 @@ object SimilarityQueries {
       col("vf").as("vfa"))
     val b = keyed.select(col("cell"), col("sub"), col("vec_id").as("id_b"),
       col("vf").as("vfb"))
-    val lowerDups = a.join(b, Seq("cell", "sub"))
-      .where(col("id_a") < col("id_b"))
-      .where(expr("float_cosine(vfa, vfb)") >= 0.8)
-      .groupBy(col("id_b")).agg(count(lit(1)).as("n_dups"))
-    keyed.join(lowerDups, keyed("vec_id") === lowerDups("id_b"), "left")
-      .select(keyed("vec_id"), col("cell"),
-        coalesce(col("n_dups"), lit(0L)).as("n_sem_dups"),
-        when(col("n_dups").isNull, lit(1)).otherwise(lit(0)).as("keep_flag"))
+    // LEFT OUTER pair join: every a-row survives (null b when no lower-id
+    // neighbor), so the per-vector dup count AND the keep flag fall out
+    // of ONE aggregation over the join — no third consumption of `keyed`
+    // for a keep-flag join-back. (A third consumer needed only
+    // (vec_id, cell); column pruning then rewrote its copy of the keyed
+    // subtree without vf, the copies stopped canonicalizing equal, and
+    // the stage cache materialized the scan+argmin THREE times.)
+    // n_sem_dups counts the LOWER-id near-dups of each vector — the same
+    // quantity the old (id_a < id_b GROUP BY id_b) form produced.
+    a.join(b,
+        a("cell") === b("cell") && a("sub") === b("sub") &&
+          b("id_b") < a("id_a") &&
+          expr("float_cosine(vfa, vfb)") >= 0.8,
+        "left_outer")
+      .groupBy(a("id_a"), a("cell"))
+      .agg(count(col("id_b")).as("n_sem_dups"))
+      .select(col("id_a").as("vec_id"), col("cell"),
+        col("n_sem_dups"),
+        when(col("n_sem_dups") === 0L, lit(1)).otherwise(lit(0))
+          .as("keep_flag"))
   }
 
   /** DuckDB twin of semanticDedup, built at dump time from the

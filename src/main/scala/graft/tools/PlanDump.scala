@@ -30,7 +30,7 @@ object PlanDump {
     "e24_data_audit" -> "N quality checks on ONE scan + LeftAnti FK sweep",
     "t25_span_dedup" -> "substring-window dedup: narrow window hashing, map-side-combined counts, 8-byte-key shuffle join (no WindowExec buffering)",
     "t26_token_budget_mix" -> "token-budget mix: one shuffle, per-source running cumsum",
-    "s13_semantic_dedup" -> "SemDeDup: narrow IvfCell assignment (centroids in the expression), in-cell equi-join + native fused cosine",
+    "s13_semantic_dedup" -> "SemDeDup: narrow IvfCells argmin-2 assignment (centroids in the expression) -> ONE cell-keyed corpus exchange reused by the split-size window, BOTH pair-join sides, and the keep-flag aggregation (HashPartitioning(cell) satisfies every downstream clustering; ReusedExchange spec-pinned) -> native fused cosine over in-(cell,sub) pairs",
     "s14_ann_quantized" -> "quantized ANN: int8 coarse scan (native int_dot, floats never shuffle) -> broadcast candidate fetch + exact FloatCosine rerank",
     "t28_epoch_shuffle" -> "epoch shuffle: doc_id-only scan, ONE (epoch,shard)-keyed shuffle, shard-local sort — no global row_number single-partition window",
     "t29_fuzzy_neardup" -> "candidates-fed fuzzy verify: LSH band join -> THRESHOLD-BOUNDED prefix-200 levenshtein(a,b,20) (banded DP, internal length-gap early exit — spec-pinned) + Jaro-Winkler on CANDIDATE pairs; flat route at this SF — duplicate-heavy corpora take the exact-collapse route (byte-identity key), verified route-equal in FuzzyCollapseSpec",

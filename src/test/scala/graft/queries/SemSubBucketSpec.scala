@@ -134,4 +134,35 @@ class SemSubBucketSpec extends SparkSpec {
       s"sf0.001 has a $maxCell-member cell — the spec's 'dormant at " +
         "gate SFs' claim is stale; re-derive the cap story")
   }
+
+  test("the keyed assignment materializes ONCE: both pair-join sides " +
+    "read one reused cell exchange (r17 plan pin)") {
+    // pre-r17, the keep-flag branch pruned vf out of its copy of the
+    // keyed subtree and inferred-isnotnull filters rewrote the build
+    // side's copy — the copies stopped canonicalizing equal and the
+    // scan+argmin pass ran 3-4x per query. The left-outer reform plus
+    // non-nullable keys restored stage-cache reuse; this pin fails if
+    // either regression returns.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val k = SimilarityQueries.semK(emb.count())
+    val trained = Similarity.trainCentroids(emb, k = k,
+      maxSample = math.max(1024, 16 * k))
+    val df = SimilarityQueries.semanticDedupLayout(spark, emb, trained,
+      SimilarityQueries.SemCellCap)
+    df.collect()
+    // AdaptiveSparkPlan prints the final plan AND the pre-AQE initial
+    // plan; count nodes in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      "no ReusedExchange in the final adaptive plan — the keyed " +
+        "assignment is being materialized more than once:\n" +
+        plan.take(4000))
+    val repartitions = "REPARTITION_BY_COL".r
+      .findAllMatchIn(plan).size
+    val reused = "ReusedExchange".r.findAllMatchIn(plan).size
+    assert(repartitions - reused == 1,
+      s"$repartitions cell-exchange materializations for $reused reuses " +
+        "— expected exactly one materialized pass:\n" + plan.take(4000))
+  }
 }
