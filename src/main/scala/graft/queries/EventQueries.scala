@@ -338,16 +338,22 @@ object EventQueries {
 
     // Child session for the replay: shares the SparkContext but isolates
     // conf. The dominant replay cost is state-store commits (one delta
-    // write per state partition per micro-batch, and each feed step runs
-    // a data batch PLUS a watermark-advance no-data batch) — 4 state
-    // partitions instead of 32 and no-data batches off cut the commit
-    // count ~16x with zero semantic change (the flush sentinel advances
-    // the watermark explicitly, so no-data batches are redundant here).
-    // This tunes the REPLAY HARNESS only: a production run of the same
-    // operator sizes state partitions to the real key cardinality.
+    // write per state partition per micro-batch) — 4 state partitions
+    // instead of 32 cut that ~8x with zero semantic change. This tunes
+    // the REPLAY HARNESS only: a production run of the same operator
+    // sizes state partitions to the real key cardinality.
+    //
+    // No-data micro-batches stay ENABLED (the default) deliberately:
+    // they are what applies each batch's watermark advance mid-stream,
+    // so append-mode emission and the late-drop path run live between
+    // feed steps. An r17 draft disabled them for speed and the
+    // lateness-zeroing mutant SURVIVED — the watermark never advanced
+    // until the flush, every window finalized at the end, and the row
+    // was a stream-shaped replay with inert watermark semantics. With
+    // them on, lateness->0 drops the ~28 boundary-crossing sf0.01 rows
+    // and the driver gate catches it (kill recorded in BASELINE r17).
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import ss.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
@@ -373,10 +379,12 @@ object EventQueries {
       try {
         batches.foreach { b => mem.addData(b); q.processAllAvailable() }
         // TWO flush sentinels: the watermark a batch computes only takes
-        // effect in the NEXT batch, and with no-data micro-batches off
-        // there is no next batch unless we feed one — sentinel 1 advances
-        // the watermark past every real window's close, sentinel 2 runs
-        // the batch that actually emits those finalized windows.
+        // effect in a LATER batch. With no-data micro-batches enabled the
+        // engine runs that later batch itself, so sentinel 1 alone
+        // suffices; sentinel 2 stays as a belt-and-braces emission batch
+        // so the tail windows flush even if the no-data conf changes
+        // (an r17 draft with them off lost 15 tail windows at sf0.01
+        // until the second sentinel — the driver gate caught it).
         val maxTs = rows.iterator.map(_._2.getTime).max
         Seq(4, 8).foreach { h =>
           mem.addData((-1L, new Timestamp(maxTs + h * 3600 * 1000L),
