@@ -419,6 +419,85 @@ object EventQueries {
 
   private val ev10Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** ev11 — the STATEFUL streaming path made driver-visible (the ev10
+    * pattern applied to the custom state machine): replay the whole
+    * events corpus through [[StreamOps.sessionize]] —
+    * flatMapGroupsWithState, per-key session state, update output mode,
+    * real micro-batches and state stores — reduce the update stream to
+    * final sessions, and hash against the SAME DuckDB oracle as the
+    * batch twin ev02. The stream==batch equivalence spec proved this
+    * identity in-suite since r13; this query surfaces it in
+    * CORRECTNESS_r{N}.json.
+    *
+    * Feed discipline: TIME-SORTED batches — mapGroupsWithState carries
+    * no watermark, so its contract is in-order-per-key arrival (the
+    * production shape: fed by a watermark-sorted/deduped upstream).
+    * NoTimeout per the [[StreamOps.sessionize]] scaladoc: a
+    * processing-time-timeout query never goes idle under
+    * processAllAvailable; gap splits still happen batch-to-batch.
+    * Update-mode rows grow n_events monotonically at a fixed
+    * session_start, so max(n) per (user, start) is the converged count
+    * and session_seq is the per-user rank of the start — ev02's shape. */
+  def streamSessionsReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.sql.Timestamp
+
+    val rows = readEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP)).collect()
+      .sortBy(r => (r._2.getTime, r._1))
+    val batches = rows.grouped(1 + rows.length / 15).toSeq
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sinkName = s"ev11_sink_${ev10Runs.incrementAndGet()}"
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isWritable(ckptBase))
+        java.nio.file.Files.createTempDirectory(ckptBase, "graft_ev11_")
+      else java.nio.file.Files.createTempDirectory("graft_ev11_")
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update").start()
+    val out =
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        ss.table(sinkName)
+          .groupBy(col("user_id"), col("session_start"))
+          .agg(max(col("n_events")).as("n_events"))
+          .withColumn("session_seq", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("session_start")))
+            .cast("long"))
+          .select(col("user_id"), col("session_seq"), col("n_events"))
+          .collect()
+      } finally {
+        q.stop()
+        ss.catalog.dropTempView(sinkName)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("session_seq",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** ev10's feed partition: bucket by `ts + (event_id % 4) * 30 min` in
     * 2-day cohorts — a multi-batch, bounded-disorder replay (jitter >
     * window length, < watermark lateness). Factored out so the spec can
@@ -436,6 +515,8 @@ object EventQueries {
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("ev10_stream_hourly_replay", streamHourlyReplay,
       Some(hourlyOracle)),
+    NamedQuery("ev11_stream_sessions_replay", streamSessionsReplay,
+      Some(sessionsOracle)),
     NamedQuery("ev09_windowed_distinct", windowedDistinct,
       Some(windowedDistinctOracle)),
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),

@@ -42,4 +42,18 @@ class Ev10ReplaySpec extends SparkSpec {
       s"incremental path diverged: stream-only=${(streamed -- batch).take(3)}" +
         s" batch-only=${(batch -- streamed).take(3)}")
   }
+
+  test("ev11: stateful sessionize replay == ev02 batch twin on the " +
+    "sf0.001 corpus (set identity)") {
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = EventQueries.streamSessionsReplay(spark, sf)
+      .collect().map(key).toSet
+    val batch = EventQueries.sessions(spark, sf)
+      .select($"user_id", $"session_seq".cast("long"), $"n_events")
+      .collect().map(key).toSet
+    assert(batch.size > 500, s"batch twin lost its corpus: ${batch.size}")
+    assert(streamed == batch,
+      s"stateful path diverged: stream-only=${(streamed -- batch).take(3)}" +
+        s" batch-only=${(batch -- streamed).take(3)}")
+  }
 }
