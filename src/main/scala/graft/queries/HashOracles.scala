@@ -208,7 +208,10 @@ object HashOracles {
     "t27" -> ("SELECT CAST(-1 AS BIGINT) AS batch_id, CAST(-1 AS BIGINT) AS corpus_id, " +
       "CAST(-1 AS DOUBLE) AS jaccard"),
     "t29" -> ("SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b, " +
-      "CAST(-1 AS INTEGER) AS dist, CAST(-1 AS DOUBLE) AS jw"))
+      "CAST(-1 AS INTEGER) AS dist, CAST(-1 AS DOUBLE) AS jw"),
+    "t41" -> ("SELECT CAST(-1 AS BIGINT) AS id, 'ORACLE NEVER RAN' AS text, " +
+      "CAST(-1 AS BIGINT) AS match_id, CAST(-1 AS DOUBLE) AS match_jaccard, " +
+      "CAST(-1 AS INTEGER) AS passed"))
 
   private def bandValues(corpus: Array[(Long, String)]): String =
     corpus.flatMap { case (id, t) =>
@@ -270,8 +273,13 @@ object HashOracles {
     case None => neverRanSql("t27")
     case Some(d) =>
       val corpusValues = bandValues(d)
-      val batchValues = bandValues(d.filter(_._1 % 10 == 0)
-        .map { case (id, t) => (id + 1000000L, t + " nightly batch") })
+      def novelText(id: Long) =
+        s"zyq wubrak vexilo $id cromulent frobz nixplat gorvane thrubix"
+      val batchValues = bandValues(
+        d.filter(_._1 % 10 == 0)
+          .map { case (id, t) => (id + 1000000L, t + " nightly batch") } ++
+        d.filter(_._1 % 10 == 5)
+          .map { case (id, _) => (id + 2000000L, novelText(id + 2000000L)) })
       s"""WITH bbc(id, band, bucket) AS (VALUES
          |  $corpusValues),
          |bbb(id, band, bucket) AS (VALUES
@@ -279,7 +287,12 @@ object HashOracles {
          |corpus(id, text) AS (SELECT doc_id, text FROM documents),
          |batch(id, text) AS (
          |  SELECT doc_id + 1000000, text || ' nightly batch'
-         |  FROM documents WHERE doc_id % 10 = 0),
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         'zyq wubrak vexilo ' || (doc_id + 2000000)
+         |           || ' cromulent frobz nixplat gorvane thrubix'
+         |  FROM documents WHERE doc_id % 10 = 5),
          |cand AS (
          |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
          |  FROM bbb b JOIN bbc c
@@ -297,6 +310,66 @@ object HashOracles {
          |  JOIN gb b ON b.id = cd.batch_id)
          |SELECT batch_id, corpus_id, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.5""".stripMargin
+  }
+
+  /** t41: the streaming ingest gate's oracle — t27's embedded-signature
+    * machinery (both slices' band buckets recomputed at dump time by the
+    * plain-Scala reference implementations) extended to the gate's
+    * verdict shape: per batch doc, the best corpus match (highest
+    * Jaccard, ties → lowest corpus id — the engine's min_by struct
+    * order, compared on the UNROUNDED jac so rounding can't flip a
+    * near-tie) and the passed flag, with every batch doc surviving via
+    * the LEFT JOIN exactly as the annotated sink keeps flagged rows. */
+  def streamIngestGateOracle: String = docs() match {
+    case None => neverRanSql("t41")
+    case Some(d) =>
+      val corpusValues = bandValues(d)
+      def novelText(id: Long) =
+        s"zyq wubrak vexilo $id cromulent frobz nixplat gorvane thrubix"
+      val batchValues = bandValues(
+        d.filter(_._1 % 10 == 0)
+          .map { case (id, t) => (id + 1000000L, t + " nightly batch") } ++
+        d.filter(_._1 % 10 == 5)
+          .map { case (id, _) => (id + 2000000L, novelText(id + 2000000L)) })
+      s"""WITH bbc(id, band, bucket) AS (VALUES
+         |  $corpusValues),
+         |bbb(id, band, bucket) AS (VALUES
+         |  $batchValues),
+         |corpus(id, text) AS (SELECT doc_id, text FROM documents),
+         |batch(id, text) AS (
+         |  SELECT doc_id + 1000000, text || ' nightly batch'
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         'zyq wubrak vexilo ' || (doc_id + 2000000)
+         |           || ' cromulent frobz nixplat gorvane thrubix'
+         |  FROM documents WHERE doc_id % 10 = 5),
+         |cand AS (
+         |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+         |  FROM bbb b JOIN bbc c
+         |    ON b.band = c.band AND b.bucket = c.bucket),
+         |gc AS (SELECT id, ${gramsSql("text")} AS grams FROM corpus),
+         |gb AS (SELECT id, ${gramsSql("text")} AS grams FROM batch),
+         |j AS (
+         |  SELECT cd.batch_id, cd.corpus_id,
+         |         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |         CAST(len(a.grams) + len(b.grams)
+         |              - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |           AS jac
+         |  FROM cand cd
+         |  JOIN gc a ON a.id = cd.corpus_id
+         |  JOIN gb b ON b.id = cd.batch_id),
+         |best AS (
+         |  SELECT batch_id, corpus_id AS match_id,
+         |         round(jac, 6) AS match_jaccard
+         |  FROM (SELECT batch_id, corpus_id, jac,
+         |               row_number() OVER (PARTITION BY batch_id
+         |                                  ORDER BY jac DESC, corpus_id) AS rn
+         |        FROM j WHERE jac >= 0.5)
+         |  WHERE rn = 1)
+         |SELECT b.id, b.text, best.match_id, best.match_jaccard,
+         |       CASE WHEN best.match_id IS NULL THEN 1 ELSE 0 END AS passed
+         |FROM batch b LEFT JOIN best ON b.id = best.batch_id""".stripMargin
   }
 
   /** t29: the candidates-fed fuzzy verify. Candidates from embedded band

@@ -2431,7 +2431,104 @@ object TextQueries {
       oracleFn = Some(() => bpeTokenizeOracle)),
     NamedQuery("t40_quality_classifier", qualityClassifier, None,
       oracleFn = Some(() => qualityClassifierOracle)),
+    NamedQuery("t41_stream_ingest_gate", streamIngestGate, None,
+      oracleFn = Some(() => HashOracles.streamIngestGateOracle)),
   )
+
+  /** t41 — the streaming ingest GATE made driver-visible (completing the
+    * streaming trio with ev10's watermarked aggregation and ev11's
+    * stateful sessionizer): t27's nightly batch (every 10th doc,
+    * perturbed, id + 1e6) replayed through [[StreamOps.startNearDupGate]]
+    * — real foreachBatch micro-batches, a checkpointed exactly-once
+    * parquet file sink, each batch LSH-gated against the full corpus —
+    * then the annotated sink read back and hashed against a DuckDB
+    * oracle that re-derives every verdict from dump-time embedded band
+    * signatures (the t27 machinery extended to the gate's best-match /
+    * passed-flag shape; see [[HashOracles.streamIngestGateOracle]]).
+    *
+    * Scale shape: the operator under test is
+    * [[graft.dedup.Dedup.nearDupAgainst]] per micro-batch — batch side
+    * broadcast, corpus text never shuffles — plus the transactional file
+    * sink; the driver-side collect here is the replay harness reading
+    * the finished sink for the dump, not the operator. */
+  def streamIngestGate(spark: SparkSession, sfDir: String): DataFrame = {
+    HashOracles.record(spark, sfDir)
+
+    // two planted populations so BOTH gate verdicts are live: perturbed
+    // copies of every 10th doc (must be flagged) and derivable NOVEL
+    // docs off the 10k+5 slice (share no 5-gram shingle with any corpus
+    // text -> must pass). Both are pure SQL functions of doc_id so the
+    // oracle rebuilds them exactly.
+    val dupes = scan(spark, sfDir, "documents")
+      .where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" nightly batch")).as("text"))
+    val novel = scan(spark, sfDir, "documents")
+      .where(pmod(col("doc_id"), lit(10)) === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("zyq wubrak vexilo "),
+          (col("doc_id") + 2000000L).cast("string"),
+          lit(" cromulent frobz nixplat gorvane thrubix")).as("text"))
+    val batchRows = dupes.unionByName(novel)
+      .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)).collect()
+    // 4 deterministic micro-batches: enough to exercise multi-batch
+    // foreachBatch + sink transactionality; verdicts are per-doc so the
+    // batching cannot change them
+    val feed = batchRows.groupBy(_._1 % 4).toSeq.sortBy(_._1).map(_._2.toSeq)
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    val scratchBase = java.nio.file.Paths.get("/dev/shm")
+    def tmp(prefix: String) =
+      if (java.nio.file.Files.isWritable(scratchBase))
+        java.nio.file.Files.createTempDirectory(scratchBase, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    val sinkDir = tmp("graft_t41_sink_")
+    val ckptDir = tmp("graft_t41_ckpt_")
+
+    val corpus = ss.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.startNearDupGate(
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id",
+      threshold = 0.5, path = sinkDir.toString,
+      checkpoint = ckptDir.toString)
+    val out =
+      try {
+        feed.foreach { b => mem.addData(b); q.processAllAvailable() }
+        ss.read.parquet(sinkDir.toString)
+          .select(col("id"), col("text"), col("match_id"),
+            col("match_jaccard"), col("passed"))
+          .collect()
+      } finally {
+        q.stop()
+        import scala.jdk.CollectionConverters._
+        Seq(sinkDir, ckptDir).foreach { p =>
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("match_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("match_jaccard",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("passed",
+          org.apache.spark.sql.types.IntegerType))))
+  }
 
   // -----------------------------------------------------------------
   // t40 — trained discriminative quality classifier
