@@ -48,6 +48,7 @@ object PlanDump {
     "t37_bpe_token_count" -> "trained-BPE token accounting: merge table rides the task closure into the codegen bpe_count scalar — NO join, text off every exchange; (doc,word) counts map-side-combine, apply runs once per distinct word per doc",
     "t38_winnow_substring_dedup" -> "winnowed substring dedup: native winnow_prints keeps the stride-1 gram explosion AND the sliding min in one codegen pass (~2n/W prints reach the first exchange, no WindowExec); pairs via the df-capped two-phase form off a shared print-keyed Exchange (ReusedExchange, spec-pinned)",
     "t39_bpe_tokenize" -> "trained-BPE tokenize-for-export: scan -> generate -> bpe_tokens codegen scalar -> generate, ZERO exchanges — merge and id tables ride the task closure, tokenization parallelizes per input split with nothing global",
+    "t40_quality_classifier" -> "trained hashed-ngram NB quality gate: ONE codegen scalar (nb_quality_score) whose 4096-Long weight table + bias ride the task closure — ZERO exchanges, scan-side map work; integer log-odds so the dump-time VALUES oracle re-derives scores exactly",
     "s19_ann_ivfpq" -> "IVF-PQ ANN: narrow cell assign + per-subspace residual PQ encode, integer-ADC scoring over PROBED cells only with the per-cell qnorm2 term carried, exact float rerank of the top-K only",
     "s20_cluster_balanced_sample" -> "cluster-balanced sampling: narrow fused-argmin cell assign, vectors DROPPED before the one cell-keyed exchange ((vec_id,cell) only), partial WindowGroupLimit caps each task at quota rows per cell",
   )

@@ -74,7 +74,8 @@ class HashOraclesSpec extends SparkSpec {
       "s04" -> Seq("id_a", "id_b", "hamming"),
       "t09" -> Seq("doc_id", "chunk_no", "chunk"),
       "t27" -> Seq("batch_id", "corpus_id", "jaccard"),
-      "t29" -> Seq("id_a", "id_b", "dist", "jw"))
+      "t29" -> Seq("id_a", "id_b", "dist", "jw"),
+      "t41" -> Seq("id", "text", "match_id", "match_jaccard", "passed"))
     HashOracles.neverRanSql.foreach { case (q, sql) =>
       val df = spark.sql(sql)
       assert(df.columns.toSeq == wantCols(q),
