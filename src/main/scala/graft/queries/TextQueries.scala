@@ -2433,6 +2433,8 @@ object TextQueries {
       oracleFn = Some(() => qualityClassifierOracle)),
     NamedQuery("t41_stream_ingest_gate", streamIngestGate, None,
       oracleFn = Some(() => HashOracles.streamIngestGateOracle)),
+    NamedQuery("t42_source_mix_alloc", sourceMixAlloc,
+      Some(sourceMixAllocOracle)),
   )
 
   /** t41 — the streaming ingest GATE made driver-visible (completing the
@@ -2625,4 +2627,103 @@ object TextQueries {
        |            THEN 1 ELSE 0 END AS pred
        |FROM d LEFT JOIN s USING (doc_id)""".stripMargin
   }
+
+  // -----------------------------------------------------------------
+  // t42 — temperature-weighted source mixing allocation
+  // -----------------------------------------------------------------
+
+  /** t42 — the data-mixing WEIGHTS stage (the alpha/temperature
+    * sampling of multilingual C4 — Xue et al. 2021, §3.1 — and the
+    * Pile/LLaMA source mixes; t26 is the per-source admission stage
+    * these quotas would feed): each source's share of a fixed token
+    * budget is proportional to n_tokens^alpha with alpha = 1/2 —
+    * up-weighting tail sources, flattening the head — apportioned to
+    * integers by the largest-remainder (Hare) rule, so quotas sum to
+    * the budget EXACTLY whenever any source has tokens.
+    *
+    * Engine-exactness: the only non-integer step is sqrt, which IEEE
+    * 754 requires correctly rounded in both engines; the weight is
+    * fixed-pointed as floor(sqrt(n_tokens) * 2^20) and everything
+    * downstream (floor-div quota, remainder rank, +1 top-up) is 64-bit
+    * integer arithmetic — no libm pow/ln ULP ever crosses the engine
+    * boundary (the t33 priority-sampling discipline). Headroom:
+    * budget * weight stays under 2^63 for corpora to ~7e13 tokens
+    * (~300 TB of text); past that, widen the product to decimal(38,0).
+    *
+    * The 100 TB shape: ONE corpus pass, text never shuffles — the
+    * scan-side map reduces each doc to (source, n_tok) and the partial
+    * aggregate collapses to |sources| rows before the single
+    * source-keyed exchange. Totals, residuals, and the remainder rank
+    * are window functions OVER THE TINY PER-SOURCE TABLE (deliberately
+    * NOT agg + crossJoin re-references, which would fork the lineage
+    * into three corpus scans unless exchange reuse holds — the t23
+    * pruning trap); the single-partition windows see |sources| rows. */
+  def sourceMixAlloc(spark: SparkSession, sfDir: String): DataFrame =
+    mixAllocLayout(scan(spark, sfDir, "documents"), budget = 1000000L)
+
+  /** The apportionment core behind [[sourceMixAlloc]], public for
+    * specs: input (source, text), output one row per source with its
+    * integer quota. */
+  def mixAllocLayout(docs: DataFrame, budget: Long): DataFrame = {
+    graft.functions.TokensOf.register(docs.sparkSession)
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy().rowsBetween(
+      W.unboundedPreceding, W.unboundedFollowing)
+    docs
+      .select(col("source"),
+        size(expr("tokens_of(text)")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1048576.0))
+          .cast("long"))
+      .withColumn("w_total", sum(col("weight")).over(wAll))
+      .withColumn("quota_floor",
+        when(col("w_total") > 0, expr(s"(${budget}L * weight) div w_total"))
+          .otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("w_total") > 0, expr(s"(${budget}L * weight) % w_total"))
+          .otherwise(lit(0L)))
+      .withColumn("resid",
+        lit(budget) - sum(col("quota_floor")).over(wAll))
+      .withColumn("rk",
+        row_number().over(W.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        (col("quota_floor") +
+          when(col("rk") <= col("resid") && col("weight") > 0, lit(1L))
+            .otherwise(lit(0L))).cast("long").as("quota"))
+  }
+
+  private val sourceMixAllocOracle =
+    """WITH tok AS (
+      |  SELECT source,
+      |         len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                         x -> len(x) > 0)) AS n_tok
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+      |  FROM tok GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT)
+      |           AS weight
+      |  FROM per),
+      |q AS (
+      |  SELECT source, n_docs, n_tokens, weight,
+      |         CASE WHEN w_total > 0 THEN (1000000 * weight) // w_total
+      |              ELSE 0 END AS quota_floor,
+      |         CASE WHEN w_total > 0 THEN (1000000 * weight) % w_total
+      |              ELSE 0 END AS rem
+      |  FROM (SELECT w.*, sum(weight) OVER () AS w_total FROM w)),
+      |r AS (
+      |  SELECT q.*,
+      |         1000000 - sum(quota_floor) OVER () AS resid,
+      |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM q)
+      |SELECT source, n_docs, n_tokens, weight,
+      |       CAST(quota_floor + CASE WHEN rk <= resid AND weight > 0
+      |                               THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM r""".stripMargin
 }

@@ -51,6 +51,7 @@ object PlanDump {
     "t40_quality_classifier" -> "trained hashed-ngram NB quality gate: ONE codegen scalar (nb_quality_score) whose 4096-Long weight table + bias ride the task closure — ZERO exchanges, scan-side map work; integer log-odds so the dump-time VALUES oracle re-derives scores exactly",
     "s19_ann_ivfpq" -> "IVF-PQ ANN: narrow cell assign + per-subspace residual PQ encode, integer-ADC scoring over PROBED cells only with the per-cell qnorm2 term carried, exact float rerank of the top-K only",
     "s20_cluster_balanced_sample" -> "cluster-balanced sampling: narrow fused-argmin cell assign, vectors DROPPED before the one cell-keyed exchange ((vec_id,cell) only), partial WindowGroupLimit caps each task at quota rows per cell",
+    "t42_source_mix_alloc" -> "temperature mixing weights (alpha=1/2) + largest-remainder apportionment: corpus collapses to (source, n_tok) at the scan, ONE source-keyed exchange with map-side combine, the total/residual/rank windows run on the |sources|-row table — integer-exact end to end (sqrt is the only float op, correctly rounded by IEEE in both engines)",
   )
 
   def main(args: Array[String]): Unit = {
