@@ -1311,9 +1311,11 @@ object TextQueries {
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
     bigramLayout(scan(spark, sfDir, "documents"))
 
-  /** The scoring core behind [[bigramLogprob]], public for specs: input
-    * (doc_id, text), output (doc_id, n_bigrams, nll). */
-  def bigramLayout(docs: DataFrame): DataFrame = {
+  /** The (doc_id, w1, w2) bigram occurrence stream parked at ONE
+    * (w1, w2)-keyed Exchange — the staging shared by t34 (MLE) and t43
+    * (Kneser-Ney); every consumer lineage re-enters through this one
+    * exchange (AQE stage reuse, sameResult by construction). */
+  private def bigramStream(docs: DataFrame): DataFrame = {
     graft.functions.TokensOf.register(docs.sparkSession)
     // No explicit >=2-token filter: it would be pushed below the staging
     // projection with tokens_of inlined into the Filter (a second
@@ -1323,7 +1325,7 @@ object TextQueries {
     // slice length legal for 0-token docs.
     val n = size(col("ts"))
     val bgLen = greatest(n - 1, lit(0))
-    val bg = docs
+    docs
       .select(col("doc_id"), expr("tokens_of(text)").as("ts"))
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("ts"), lit(1), bgLen),
@@ -1338,6 +1340,12 @@ object TextQueries {
         coalesce(col("b.0"), lit("")).as("w1"),
         coalesce(col("b.1"), lit("")).as("w2"))
       .repartition(col("w1"), col("w2"))
+  }
+
+  /** The scoring core behind [[bigramLogprob]], public for specs: input
+    * (doc_id, text), output (doc_id, n_bigrams, nll). */
+  def bigramLayout(docs: DataFrame): DataFrame = {
+    val bg = bigramStream(docs)
     // count(doc_id), not count(*): keeps the aggregate subtree's input
     // columns identical to the probe side's so the two lineages stay
     // sameResult and land on one Exchange (the t23 pruning trap).
@@ -2435,6 +2443,8 @@ object TextQueries {
       oracleFn = Some(() => HashOracles.streamIngestGateOracle)),
     NamedQuery("t42_source_mix_alloc", sourceMixAlloc,
       Some(sourceMixAllocOracle)),
+    NamedQuery("t43_kneser_ney_logprob", knBigramLogprob,
+      Some(knBigramLogprobOracle)),
   )
 
   /** t41 — the streaming ingest GATE made driver-visible (completing the
@@ -2726,4 +2736,108 @@ object TextQueries {
       |       CAST(quota_floor + CASE WHEN rk <= resid AND weight > 0
       |                               THEN 1 ELSE 0 END AS BIGINT) AS quota
       |FROM r""".stripMargin
+
+  // -----------------------------------------------------------------
+  // t43 — interpolated Kneser-Ney bigram LM scoring
+  // -----------------------------------------------------------------
+
+  /** t43 — t34's bigram score under the smoothing real LM filters
+    * actually run (Kneser & Ney 1995; the interpolated form of Chen &
+    * Goodman 1998, eq. 4.25, with fixed discount D = 0.75 — the KenLM
+    * default order-2 shape):
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1,·)
+    *            + (D·N1+(w1,·)/c(w1,·)) · N1+(·,w2)/N1+(·,·)
+    *
+    * MLE (t34) assigns boilerplate transitions probability ~1 and rare
+    * ones their raw frequency; KN discounts every observed count by D
+    * and redistributes the held-out mass through CONTINUATION counts —
+    * how many distinct contexts a word follows — so a word that only
+    * ever appears inside one fixed phrase ("Francisco") scores low in
+    * novel contexts even when frequent. Only observed bigrams are
+    * scored (the probe joins occurrences), so every p > 0 without
+    * needing the unigram backoff row.
+    *
+    * Engine-exactness: all counts are integers; p is evaluated in the
+    * SAME parenthesization in both engines (each IEEE op correctly
+    * rounded → bit-identical doubles into ln — the t34 precedent), each
+    * −ln(p) addend widens to DECIMAL(38,18) before SUM, mean divides in
+    * double at the end.
+    *
+    * The 100 TB shape: corpus-scale rows cross exactly TWO exchanges —
+    * the shared (w1,w2) bigram staging (one Exchange, reused by the
+    * frequency aggregate and the probe; see [[bigramStream]]) and the
+    * final per-doc aggregation. The three model tables are
+    * vocabulary²-scale re-aggregations of `bfreq`: context totals +
+    * fan-out N1+(w1,·) in ONE groupBy, continuation counts N1+(·,w2) in
+    * another, and the type total N1+(·,·) as a 1-row broadcast summed
+    * off ctx (NOT a fourth pass over corpus-scale shuffle data). Every
+    * consumer references `bc`, so column pruning cannot de-unify the
+    * staged exchange (the t23 trap). */
+  def knBigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    knBigramLayout(scan(spark, sfDir, "documents"))
+
+  /** The scoring core behind [[knBigramLogprob]], public for specs:
+    * input (doc_id, text), output (doc_id, n_bigrams, nll). */
+  def knBigramLayout(docs: DataFrame): DataFrame = {
+    val bg = bigramStream(docs)
+    val bfreq = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(col("doc_id")).as("bc"))
+    // Type counts must reference bc's VALUE, not just its rows: a bare
+    // count(bc) over the non-nullable bc is rewritten to count(1) by
+    // NullPropagation, bc (and transitively doc_id) is then pruned from
+    // that lineage's copy of the staging, and the shared (w1,w2)
+    // exchange splits into a second corpus scan + tokenization (the t23
+    // trap one rewrite deeper — measured on the cont lineage). The
+    // otherwise-less CASE is nullable to the optimizer, so bc survives;
+    // bc >= 1 always, so the value is the plain row count.
+    val typeCount = count(when(col("bc") >= 1, lit(1)))
+    val ctx = bfreq.groupBy(col("w1"))
+      .agg(sum(col("bc")).as("cc"), typeCount.as("n1f"))
+    val cont = bfreq.groupBy(col("w2")).agg(typeCount.as("n1b"))
+    val tot = ctx.agg(coalesce(sum(col("n1f")), lit(0L))
+      .cast("long").as("n1tot"))
+    val p = (col("bc").cast("double") - lit(0.75)) / col("cc").cast("double") +
+      ((lit(0.75) * col("n1f").cast("double")) / col("cc").cast("double")) *
+        (col("n1b").cast("double") / col("n1tot").cast("double"))
+    bg.join(bfreq, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (sum((-log(p)).cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("nll").cast("decimal(28,6)").cast("double").as("nll"))
+  }
+
+  private val knBigramLogprobOracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                     x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(ts[1:len(ts)-1]) AS w1,
+      |         unnest(ts[2:len(ts)]) AS w2
+      |  FROM tok WHERE len(ts) >= 2),
+      |bfreq AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(bc) AS cc,
+      |               count(CASE WHEN bc >= 1 THEN 1 END) AS n1f
+      |        FROM bfreq GROUP BY 1),
+      |cont AS (SELECT w2, count(CASE WHEN bc >= 1 THEN 1 END) AS n1b
+      |         FROM bfreq GROUP BY 1),
+      |tot AS (SELECT CAST(coalesce(sum(n1f), 0) AS BIGINT) AS n1tot FROM ctx)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(CAST(CAST(SUM(CAST(-ln(
+      |              ((CAST(bc AS DOUBLE) - 0.75) / CAST(cc AS DOUBLE))
+      |            + (((0.75 * CAST(n1f AS DOUBLE)) / CAST(cc AS DOUBLE))
+      |               * (CAST(n1b AS DOUBLE) / CAST(n1tot AS DOUBLE))))
+      |                            AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+      |            AS DECIMAL(28,6)) AS DOUBLE) AS nll
+      |FROM bg JOIN bfreq USING (w1, w2) JOIN ctx USING (w1)
+      |        JOIN cont USING (w2), tot
+      |GROUP BY doc_id""".stripMargin
 }
