@@ -1401,5 +1401,40 @@ object SimilarityQueries {
       oracleFn = Some(() => annIvfPqOracle)),
     NamedQuery("s20_cluster_balanced_sample", clusterBalancedSample, None,
       oracleFn = Some(() => clusterBalancedSampleOracle)),
+    NamedQuery("s21_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
   )
+
+  /** s21 — hard-negative mining for contrastive training (DPR,
+    * Karpukhin et al. 2020 §4.2): for every query vector (the
+    * corpus-scaling `vec_id % 97` slice), the 5 most-similar vectors
+    * with a DIFFERENT label — the high-similarity non-matches a
+    * contrastive loss actually learns from. Same-label rows (and the
+    * query itself, transitively) are excluded in the join condition,
+    * before any similarity is computed. Exactness baseline in s01's
+    * broadcast shape; the corpus×corpus mining pass swaps the candidate
+    * stage for the s07/s02 bucket joins with the same exclusion
+    * predicate pushed into the candidate join. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = scan(spark, sfDir, "embeddings")
+    Similarity.hardNegatives(
+      emb.where(pmod(col("vec_id"), lit(97)) === 0), emb, k = 5)
+  }
+
+  private val hardNegativesOracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+      |                  label AS q_label
+      |           FROM embeddings WHERE vec_id % 97 = 0),
+      |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+      |                  label AS neighbor_label
+      |           FROM embeddings),
+      |     s AS (SELECT query_id, neighbor_id, neighbor_label,
+      |                  list_cosine_similarity(qv, cv) AS sim
+      |           FROM c, q WHERE q_label <> neighbor_label),
+      |     r AS (SELECT query_id, neighbor_id, neighbor_label, sim,
+      |                  row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY sim DESC, neighbor_id) AS rank
+      |           FROM s)
+      |SELECT query_id, rank, neighbor_id, neighbor_label,
+      |       round(sim, 6) AS sim
+      |FROM r WHERE rank <= 5""".stripMargin
 }

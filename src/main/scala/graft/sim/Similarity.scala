@@ -66,6 +66,37 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training (the BM25/ANN negative
+    * selection of DPR — Karpukhin et al. 2020 §4.2 — and the in-batch
+    * hard negatives of SimCSE/E5): for each query vector, the top-k
+    * most-similar corpus vectors with a DIFFERENT label — the
+    * high-similarity non-matches that actually move a contrastive loss;
+    * same-label rows (including the query itself) are positives and are
+    * excluded in the join condition, before any similarity is computed.
+    *
+    * Exactness baseline like [[bruteForceTopK]] (queries broadcast, one
+    * corpus scan, per-query top-k); at corpus×corpus mining scale the
+    * candidate stage swaps for the IVF/LSH bucket joins (s07/s02) with
+    * the same label-exclusion predicate pushed into the candidate join. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    graft.functions.FloatCosine.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("q_label") =!= col("neighbor_label"))
+      .withColumn("sim", expr("float_cosine(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
     * weights in [-1, 1), seeded — reproducible across runs and cluster
     * sizes (no RNG state on executors). */

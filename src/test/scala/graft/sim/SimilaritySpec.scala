@@ -412,6 +412,50 @@ class SimilaritySpec extends SparkSpec {
       s"candidate generation must be the bucket equi-join:\n$s")
   }
 
+  test("hard negatives: the nearest SAME-label vector is excluded; the " +
+    "mined negative is the best cross-label one") {
+    // query [1,0] label 0; a near-identical same-label vector (the
+    // positive — must NOT be mined) and two cross-label candidates
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.05f), 0), // same label: excluded despite sim≈1
+      (2L, Seq(0.9f, 0.3f), 1), // best cross-label
+      (3L, Seq(0.5f, 0.8f), 2),
+      (4L, Seq(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      rows.where(col("vec_id") === 0), rows, k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(!out.exists(_.getAs[Int]("neighbor_label") == 0),
+      "no same-label row may ever be mined as a negative")
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hard negatives on the corpus: k per query, never the query's " +
+    "label, label filter runs inside the broadcast join") {
+    val queries = emb.where(col("vec_id") < 5)
+    val df = Similarity.hardNegatives(queries, emb, k = 5)
+    val out = df.collect()
+    val qLabels = queries.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.length == qLabels.size * 5)
+    out.foreach { r =>
+      assert(r.getAs[Int]("neighbor_label") !=
+        qLabels(r.getAs[Long]("query_id")))
+    }
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast:\n$s")
+    // the exclusion is a join CONDITION — positives die before any
+    // cosine is computed, not in a post-join filter above the window
+    assert("BroadcastNestedLoopJoin BuildRight, Cross, NOT".r
+      .findFirstIn(s).isDefined,
+      s"label exclusion must sit in the join condition:\n$s")
+  }
+
   test("quantize8 matches s09's arithmetic and stays within int8 range") {
     val r = emb.limit(50)
       .select(Similarity.quantize8(col("embedding")).as("q"))
