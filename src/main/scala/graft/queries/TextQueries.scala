@@ -2445,6 +2445,8 @@ object TextQueries {
       Some(sourceMixAllocOracle)),
     NamedQuery("t43_kneser_ney_logprob", knBigramLogprob,
       Some(knBigramLogprobOracle)),
+    NamedQuery("t44_token_fertility", tokenFertility, None,
+      oracleFn = Some(() => tokenFertilityOracle)),
   )
 
   /** t41 — the streaming ingest GATE made driver-visible (completing the
@@ -2840,4 +2842,92 @@ object TextQueries {
       |FROM bg JOIN bfreq USING (w1, w2) JOIN ctx USING (w1)
       |        JOIN cont USING (w2), tot
       |GROUP BY doc_id""".stripMargin
+
+  // -----------------------------------------------------------------
+  // t44 — tokenizer fertility / compression per language
+  // -----------------------------------------------------------------
+
+  /** t44 — the tokenizer-evaluation stage (fertility and compression,
+    * the per-language metrics of the XLM-R/BLOOM tokenizer analyses;
+    * e.g. Rust et al. 2021, "How Good is Your Tokenizer?"): per
+    * language, bytes-per-trained-token (compression) and trained
+    * tokens per whitespace word (fertility) under the SAME trained BPE
+    * t24/t26/t37/t39 budget and count with. A language whose fertility
+    * is far above the corpus mean is under-served by the merge table —
+    * the signal that drives vocabulary rebalancing before a multi-
+    * lingual run.
+    *
+    * Engine-exactness: integer sums only (counts commute), ONE double
+    * division per output ratio, rounded to 6dp — no order-dependent
+    * float accumulation anywhere. The 100 TB shape: zero-join,
+    * single-exchange — both counters (`bpe_doc_count`, the trained
+    * fixpoint scalar; `tokens_of` size) run in the same codegen'd
+    * scan-side projection, text dies at the scan, and the |langs|-row
+    * aggregate combines map-side. */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    fertilityLayout(scan(spark, sfDir, "documents"),
+      trainedBpe(spark, sfDir))
+
+  /** The metric core behind [[tokenFertility]], public for specs: input
+    * (lang, n_chars, text) scored under the given merge table. */
+  def fertilityLayout(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.TokensOf.register(docs.sparkSession)
+    graft.functions.Bpe.register(docs.sparkSession, merges)
+    docs
+      .select(col("lang"), col("n_chars"),
+        coalesce(expr("bpe_doc_count(text)").cast("long"), lit(0L))
+          .as("n_bpe"),
+        size(expr("tokens_of(text)")).cast("long").as("n_ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"),
+        sum(col("n_ws")).cast("long").as("n_ws_tokens"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        col("n_bpe_tokens"), col("n_ws_tokens"),
+        when(col("n_bpe_tokens") > 0,
+          round(col("sum_chars").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6)).as("chars_per_token"),
+        when(col("n_ws_tokens") > 0,
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_ws_tokens").cast("double"), 6)).as("fertility"))
+  }
+
+  /** DuckDB twin of t44 (dump-time: embeds the trained merges and
+    * re-derives every per-doc count through the shared fixpoint). */
+  private def tokenFertilityOracle: String =
+    """WITH RECURSIVE @MERGES,
+      |wx AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS w
+      |  FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS cnt FROM wx
+      |       WHERE w <> '' GROUP BY 1, 2),
+      |v AS (SELECT DISTINCT w FROM wc),
+      |@FIXPOINT,
+      |tok AS (
+      |  SELECT doc_id, CAST(sum(wc.cnt * d.ntok) AS BIGINT) AS n_bpe
+      |  FROM wc JOIN done d ON d.w = wc.w GROUP BY 1),
+      |base AS (
+      |  SELECT d.lang, d.n_chars,
+      |         CAST(coalesce(tok.n_bpe, 0) AS BIGINT) AS n_bpe,
+      |         len(list_filter(string_split_regex(lower(trim(d.text)), '[ \t\n\x0B\f\r]+'),
+      |                         x -> len(x) > 0)) AS n_ws
+      |  FROM documents d LEFT JOIN tok USING (doc_id))
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |       CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+      |       CASE WHEN sum(n_bpe) > 0
+      |            THEN round(CAST(sum(n_chars) AS DOUBLE)
+      |                       / CAST(sum(n_bpe) AS DOUBLE), 6) END
+      |         AS chars_per_token,
+      |       CASE WHEN sum(n_ws) > 0
+      |            THEN round(CAST(sum(n_bpe) AS DOUBLE)
+      |                       / CAST(sum(n_ws) AS DOUBLE), 6) END
+      |         AS fertility
+      |FROM base GROUP BY 1""".stripMargin
+      .replace("@MERGES", bpeMergesCte("t44"))
+      .replace("@FIXPOINT", bpeFixpointCtes)
 }
