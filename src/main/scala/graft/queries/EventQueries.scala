@@ -498,6 +498,110 @@ object EventQueries {
           org.apache.spark.sql.types.LongType))))
   }
 
+  /** ev12 — exactly-once ingestion over an at-least-once feed, made
+    * driver-visible (the fourth streaming row; ev10 covers watermarked
+    * aggregation, ev11 custom state, t41 the foreachBatch sink): the
+    * events corpus replayed through
+    * [[StreamOps.dedupedWindowedCounts]] — dropDuplicatesWithinWatermark
+    * chained INTO the windowed aggregation, two stateful operators in
+    * append mode — with every `event_id % 7 == 0` row REDELIVERED in
+    * the following micro-batch (the at-least-once source contract:
+    * id-identical retries inside the redelivery horizon). The dedup
+    * state absorbs all ~14% planted redeliveries, so the emitted
+    * windows hash against the SAME DuckDB oracle as the batch twin
+    * ev01 — each event counted exactly once (the t31-reuses-t30
+    * pattern: same values by construction; the streaming dedup state
+    * is the point). Ev12ReplaySpec additionally runs the SAME
+    * duplicated feed through the dedup-less [[StreamOps.windowedCounts]]
+    * and pins that the counts DIVERGE — the in-suite twin of the
+    * dedup-removal mutant.
+    *
+    * Feed discipline: ev10's bounded-disorder cohorts (2-day buckets,
+    * 90-min jitter), lateness 96 h — the horizon must cover the
+    * REDELIVERY gap (one full cohort), not just event-time disorder, so
+    * a next-batch duplicate still finds its dedup state alive (state
+    * lives until watermark > event time + lateness). Flush sentinels
+    * (unique ids, excluded from the result) at +120 h/+240 h close the
+    * tail windows through the longer horizon. */
+  def streamDedupReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.sql.Timestamp
+
+    val rows = readEvents(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, Timestamp, String, Double)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.TIMESTAMP,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaDouble)).collect()
+    val batches = duplicatedBatches(boundedDisorderBatches(rows))
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sinkName = s"ev12_sink_${ev10Runs.incrementAndGet()}"
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isWritable(ckptBase))
+        java.nio.file.Files.createTempDirectory(ckptBase, "graft_ev12_")
+      else java.nio.file.Files.createTempDirectory("graft_ev12_")
+    val q = StreamOps.dedupedWindowedCounts(
+        mem.toDF().toDF("event_id", "ts", "event_type", "value"),
+        "1 hour", "96 hours")
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val out =
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        val maxTs = rows.iterator.map(_._2.getTime).max
+        Seq(120, 240).zipWithIndex.foreach { case (h, i) =>
+          mem.addData((-1L - i, new Timestamp(maxTs + h * 3600 * 1000L),
+            "__flush", 0.0))
+          q.processAllAvailable()
+        }
+        ss.table(sinkName)
+          .where(col("event_type") =!= "__flush")
+          .select(date_format(col("window_start"), "yyyy-MM-dd HH")
+            .as("hour"), col("event_type"), col("n"), col("sum_value"))
+          .collect()
+      } finally {
+        q.stop()
+        ss.catalog.dropTempView(sinkName)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hour",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_value",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** ev12's at-least-once feed: every `event_id % 7 == 0` row of batch
+    * i is REDELIVERED (id-identical) at the head of batch i+1. Public
+    * to the spec, which pins the redelivery count and that the
+    * dedup-less twin diverges on exactly this feed. */
+  private[queries] def duplicatedBatches(
+      batches: Seq[Seq[(Long, java.sql.Timestamp, String, Double)]])
+      : Seq[Seq[(Long, java.sql.Timestamp, String, Double)]] =
+    batches.zipWithIndex.map { case (b, i) =>
+      if (i == 0) b
+      else batches(i - 1).filter(_._1 % 7 == 0) ++ b
+    }
+
   /** ev10's feed partition: bucket by `ts + (event_id % 4) * 30 min` in
     * 2-day cohorts — a multi-batch, bounded-disorder replay (jitter >
     * window length, < watermark lateness). Factored out so the spec can
@@ -517,6 +621,13 @@ object EventQueries {
       Some(hourlyOracle)),
     NamedQuery("ev11_stream_sessions_replay", streamSessionsReplay,
       Some(sessionsOracle)),
+    // ev12 shares ev01/ev10's oracle BY CONSTRUCTION: the planted
+    // redeliveries are absorbed by the dedup state, so the correct
+    // output is each event counted once — the streaming dedup is the
+    // point (the t31-reuses-t30 pattern); Ev12ReplaySpec pins that the
+    // dedup-less twin diverges on the same feed.
+    NamedQuery("ev12_stream_dedup_replay", streamDedupReplay,
+      Some(hourlyOracle)),
     NamedQuery("ev09_windowed_distinct", windowedDistinct,
       Some(windowedDistinctOracle)),
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),

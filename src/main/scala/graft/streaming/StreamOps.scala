@@ -27,6 +27,28 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Exactly-once ingestion over an at-least-once source: drop duplicate
+    * `event_id`s arriving within the watermark horizon, THEN aggregate —
+    * the chained-stateful-operator shape (dedup state feeding windowed
+    * aggregation state, append mode) Spark supports since the 3.5
+    * multi-stateful-operator work. Retries, redeliveries, and replayed
+    * offsets all land as id-identical rows inside the horizon, so the
+    * aggregate sees each event exactly once; dedup state is O(events
+    * within `lateness`), evicted as the watermark passes event time +
+    * lateness — bounded regardless of stream length, like the window
+    * state behind it. `lateness` must cover the source's redelivery
+    * horizon (its at-least-once window), not just event-time disorder.
+    * The dedup stage IS [[dedupStream]] — this is its composition into
+    * a downstream stateful consumer. */
+  def dedupedWindowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                            lateness: String = "2 hours"): DataFrame =
+    dedupStream(events, Seq("event_id"), "ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                  n_events: Long, closed: Boolean)
   // public: Spark's state encoder codegen cannot construct private classes
