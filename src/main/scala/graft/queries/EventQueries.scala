@@ -522,7 +522,13 @@ object EventQueries {
     * a next-batch duplicate still finds its dedup state alive (state
     * lives until watermark > event time + lateness). Flush sentinels
     * (unique ids, excluded from the result) at +120 h/+240 h close the
-    * tail windows through the longer horizon. */
+    * tail windows through the longer horizon.
+    *
+    * Scale shape: the driver-side collect is the deterministic REPLAY
+    * HARNESS (ev10's contract), not the operator — in production
+    * [[StreamOps.dedupedWindowedCounts]] reads a real source and keeps
+    * O(events within lateness) dedup state + O(windows in flight)
+    * aggregation state; nothing in it collects. */
   def streamDedupReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import java.sql.Timestamp
 
@@ -602,6 +608,108 @@ object EventQueries {
       else batches(i - 1).filter(_._1 % 7 == 0) ++ b
     }
 
+  /** ev13 — the stream-stream JOIN made driver-visible (the fifth
+    * streaming row; state shape: both sides' rows retained only for the
+    * join window + lateness — the requirement for an unbounded
+    * stream × stream join to run forever): views and clicks replayed as
+    * TWO MemoryStreams in interleaved bounded-disorder cohorts through
+    * [[StreamOps.clickThroughJoin]] — each view pairs with the clicks of
+    * the same user landing within 4 h AFTER it (click-through
+    * attribution; ev05 is the at-or-BEFORE as-of sibling; 4 h gives the
+    * sf0.01 gate a ~160-pair hash surface where 10 min yields 6) — and the
+    * emitted pairs hashed against a DuckDB oracle that re-derives the
+    * interval join on integer microseconds. The stream==batch identity
+    * was spec-proven in StreamBatchEquivalenceSpec since r13; this row
+    * surfaces it in CORRECTNESS_r{N}.json. Feed discipline per that
+    * spec: 15-min max jitter < 30-min lateness, so nothing is late and
+    * a view's join state (view_ts + window + lateness) always outlives
+    * the latest arrival of its candidate clicks (a boundary-epoch view's
+    * next-cohort clicks arrive while the watermark still trails the
+    * prior cohort's end by the lateness).
+    *
+    * Scale shape: the driver-side collect is the replay harness (ev10's
+    * contract); the operator keeps O(rows within window + lateness)
+    * state per side and never collects. */
+  def streamClickJoinReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.sql.Timestamp
+
+    val ev = readEvents(spark, sfDir)
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, Timestamp, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.scalaLong)).collect()
+    val (viewRows, clickRows) = (side("view"), side("click"))
+
+    val bucketMs = 4L * 24 * 3600 * 1000
+    def jitterMs(id: Long): Long = (id % 4) * 5 * 60 * 1000L
+    def buckets(rows: Array[(Long, Timestamp, Long)]) =
+      rows.groupBy(r => (r._2.getTime + jitterMs(r._1)) / bucketMs)
+    val vB = buckets(viewRows); val cB = buckets(clickRows)
+    val keys = (vB.keySet ++ cB.keySet).toSeq.sorted
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    def sideDf(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val sinkName = s"ev13_sink_${ev10Runs.incrementAndGet()}"
+    val ckptBase = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isWritable(ckptBase))
+        java.nio.file.Files.createTempDirectory(ckptBase, "graft_ev13_")
+      else java.nio.file.Files.createTempDirectory("graft_ev13_")
+    val q = StreamOps.clickThroughJoin(sideDf(vMem), sideDf(cMem),
+        within = "4 hours", lateness = "30 minutes")
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val out =
+      try {
+        keys.foreach { k =>
+          vB.get(k).foreach(b => vMem.addData(b.toSeq))
+          cB.get(k).foreach(b => cMem.addData(b.toSeq))
+          q.processAllAvailable()
+        }
+        ss.table(sinkName)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            unix_micros(col("view_ts")).as("view_us"),
+            unix_micros(col("click_ts")).as("click_us"))
+          .collect()
+      } finally {
+        q.stop()
+        ss.catalog.dropTempView(sinkName)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(
+        Seq("user_id", "view_id", "click_id", "view_us", "click_us").map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType))))
+  }
+
+  private val streamClickJoinOracle =
+    """WITH v AS (SELECT user_id, event_id AS view_id,
+      |                  epoch_ns(ts) // 1000 AS view_us
+      |           FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id, event_id AS click_id,
+      |                  epoch_ns(ts) // 1000 AS click_us
+      |           FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id, view_us, click_us
+      |FROM v JOIN c USING (user_id)
+      |WHERE click_us >= view_us
+      |  AND click_us <= view_us + 14400000000""".stripMargin
+
   /** ev10's feed partition: bucket by `ts + (event_id % 4) * 30 min` in
     * 2-day cohorts — a multi-batch, bounded-disorder replay (jitter >
     * window length, < watermark lateness). Factored out so the spec can
@@ -628,6 +736,8 @@ object EventQueries {
     // dedup-less twin diverges on the same feed.
     NamedQuery("ev12_stream_dedup_replay", streamDedupReplay,
       Some(hourlyOracle)),
+    NamedQuery("ev13_stream_click_join_replay", streamClickJoinReplay,
+      Some(streamClickJoinOracle)),
     NamedQuery("ev09_windowed_distinct", windowedDistinct,
       Some(windowedDistinctOracle)),
     NamedQuery("ev01_hourly_windows", hourly, Some(hourlyOracle)),
