@@ -16,6 +16,31 @@ import graft.streaming.StreamOps
   * which agree exactly at the granularities queried (µs and coarser). */
 object EventQueries {
 
+  /** Best-effort recursive delete of a replay's single-use checkpoint.
+    * NEVER throws: the state-store maintenance thread can write into the
+    * tree between the walk snapshot and the directory unlink (observed as
+    * DirectoryNotEmptyException on ev13's join state during a full-suite
+    * run — and the same race was the one transient ev13 bench failure),
+    * and a finally-block throw would discard an already-computed result.
+    * A few retries catch the common case; a leaked tmpfs dir is the
+    * accepted worst case. */
+  private[queries] def scrubCheckpoint(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    var attempt = 0
+    while (attempt < 3 && java.nio.file.Files.exists(root)) {
+      attempt += 1
+      try
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach { f =>
+            try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () }
+          }
+      catch { case _: Throwable => () }
+      if (java.nio.file.Files.exists(root)) Thread.sleep(50L * attempt)
+    }
+  }
+
   /** Normalize the `ts` column to a TimestampType — shared by the batch
     * reader and the streaming file source (graft.tools.StreamDrain), which
     * must agree on the instant. Three input shapes are accepted:
@@ -399,10 +424,7 @@ object EventQueries {
       } finally {
         q.stop()
         ss.catalog.dropTempView(sinkName)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        scrubCheckpoint(ckpt)
       }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq, 1),
@@ -482,10 +504,7 @@ object EventQueries {
       } finally {
         q.stop()
         ss.catalog.dropTempView(sinkName)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        scrubCheckpoint(ckpt)
       }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq, 1),
@@ -578,10 +597,7 @@ object EventQueries {
       } finally {
         q.stop()
         ss.catalog.dropTempView(sinkName)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        scrubCheckpoint(ckpt)
       }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq, 1),
@@ -685,10 +701,7 @@ object EventQueries {
       } finally {
         q.stop()
         ss.catalog.dropTempView(sinkName)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        scrubCheckpoint(ckpt)
       }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq, 1),

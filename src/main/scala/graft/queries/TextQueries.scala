@@ -2522,12 +2522,7 @@ object TextQueries {
           .collect()
       } finally {
         q.stop()
-        import scala.jdk.CollectionConverters._
-        Seq(sinkDir, ckptDir).foreach { p =>
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        }
+        Seq(sinkDir, ckptDir).foreach(EventQueries.scrubCheckpoint)
       }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq, 1),

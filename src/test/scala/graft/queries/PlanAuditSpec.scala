@@ -80,7 +80,9 @@ class PlanAuditSpec extends SparkSpec {
       "s17_ann_pq", // the integer-ADC coarse scan broadcasts the same 5 rows
       "t11_tfidf_topk", // crossJoin(broadcast(1-row n_docs aggregate))
       "t23_unigram_logprob", // same shape: 1-row token-total broadcast
-      "t36_dsir_selection") // same shape: 1-row LM-totals broadcast
+      "t36_dsir_selection", // same shape: 1-row LM-totals broadcast
+      "t43_kneser_ney_logprob", // same shape: 1-row type-total broadcast
+      "s21_hard_negatives") // broadcasts the % 97 query slice by design
     Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
       val s = Registry.queries(q.name)(spark, sf)
         .queryExecution.executedPlan.toString
