@@ -2447,6 +2447,8 @@ object TextQueries {
       Some(knBigramLogprobOracle)),
     NamedQuery("t44_token_fertility", tokenFertility, None,
       oracleFn = Some(() => tokenFertilityOracle)),
+    NamedQuery("t45_bm25_retrieval", bm25Retrieval,
+      Some(bm25RetrievalOracle)),
   )
 
   /** t41 — the streaming ingest GATE made driver-visible (completing the
@@ -2837,6 +2839,114 @@ object TextQueries {
       |FROM bg JOIN bfreq USING (w1, w2) JOIN ctx USING (w1)
       |        JOIN cont USING (w2), tot
       |GROUP BY doc_id""".stripMargin
+
+  // -----------------------------------------------------------------
+  // t45 — BM25 retrieval (sparse top-k)
+  // -----------------------------------------------------------------
+
+  /** Query terms for the registered t45 row — corpus-frequent words so
+    * the ranking is non-degenerate at every SF. */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "stream", "hash")
+
+  /** t45 — BM25 top-k retrieval (Robertson & Zaragoza 2009; the Lucene
+    * +1 idf form, k1 = 1.2, b = 0.75): score every document against a
+    * term query and return the top 10 — the SPARSE retriever of a RAG /
+    * hard-negative-mining pipeline (s21 is its dense sibling; t11 ranks
+    * terms per doc, this ranks docs per query, with the length
+    * normalization and idf saturation tf·idf lacks).
+    *
+    * Engine-exactness: integer tf/df/dl/N; the score is evaluated in
+    * the SAME parenthesization in both engines (one ln per term — the
+    * t11 precedent), each per-term addend widens to DECIMAL(38,18)
+    * before the per-doc SUM (order-independence across partitionings),
+    * and the top-k boundary orders by the ROUNDED score with a doc_id
+    * tie-break (the t36 discipline).
+    *
+    * The 100 TB shape: the RETRIEVAL pass filters to query terms
+    * immediately after the staged explode — only matching occurrences
+    * ever reach the one (doc, term) exchange, so the pass is
+    * O(postings(query)), and the top-k is TakeOrderedAndProject. The
+    * corpus-stats pass (N, total token length) is a separate narrow
+    * scan-side aggregate with NO explode; in production those two
+    * numbers are index-build-time constants — recomputing them here is
+    * the self-contained form, and parking the token arrays at a shared
+    * exchange to fuse the passes would shuffle text-volume data, which
+    * is worse than the second scan. */
+  def bm25Retrieval(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Layout(scan(spark, sfDir, "documents"), Bm25Query, k = 10)
+
+  /** The scoring core behind [[bm25Retrieval]], public for specs:
+    * input (doc_id, text), output the top-k (doc_id, n_hits, dl,
+    * score). */
+  def bm25Layout(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    graft.functions.TokensOf.register(docs.sparkSession)
+    val staged = docs.select(col("doc_id"), expr("tokens_of(text)").as("ts"))
+    val stats = staged.select(size(col("ts")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_dl"))
+    // explode_OUTER on purpose: a plain explode makes the optimizer
+    // infer `size(ts) > 0 AND isnotnull(ts)` and push it BELOW the
+    // staging projection with tokens_of inlined — THREE tokenization
+    // passes per row (the t34 staging trap, via InferFiltersFromGenerate
+    // this time). Outer explode infers nothing; its extra null-term rows
+    // (token-free docs) die in the IN-filter, value-identically.
+    val tf = staged
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode_outer(col("ts")).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        ((lit(1.0) - lit(0.75)) +
+          lit(0.75) * (col("dl").cast("double") / avgdl)))
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        max(col("dl")).cast("long").as("dl"),
+        round(sum((idf * tfn).cast("decimal(38,18)")).cast("double"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private val bm25RetrievalOracle =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+      |                     x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS total_dl
+      |  FROM tok),
+      |e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tok),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |  FROM e WHERE term IN ('spark', 'join', 'stream', 'hash')
+      |  GROUP BY 1, 2),
+      |wdf AS (SELECT tf.*, count(*) OVER (PARTITION BY term) AS df FROM tf)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |       CAST(max(dl) AS BIGINT) AS dl,
+      |       round(CAST(SUM(CAST(
+      |         ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+      |                  / (CAST(df AS DOUBLE) + 0.5))
+      |         * ((CAST(tf AS DOUBLE) * 2.2)
+      |            / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+      |               + 0.75 * (CAST(dl AS DOUBLE)
+      |                         / (CAST(total_dl AS DOUBLE)
+      |                            / CAST(n_docs AS DOUBLE))))))
+      |         AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+      |FROM wdf, stats
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 10""".stripMargin
 
   // -----------------------------------------------------------------
   // t44 — tokenizer fertility / compression per language

@@ -55,6 +55,7 @@ object PlanDump {
     "t43_kneser_ney_logprob" -> "interpolated Kneser-Ney bigram scoring: ONE (w1,w2) staged exchange reused by frequency, probe, contexts, and continuations (type counts via an otherwise-less CASE so NullPropagation can't de-unify the staging); type total re-aggregates the vocab-scale ctx table — corpus rows cross exactly two exchanges",
     "s21_hard_negatives" -> "hard-negative mining (DPR-shape): query slice broadcast, ONE corpus scan, label exclusion in the JOIN CONDITION so positives die before any cosine is computed; per-query top-k window — the corpus-scale mining pass swaps candidates for the s07/s02 bucket joins with the same predicate",
     "t44_token_fertility" -> "tokenizer fertility/compression per language: both counters (trained bpe_doc_count + tokens_of size) in ONE codegen'd scan-side projection, text dies at the scan, |langs|-row aggregate combines map-side — zero joins, one exchange; ratios are one integer-sum division each (no float accumulation)",
+    "t45_bm25_retrieval" -> "BM25 top-k retrieval (the sparse sibling of s21): query-term IN filter sits directly on the explode_outer (outer on purpose — a plain explode infers size/isnotnull below the staging projection and tokenizes 3x, spec-caught), so only matching postings reach the (doc,term) exchange; corpus stats are a 1-row narrow-scan broadcast; top-k is TakeOrderedAndProject",
   )
 
   def main(args: Array[String]): Unit = {

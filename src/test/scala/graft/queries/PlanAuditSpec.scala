@@ -82,6 +82,7 @@ class PlanAuditSpec extends SparkSpec {
       "t23_unigram_logprob", // same shape: 1-row token-total broadcast
       "t36_dsir_selection", // same shape: 1-row LM-totals broadcast
       "t43_kneser_ney_logprob", // same shape: 1-row type-total broadcast
+      "t45_bm25_retrieval", // same shape: 1-row corpus-stats broadcast
       "s21_hard_negatives") // broadcasts the % 97 query slice by design
     Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
       val s = Registry.queries(q.name)(spark, sf)
