@@ -36,8 +36,22 @@ object EventQueries {
             try java.nio.file.Files.deleteIfExists(f)
             catch { case _: java.io.IOException => () }
           }
-      catch { case _: Throwable => () }
-      if (java.nio.file.Files.exists(root)) Thread.sleep(50L * attempt)
+      catch {
+        // IO only (r17 advice): a Throwable catch here would swallow VM
+        // errors (OOM) and the interrupt flag inside the NEVER-throws
+        // contract callers rely on
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
+      if (java.nio.file.Files.exists(root)) {
+        try Thread.sleep(50L * attempt)
+        catch {
+          case _: InterruptedException =>
+            // restore the flag and stop retrying — propagating out of the
+            // callers' finally blocks would discard the computed result
+            Thread.currentThread().interrupt()
+            attempt = 3
+        }
+      }
     }
   }
 

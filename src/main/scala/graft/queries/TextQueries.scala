@@ -2667,8 +2667,12 @@ object TextQueries {
     * NOT agg + crossJoin re-references, which would fork the lineage
     * into three corpus scans unless exchange reuse holds — the t23
     * pruning trap); the single-partition windows see |sources| rows. */
+  /** The one token budget both the registered query and its oracle use —
+    * a single definition (r17 advice) so a change can't desync them. */
+  private val MixBudget = 1000000L
+
   def sourceMixAlloc(spark: SparkSession, sfDir: String): DataFrame =
-    mixAllocLayout(scan(spark, sfDir, "documents"), budget = 1000000L)
+    mixAllocLayout(scan(spark, sfDir, "documents"), budget = MixBudget)
 
   /** The apportionment core behind [[sourceMixAlloc]], public for
     * specs: input (source, text), output one row per source with its
@@ -2704,8 +2708,10 @@ object TextQueries {
             .otherwise(lit(0L))).cast("long").as("quota"))
   }
 
+  // `raw` interpolator: keeps the regex escapes (\t, \x0B) literal like the
+  // plain triple-quote did, while letting $MixBudget interpolate
   private val sourceMixAllocOracle =
-    """WITH tok AS (
+    raw"""WITH tok AS (
       |  SELECT source,
       |         len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                         x -> len(x) > 0)) AS n_tok
@@ -2721,14 +2727,14 @@ object TextQueries {
       |  FROM per),
       |q AS (
       |  SELECT source, n_docs, n_tokens, weight,
-      |         CASE WHEN w_total > 0 THEN (1000000 * weight) // w_total
+      |         CASE WHEN w_total > 0 THEN ($MixBudget * weight) // w_total
       |              ELSE 0 END AS quota_floor,
-      |         CASE WHEN w_total > 0 THEN (1000000 * weight) % w_total
+      |         CASE WHEN w_total > 0 THEN ($MixBudget * weight) % w_total
       |              ELSE 0 END AS rem
       |  FROM (SELECT w.*, sum(weight) OVER () AS w_total FROM w)),
       |r AS (
       |  SELECT q.*,
-      |         1000000 - sum(quota_floor) OVER () AS resid,
+      |         $MixBudget - sum(quota_floor) OVER () AS resid,
       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
       |  FROM q)
       |SELECT source, n_docs, n_tokens, weight,
@@ -2916,8 +2922,11 @@ object TextQueries {
       .limit(k)
   }
 
+  // raw interpolator: term IN-list built from Bm25Query itself (r17
+  // advice) so editing the query terms can't desync the oracle; regex
+  // escapes stay literal as with the plain triple-quote
   private val bm25RetrievalOracle =
-    """WITH tok AS (
+    raw"""WITH tok AS (
       |  SELECT doc_id,
       |         list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
       |                     x -> len(x) > 0) AS ts
@@ -2929,7 +2938,7 @@ object TextQueries {
       |e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tok),
       |tf AS (
       |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-      |  FROM e WHERE term IN ('spark', 'join', 'stream', 'hash')
+      |  FROM e WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
       |  GROUP BY 1, 2),
       |wdf AS (SELECT tf.*, count(*) OVER (PARTITION BY term) AS df FROM tf)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
