@@ -1402,6 +1402,8 @@ object SimilarityQueries {
     NamedQuery("s20_cluster_balanced_sample", clusterBalancedSample, None,
       oracleFn = Some(() => clusterBalancedSampleOracle)),
     NamedQuery("s21_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
+    NamedQuery("s22_hard_negatives_ivf", hardNegativesIvf, None,
+      oracleFn = Some(() => hardNegativesIvfOracle)),
   )
 
   /** s21 — hard-negative mining for contrastive training (DPR,
@@ -1437,4 +1439,76 @@ object SimilarityQueries {
       |SELECT query_id, rank, neighbor_id, neighbor_label,
       |       round(sim, 6) AS sim
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** s22 — s21's mining at the corpus-scale shape (r17 verdict item 1):
+    * candidate generation through s07's TRAINED IVF cells (shared
+    * per-dir memo, so the geometry is identical across s07/s13/s19/s20/
+    * s22) with the different-label exclusion in the candidate join,
+    * exact double-cosine rerank inside the probed cells. nprobe is 4,
+    * not ANN's 2: the nearest cell is usually the query's OWN cluster,
+    * whose members are all same-label and excluded, so mining burns
+    * ~one probe before the first candidate (measured in
+    * HardNegativesIvfSpec: recall .18/.76/.84/.98/1.0 at nprobe 1-5 of
+    * 8 cells). s21's brute force is the recall oracle — HardNegativesIvfSpec pins recall
+    * ≥ 0.9 on a clustered corpus, and the plan pin shows no crossJoin
+    * with vectors pruned off the top-k exchange. */
+  def hardNegativesIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = scan(spark, sfDir, "embeddings")
+    Similarity.hardNegativesIvf(
+      emb.where(pmod(col("vec_id"), lit(97)) === 0), emb,
+      trainedCentroids(spark, sfDir), k = 5, nprobe = 4)
+  }
+
+  /** DuckDB twin of s22 — the s07 assignment/probe SQL (same trained
+    * centroids as dump-time VALUES, same strict-< argmin via
+    * row_number ties → lowest cell, same (dist, cell) probe order)
+    * composed with s21's label-exclusion and per-query cosine top-k. */
+  private def hardNegativesIvfOracle: String = {
+    val cents = OracleDump.resolve(trainedCache, lastTrained).getOrElse {
+      System.err.println(
+        "[graft] WARNING: hardNegativesIvfOracle dumped with UNTRAINED " +
+          "(seeded) centroids — s22 never ran in this JVM; run the query " +
+          "before dumping its oracle.")
+      Similarity.hyperplanes(8, 64, 11L)
+    }
+    val rows = cents.zipWithIndex.map {
+      case (c, i) => s"($i, ${vecLit(c)})"
+    }
+    s"""WITH cents(cell, c) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+       |      FROM embeddings),
+       |dists AS (
+       |  SELECT e.vec_id, ct.cell, list_distance(e.v, ct.c) AS dist
+       |  FROM e, cents ct),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM dists WHERE vec_id % 97 = 0) WHERE rn <= 4),
+       |s AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |         en.label AS neighbor_label,
+       |         list_cosine_similarity(eq.v, en.v) AS sim
+       |  FROM qcells q
+       |  JOIN assign a ON a.cell = q.cell
+       |  JOIN e eq ON eq.vec_id = q.query_id
+       |  JOIN e en ON en.vec_id = a.vec_id
+       |  WHERE eq.label <> en.label),
+       |r AS (
+       |  SELECT query_id, neighbor_id, neighbor_label, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id, neighbor_label,
+       |       round(sim, 6) AS sim
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
 }

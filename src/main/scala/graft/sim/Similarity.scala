@@ -97,6 +97,55 @@ object Similarity {
         col("neighbor_label"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Corpus-scale hard-negative mining (r17 verdict item 1): the
+    * [[hardNegatives]] semantics with the candidate stage swapped for
+    * the trained-IVF bucket join of [[ivfTopK]] — corpus vectors bucket
+    * by nearest centroid, each query probes only its `nprobe` nearest
+    * cells, and the `q_label =!= neighbor_label` exclusion filters the
+    * candidate join BEFORE any cosine is computed. [[hardNegatives]]
+    * stays the exactness/recall oracle (the s01→s02/s07 pattern —
+    * HardNegativesIvfSpec pins recall ≥ 0.9 vs brute force on a
+    * clustered corpus). Mining needs a higher nprobe than plain ANN:
+    * the nearest cell is usually the query's OWN cluster, whose members
+    * are all same-label and excluded, so ~one probe is burned before
+    * the first candidate (measured recall .18/.76/.84/.98/1.0 at
+    * nprobe 1–5 of 8 cells on the spec's clustered fixture).
+    *
+    * 100 TB shape: ONE corpus scan computes the cell assignment (in
+    * production, persisted + partitioned by cell so mining reads only
+    * probed cells); the query side — mining runs on a bounded query
+    * slice per pass — broadcasts with its probe cells, so corpus
+    * vectors NEVER shuffle, and compute drops from |q|·|corpus| cosines
+    * to |q|·|corpus|·nprobe/|cells|. The one exchange feeds the
+    * per-query top-k with narrow (query_id, neighbor_id, label, sim)
+    * rows — WindowGroupLimit caps it map-side and the vector columns
+    * are pruned off it (both plan-pinned). */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame,
+                       centroids: Array[Array[Double]], k: Int,
+                       nprobe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"), col(labelCol).as("neighbor_label"))
+      .withColumn("cell",
+        exprCol(graft.functions.IvfCell(colExpr(col("cv")), centroids)))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("q_label"))
+    val qCells = q0.select(col("query_id"), col("qv"), col("q_label"),
+      explode(exprCol(graft.functions.IvfCells(
+        colExpr(col("qv")), centroids, nprobe))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(qCells), Seq("cell"))
+      .where(col("q_label") =!= col("neighbor_label"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
     * weights in [-1, 1), seeded — reproducible across runs and cluster
     * sizes (no RNG state on executors). */
