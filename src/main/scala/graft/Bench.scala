@@ -122,7 +122,9 @@ object Bench {
       // codegen classes per pass, so at 100 every repeat run re-Janinos
       // everything already evicted — medians then measure compiler
       // thrash, not the queries (the r14 t33/t31/t32 tail anomaly).
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Env-overridable for cache-thrash experiments (r17 e07 forensics).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.DsRangeRewrite.install(spark)
@@ -177,8 +179,29 @@ object Bench {
           -1.0
       }
     }
-    val baseSamples = (1 to runs).flatMap { _ =>
-      selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Janino-compilation forensics (r17 e07 verdict item): the per-pass
+    // compile count distinguishes a genuinely slow query from one whose
+    // generated classes were LRU-evicted between interleaved passes and
+    // re-compiled — the full surface cycles >cache-size fragments, which
+    // is sequential-scan LRU thrash: a recompiled query's median carries
+    // ~1-2 s of compiler, not engine. VERBOSE names each recompiler.
+    val compileHist =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    val baseSamples = (1 to runs).flatMap { pass =>
+      val passC0 = compileHist.getCount
+      val rows = selected.map { case (name, fn) =>
+        val c0 = compileHist.getCount
+        val t = timeOne(name, fn)
+        val dc = compileHist.getCount - c0
+        if (pass > 1 && dc > 0 &&
+            sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE"))
+          System.err.println(s"[bench] pass $pass $name recompiled $dc " +
+            "codegen classes (cache eviction)")
+        name -> t
+      }
+      System.err.println(s"[bench] pass $pass codegen compiles: " +
+        s"${compileHist.getCount - passC0}")
+      rows
     }
     // committed reference snapshot — read before sampling ends so the
     // re-sample-on-flag pass below can consult it
