@@ -549,7 +549,7 @@ object EventQueries {
     * and pins that the counts DIVERGE — the in-suite twin of the
     * dedup-removal mutant.
     *
-    * Feed discipline: ev10's bounded-disorder cohorts (2-day buckets,
+    * Feed discipline: ev10's bounded-disorder cohorts (4-day buckets,
     * 90-min jitter), lateness 96 h — the horizon must cover the
     * REDELIVERY gap (one full cohort), not just event-time disorder, so
     * a next-batch duplicate still finds its dedup state alive (state
@@ -745,7 +745,15 @@ object EventQueries {
   private[queries] def boundedDisorderBatches(
       rows: Array[(Long, java.sql.Timestamp, String, Double)])
       : Seq[Seq[(Long, java.sql.Timestamp, String, Double)]] = {
-    val bucketMs = 2L * 24 * 3600 * 1000
+    // 4-day cohorts (r17 advice item 3 — ev13's trick applied to
+    // ev10/ev12): the replay's fixed cost is per-micro-batch state-store
+    // commits, so halving the batch count over the 30-day corpus
+    // (~15 → ~8) halves harness cost with zero semantic loss — the
+    // 90-min jitter still exceeds ev10's 1-h window and still plants
+    // boundary-crossing arrivals at every cohort seam (half as many
+    // seams; the lateness-zeroing mutant still drops them and the
+    // driver gate still catches — re-killed at this size, BASELINE r18).
+    val bucketMs = 4L * 24 * 3600 * 1000
     def jitterMs(id: Long): Long = (id % 4) * 30 * 60 * 1000L
     rows.groupBy(r => (r._2.getTime + jitterMs(r._1)) / bucketMs)
       .toSeq.sortBy(_._1).map(_._2.toSeq)
