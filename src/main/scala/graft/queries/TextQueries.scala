@@ -2450,6 +2450,8 @@ object TextQueries {
     NamedQuery("t45_bm25_retrieval", bm25Retrieval,
       Some(bm25RetrievalOracle)),
     NamedQuery("t46_rrf_fusion", rrfFusion, Some(rrfFusionOracle)),
+    NamedQuery("t47_unigram_token_count", unigramTokenCount, None,
+      oracleFn = Some(() => unigramTokenCountOracle)),
   )
 
   /** t41 — the streaming ingest GATE made driver-visible (completing the
@@ -3070,6 +3072,132 @@ object TextQueries {
        |  SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
        |              AS INTEGER) AS rank, *
        |  FROM g) WHERE rank <= $RrfTopK""".stripMargin
+
+  // -----------------------------------------------------------------
+  // t47 — unigram-LM (SentencePiece-family) token counting
+  // -----------------------------------------------------------------
+
+  /** Unigram vocab budget / hard-EM rounds — operator parameters in the
+    * BPE-knob sense. On the 31-word harness corpus the budget never
+    * binds (the seed has ~hundreds of substrings); UnigramLmSpec pins
+    * real pruning pressure on the planted wide-vocab corpus. */
+  val UniVocabSize = 400
+  val UniRounds = 2
+
+  private val uniCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[(String, Long)]]()
+  @volatile private var lastUni: Option[Seq[(String, Long)]] = None
+
+  private[queries] def trainedUnigram(spark: SparkSession,
+                                      sfDir: String): Seq[(String, Long)] = {
+    val v = uniCache.getOrElseUpdate(sfDir, {
+      // the trainedBpe sample contract: bounded deterministic 1/4 hash
+      // slice, id-ordered cap — SAME sample, so the two tokenizer
+      // families train on identical text and their fertility compares
+      // like-for-like (t44 vs UnigramLmSpec)
+      val texts = scan(spark, sfDir, "documents")
+        .where(pmod(xxhash64(col("doc_id")), lit(4L)) === 0)
+        .where(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+        .sort(col("id")).limit(BpeMaxSample)
+        .collect().map(_.getString(1)).toSeq
+      graft.functions.UnigramLm.train(texts, UniVocabSize, UniRounds)
+    })
+    lastUni = Some(v)
+    v
+  }
+
+  /** t47 — token counting under the SECOND trained tokenizer family
+    * (r17 verdict item 6): the unigram-LM (SentencePiece) model of Kudo
+    * 2018, per doc (n_words, n_pieces, total_cost) under the trained
+    * piece vocabulary — what a tokenizer bake-off actually tabulates
+    * against the BPE twin t37/t44. Apply is Viterbi (min total integer
+    * cost; min pieces among cost ties — both well-defined aggregate
+    * mins, no tie-break leaks into the output), per-distinct-word
+    * memoized, as ONE codegen scalar.
+    *
+    * Engine-exactness: costs are integers fixed at train time (the one
+    * driver-side -ln happens before either engine sees them); DuckDB
+    * verifies the Viterbi DP by brute-force ENUMERATION of all
+    * segmentations (recursive CTE over the dump-time VALUES vocab) —
+    * two different algorithms, same exact integers; safe because the
+    * corpus' max word length is 8 (≤ 2^7 compositions per word).
+    *
+    * 100 TB shape: the BpeDocCount contract — zero joins, zero explode,
+    * text dies in the scan-side projection, the trained table rides the
+    * task closure, and the output is |docs| narrow rows. */
+  def unigramTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.UnigramLm.register(spark, trainedUnigram(spark, sfDir))
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"${graft.functions.UnigramLm.docName}(text)").as("st"))
+      .select(col("doc_id"),
+        coalesce(element_at(col("st"), 1), lit(0L)).as("n_words"),
+        coalesce(element_at(col("st"), 2), lit(0L)).as("n_pieces"),
+        coalesce(element_at(col("st"), 3), lit(0L)).as("total_cost"))
+  }
+
+  /** DuckDB twin of t47: the trained (piece, cost) table as dump-time
+    * VALUES; every segmentation of every distinct corpus word is
+    * enumerated by recursive CTE (single chars absent from the vocab
+    * join in at the engine's UnkCost via `v2`), then min(cost) and
+    * min(pieces | cost = min) — the aggregates the engine's Viterbi
+    * computes in O(|w|·maxLen). */
+  private def unigramTokenCountOracle: String = {
+    val vocab = OracleDump.resolve(uniCache, lastUni)
+      .getOrElse(throw new IllegalStateException(
+        "t47 oracle dumped before t47_unigram_token_count ran in this " +
+          "JVM — run the query first (Verify does; ad-hoc dumps must too)"))
+    val rows = vocab.map { case (p, c) => s"(${sqlStr(p)}, $c)" }
+    s"""WITH RECURSIVE v(piece, cost) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+       |  FROM documents),
+       |wt AS (SELECT doc_id, w, count(*) AS cnt FROM tok
+       |       WHERE len(w) > 0 GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT w FROM wt),
+       |chars AS (
+       |  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece
+       |  FROM dw, (SELECT unnest(generate_series(1,
+       |         (SELECT max(len(w)) FROM dw))) AS i) s
+       |  WHERE i <= len(w)),
+       |v2 AS (
+       |  SELECT piece, CAST(cost AS BIGINT) AS cost FROM v
+       |  UNION ALL
+       |  SELECT c.piece, CAST(${graft.functions.UnigramLm.UnkCost} AS BIGINT)
+       |  FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.piece = c.piece)),
+       |seg AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+       |         CAST(0 AS BIGINT) AS np
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT s.w, s.pos + len(p.piece), s.cost + p.cost, s.np + 1
+       |  FROM seg s JOIN v2 p
+       |    ON p.piece = substr(s.w, s.pos + 1, len(p.piece))
+       |  WHERE s.pos < len(s.w)),
+       |best AS (
+       |  SELECT w, min(cost) AS cost FROM seg WHERE pos = len(w)
+       |  GROUP BY w),
+       |bestnp AS (
+       |  SELECT s.w, b.cost, min(s.np) AS np
+       |  FROM seg s JOIN best b ON b.w = s.w AND s.pos = len(s.w)
+       |    AND s.cost = b.cost
+       |  GROUP BY s.w, b.cost),
+       |per AS (
+       |  SELECT wt.doc_id, sum(wt.cnt) AS n_words,
+       |         sum(wt.cnt * bn.np) AS n_pieces,
+       |         sum(wt.cnt * bn.cost) AS total_cost
+       |  FROM wt JOIN bestnp bn ON bn.w = wt.w
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |       CAST(coalesce(p.total_cost, 0) AS BIGINT) AS total_cost
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
+  }
 
   // -----------------------------------------------------------------
   // t44 — tokenizer fertility / compression per language
