@@ -211,7 +211,11 @@ object HashOracles {
       "CAST(-1 AS INTEGER) AS dist, CAST(-1 AS DOUBLE) AS jw"),
     "t41" -> ("SELECT CAST(-1 AS BIGINT) AS id, 'ORACLE NEVER RAN' AS text, " +
       "CAST(-1 AS BIGINT) AS match_id, CAST(-1 AS DOUBLE) AS match_jaccard, " +
-      "CAST(-1 AS INTEGER) AS passed"))
+      "CAST(-1 AS INTEGER) AS passed"),
+    "t48" -> ("SELECT 'ORACLE NEVER RAN' AS source, " +
+      "CAST(-1 AS BIGINT) AS n_docs, CAST(-1 AS BIGINT) AS n_exact_dup_docs, " +
+      "CAST(-1 AS BIGINT) AS n_neardup_docs, " +
+      "CAST(-1 AS BIGINT) AS n_cross_pairs"))
 
   private def bandValues(corpus: Array[(Long, String)]): String =
     corpus.flatMap { case (id, t) =>
@@ -263,6 +267,75 @@ object HashOracles {
        |  JOIN g gb ON gb.id = c.id_b)
        |SELECT id_a, id_b, round(jac, 6) AS jaccard
        |FROM j WHERE jac >= 0.5""".stripMargin
+  }
+
+  /** t48: the per-source dedup/contamination accounting report (Dolma-
+    * style; r17 verdict item 7) — s03's embedded band buckets and
+    * Jaccard-verify SQL, with the surviving pairs aggregated per source
+    * (the planted perturbed copies form their own 'perturbed' source, so
+    * cross-source overlap is non-degenerate at every SF): near-dup doc
+    * counts, cross-source pair counts per side, and corpus-wide exact-
+    * duplicate membership via the same sha256 collapse key the engine
+    * uses. */
+  def sourceDedupReportOracle: String = docs() match {
+    case None => neverRanSql("t48")
+    case Some(d) =>
+      val values = bandValues(withPerturbed(d, " perturbed tail"))
+      s"""WITH bb(id, band, bucket) AS (VALUES
+         |  $values),
+         |corpus(id, src, text) AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'perturbed', text || ' perturbed tail'
+         |  FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |g AS (SELECT id, ${gramsSql("text")} AS grams FROM corpus),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+         |         CAST(len(ga.grams) + len(gb.grams)
+         |              - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+         |           AS jac
+         |  FROM cand c
+         |  JOIN g ga ON ga.id = c.id_a
+         |  JOIN g gb ON gb.id = c.id_b),
+         |p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         |ab AS (
+         |  SELECT p.id_a, p.id_b, ca.src AS src_a, cb.src AS src_b
+         |  FROM p JOIN corpus ca ON ca.id = p.id_a
+         |         JOIN corpus cb ON cb.id = p.id_b),
+         |touched AS (
+         |  SELECT src, count(DISTINCT id) AS n_neardup_docs FROM (
+         |    SELECT src_a AS src, id_a AS id FROM ab
+         |    UNION ALL SELECT src_b, id_b FROM ab) GROUP BY 1),
+         |crossp AS (
+         |  SELECT src, count(*) AS n_cross_pairs FROM (
+         |    SELECT src_a AS src FROM ab WHERE src_a <> src_b
+         |    UNION ALL SELECT src_b FROM ab WHERE src_a <> src_b)
+         |  GROUP BY 1),
+         |ek AS (
+         |  SELECT src, substr(sha256(lower(trim(text))), 1, 16) AS k
+         |  FROM corpus WHERE text IS NOT NULL),
+         |dup AS (SELECT k FROM ek GROUP BY k HAVING count(*) >= 2),
+         |exact AS (
+         |  SELECT src, count(*) AS n_exact FROM ek JOIN dup USING (k)
+         |  GROUP BY 1),
+         |base AS (SELECT src, count(*) AS n_docs FROM corpus GROUP BY 1)
+         |SELECT base.src AS source,
+         |       CAST(base.n_docs AS BIGINT) AS n_docs,
+         |       CAST(coalesce(exact.n_exact, 0) AS BIGINT)
+         |         AS n_exact_dup_docs,
+         |       CAST(coalesce(touched.n_neardup_docs, 0) AS BIGINT)
+         |         AS n_neardup_docs,
+         |       CAST(coalesce(crossp.n_cross_pairs, 0) AS BIGINT)
+         |         AS n_cross_pairs
+         |FROM base
+         |LEFT JOIN exact ON exact.src = base.src
+         |LEFT JOIN touched ON touched.src = base.src
+         |LEFT JOIN crossp ON crossp.src = base.src""".stripMargin
   }
 
   /** t27: batch-vs-corpus candidates from embedded band buckets (both

@@ -109,6 +109,63 @@ object SimilarityQueries {
       threshold = 0.5)
   }
 
+  /** t48 — per-source dedup/contamination accounting (the Dolma-style
+    * ops report a data team actually reads; r17 verdict item 7): over
+    * s03's planted corpus (documents ∪ perturbed copies as their own
+    * 'perturbed' source), one row per source with its doc count, its
+    * membership in corpus-wide EXACT duplicate groups (the sha256
+    * collapse key), how many of its docs sit in ≥1 near-dup pair, and
+    * how many of its pairs cross a source boundary (counted once per
+    * side — the contamination-direction view). Composes the EXISTING
+    * s03 pair machinery ([[Dedup.nearDupPairs]], unchanged band/verify
+    * shuffles) with three small post-aggregations on the narrow
+    * (id_a, id_b) pair table — no new shuffle shapes; at 100 TB the
+    * report costs what the dedup pass already paid, plus |pairs|-scale
+    * joins against a broadcast id→source map. */
+  def sourceDedupReport(spark: SparkSession, sfDir: String): DataFrame = {
+    HashOracles.record(spark, sfDir)
+    val docs = scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val pert = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      lit("perturbed").as("source"),
+      concat(col("text"), lit(" perturbed tail")).as("text"))
+    val corpus = docs.unionByName(pert)
+    val pairs = Dedup.nearDupPairs(corpus, "text", "doc_id",
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val srcOf = corpus.select(col("doc_id"), col("source"))
+    val ab = pairs
+      .join(srcOf.select(col("doc_id").as("id_a"),
+        col("source").as("src_a")), Seq("id_a"))
+      .join(srcOf.select(col("doc_id").as("id_b"),
+        col("source").as("src_b")), Seq("id_b"))
+    val touched = ab.select(col("id_a").as("doc_id"),
+        col("src_a").as("source"))
+      .unionAll(ab.select(col("id_b"), col("src_b")))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_neardup_docs"))
+    val crossp = ab.where(col("src_a") =!= col("src_b"))
+      .select(col("src_a").as("source"))
+      .unionAll(ab.where(col("src_a") =!= col("src_b"))
+        .select(col("src_b").as("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_cross_pairs"))
+    val ek = corpus.where(col("text").isNotNull)
+      .select(col("source"), Dedup.exactKey(col("text")).as("ek"))
+    val exact = ek
+      .withColumn("grp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ek"))))
+      .where(col("grp") >= 2)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact_dup_docs"))
+    corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(exact, Seq("source"), "left_outer")
+      .join(touched, Seq("source"), "left_outer")
+      .join(crossp, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_exact_dup_docs"), lit(0L)).as("n_exact_dup_docs"),
+        coalesce(col("n_neardup_docs"), lit(0L)).as("n_neardup_docs"),
+        coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"))
+  }
+
   /** SimHash near-dup candidates over the same planted corpus (Hamming ≤
     * 3 via the 4×16-bit chunk join). DuckDB-oracled at dump time
     * (HashOracles: embedded fingerprints, chunk join + Hamming recomputed
@@ -1404,6 +1461,8 @@ object SimilarityQueries {
     NamedQuery("s21_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
     NamedQuery("s22_hard_negatives_ivf", hardNegativesIvf, None,
       oracleFn = Some(() => hardNegativesIvfOracle)),
+    NamedQuery("t48_source_dedup_report", sourceDedupReport, None,
+      oracleFn = Some(() => HashOracles.sourceDedupReportOracle)),
   )
 
   /** s21 — hard-negative mining for contrastive training (DPR,
