@@ -692,4 +692,22 @@ class PlanAuditSpec extends SparkSpec {
         s"float vectors rode a shuffle: ${e.output.map(_.name).mkString(",")}")
     }
   }
+
+  test("t39 tokenize: still the zero-exchange explode pipeline after the " +
+    "r17 BPE knob raise (the r17 verdict drift watch)") {
+    // the 0.34 -> 0.75 s r16 -> r17 bench drift is NOT a plan change:
+    // the raised sample knob (256 -> 2048 docs) lands on the first
+    // trained-BPE query per JVM (the memoized training collect), and the
+    // t39 steady state measured solo is 0.43-0.48 s. This pins the plan
+    // half of that claim: no exchange anywhere (posexplode chains with
+    // no aggregation), so the drift cannot be a shuffle regression.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val root = plan("t39_bpe_tokenize") match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    assert(root.collect { case e: Exchange => e }.isEmpty,
+      s"t39 must stay a pure scan-side explode pipeline:\n$root")
+  }
 }
