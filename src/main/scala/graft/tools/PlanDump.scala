@@ -56,6 +56,10 @@ object PlanDump {
     "s21_hard_negatives" -> "hard-negative mining (DPR-shape): query slice broadcast, ONE corpus scan, label exclusion in the JOIN CONDITION so positives die before any cosine is computed; per-query top-k window — the corpus-scale mining pass swaps candidates for the s07/s02 bucket joins with the same predicate",
     "t44_token_fertility" -> "tokenizer fertility/compression per language: both counters (trained bpe_doc_count + tokens_of size) in ONE codegen'd scan-side projection, text dies at the scan, |langs|-row aggregate combines map-side — zero joins, one exchange; ratios are one integer-sum division each (no float accumulation)",
     "t45_bm25_retrieval" -> "BM25 top-k retrieval (the sparse sibling of s21): query-term IN filter sits directly on the explode_outer (outer on purpose — a plain explode infers size/isnotnull below the staging projection and tokenizes 3x, spec-caught), so only matching postings reach the (doc,term) exchange; corpus stats are a 1-row narrow-scan broadcast; top-k is TakeOrderedAndProject",
+    "s22_hard_negatives_ivf" -> "corpus-scale hard-negative mining: trained-IVF cell equi-join candidates (query side broadcast with its nprobe=4 probe cells — one is burned on the query's own same-label cluster), label exclusion IN the candidate join before any cosine, vectors pruned off the top-k exchange — s21's brute force demoted to recall oracle",
+    "t46_rrf_fusion" -> "hybrid retrieval fusion: each branch keeps its own scale story (t45's postings-filtered exchange, s01's broadcast baseline), the fusion itself is a full-outer join of two k-row lists with integer floor-div RRF scores — no float sum at the cut boundary",
+    "t47_unigram_token_count" -> "unigram-LM (SentencePiece) token accounting: Viterbi min-cost apply as ONE codegen scalar, trained piece vocab in the task closure, per-distinct-word memo — ZERO exchanges, text dies in the scan-side projection (the BpeDocCount contract, second tokenizer family)",
+    "t48_source_dedup_report" -> "per-source dedup/contamination report: the existing s03 pair machinery (exact-collapse routing, band join, merge-scan verify) plus three |pairs|-scale post-aggregations and a corpus-wide sha256 collapse-key window — no new shuffle shapes",
   )
 
   def main(args: Array[String]): Unit = {

@@ -75,17 +75,26 @@ class HashOraclesSpec extends SparkSpec {
       "t09" -> Seq("doc_id", "chunk_no", "chunk"),
       "t27" -> Seq("batch_id", "corpus_id", "jaccard"),
       "t29" -> Seq("id_a", "id_b", "dist", "jw"),
-      "t41" -> Seq("id", "text", "match_id", "match_jaccard", "passed"))
+      "t41" -> Seq("id", "text", "match_id", "match_jaccard", "passed"),
+      "t48" -> Seq("source", "n_docs", "n_exact_dup_docs",
+        "n_neardup_docs", "n_cross_pairs"))
     HashOracles.neverRanSql.foreach { case (q, sql) =>
       val df = spark.sql(sql)
       assert(df.columns.toSeq == wantCols(q),
         s"$q sentinel columns must match the query output schema")
       val rows = df.collect()
       assert(rows.length == 1, s"$q sentinel must be exactly one row")
-      // first column is an id in every query — ids are non-negative in
-      // every corpus (raw doc_id ≥ 0, perturbed += 1e6), so -1 can never
-      // be produced by an engine run
-      assert(rows.head.getLong(0) == -1L, s"$q sentinel id must be impossible")
+      // the sentinel's leading value is impossible for any engine run:
+      // ids are non-negative in every corpus (raw doc_id ≥ 0, perturbed
+      // += 1e6), and t48's doc counts are non-negative with a source
+      // string no corpus contains
+      if (q == "t48")
+        assert(rows.head.getString(0) == "ORACLE NEVER RAN" &&
+          rows.head.getLong(1) == -1L,
+          s"$q sentinel values must be impossible")
+      else
+        assert(rows.head.getLong(0) == -1L,
+          s"$q sentinel id must be impossible")
     }
     assert(HashOracles.minhashNearDupOracle.nonEmpty)
     assert(HashOracles.simhashNearDupOracle.nonEmpty)

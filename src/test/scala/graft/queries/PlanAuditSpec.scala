@@ -83,7 +83,8 @@ class PlanAuditSpec extends SparkSpec {
       "t36_dsir_selection", // same shape: 1-row LM-totals broadcast
       "t43_kneser_ney_logprob", // same shape: 1-row type-total broadcast
       "t45_bm25_retrieval", // same shape: 1-row corpus-stats broadcast
-      "s21_hard_negatives") // broadcasts the % 97 query slice by design
+      "s21_hard_negatives", // broadcasts the % 97 query slice by design
+      "t46_rrf_fusion") // dense branch IS s01's broadcast brute baseline
     Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
       val s = Registry.queries(q.name)(spark, sf)
         .queryExecution.executedPlan.toString
