@@ -126,20 +126,32 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        labelCol: String = "label"): DataFrame = {
+    graft.functions.FloatCosine.register(queries.sparkSession)
+    // vectors stay FLOAT end to end; doubles exist only inside the
+    // argmin cell expressions. The rerank is the native codegen
+    // FloatCosine — the builtin zip_with/aggregate double-fold is
+    // INTERPRETED (~dim boxed ops per pair), which s07's 5-query probe
+    // never noticed but s22's corpus-slice query set (|corpus|/97
+    // queries × |corpus|·nprobe/cells candidates) turns into the top of
+    // the ×100 profile (caught at the r18 ×100-grow cell: the warmup
+    // pass sat >60 min in exactly this projection). FloatCosine runs
+    // the same double-precision accumulation order, so values — and the
+    // DuckDB oracle — are unchanged (the s21 precedent).
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("cv"), col(labelCol).as("neighbor_label"))
+        col(vecCol).as("cv"), col(labelCol).as("neighbor_label"))
       .withColumn("cell",
-        exprCol(graft.functions.IvfCell(colExpr(col("cv")), centroids)))
+        exprCol(graft.functions.IvfCell(
+          colExpr(asDouble(col("cv"))), centroids)))
     val q0 = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"), col(labelCol).as("q_label"))
+      col(vecCol).as("qv"), col(labelCol).as("q_label"))
     val qCells = q0.select(col("query_id"), col("qv"), col("q_label"),
       explode(exprCol(graft.functions.IvfCells(
-        colExpr(col("qv")), centroids, nprobe))).as("cell"))
+        colExpr(asDouble(col("qv"))), centroids, nprobe))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(qCells), Seq("cell"))
       .where(col("q_label") =!= col("neighbor_label"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", expr("float_cosine(qv, cv)"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
