@@ -672,7 +672,15 @@ object EventQueries {
         org.apache.spark.sql.Encoders.scalaLong)).collect()
     val (viewRows, clickRows) = (side("view"), side("click"))
 
-    val bucketMs = 4L * 24 * 3600 * 1000
+    // 8-day epochs (r18: the second halving of this replay's batch
+    // count — ~4 epochs per side over the 30-day corpus). Correctness is
+    // epoch-length-INDEPENDENT here: a view's join state lives until the
+    // watermark passes view_ts + within + lateness, and the watermark
+    // trails each epoch's max by the lateness, so boundary-epoch views
+    // always outlive their candidate clicks — fewer boundaries is
+    // strictly safer. The 15-min jitter < 30-min lateness discipline
+    // (StreamBatchEquivalenceSpec) is untouched.
+    val bucketMs = 8L * 24 * 3600 * 1000
     def jitterMs(id: Long): Long = (id % 4) * 5 * 60 * 1000L
     def buckets(rows: Array[(Long, Timestamp, Long)]) =
       rows.groupBy(r => (r._2.getTime + jitterMs(r._1)) / bucketMs)
