@@ -473,7 +473,16 @@ object EventQueries {
     * processAllAvailable; gap splits still happen batch-to-batch.
     * Update-mode rows grow n_events monotonically at a fixed
     * session_start, so max(n) per (user, start) is the converged count
-    * and session_seq is the per-user rank of the start — ev02's shape. */
+    * and session_seq is the per-user rank of the start — ev02's shape.
+    *
+    * Batch granularity: 4-day TIME-SORTED cohorts (ev10/ev12's r18
+    * replay-cost cut applied here, r18 verdict item 1) — the replay's
+    * fixed cost is per-micro-batch state-store commits, so halving the
+    * batch count over the 30-day corpus (~15 → ~8) halves harness cost
+    * with zero semantic loss: the feed stays globally time-sorted
+    * (the mapGroupsWithState in-order contract), sessions still split
+    * and resume across every cohort seam, and the gap 30→29 mutant
+    * still flags exactly this row at the new size (BASELINE.md r19). */
   def streamSessionsReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import java.sql.Timestamp
 
@@ -483,7 +492,7 @@ object EventQueries {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.TIMESTAMP)).collect()
       .sortBy(r => (r._2.getTime, r._1))
-    val batches = rows.grouped(1 + rows.length / 15).toSeq
+    val batches = sortedCohortBatches(rows)
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
@@ -765,6 +774,20 @@ object EventQueries {
     def jitterMs(id: Long): Long = (id % 4) * 30 * 60 * 1000L
     rows.groupBy(r => (r._2.getTime + jitterMs(r._1)) / bucketMs)
       .toSeq.sortBy(_._1).map(_._2.toSeq)
+  }
+
+  /** ev11's feed partition: the time-sorted rows sliced at 4-day cohort
+    * boundaries (no jitter — mapGroupsWithState has no watermark, so the
+    * contract is in-order-per-key arrival; contiguous slices of a
+    * globally sorted array trivially satisfy it). Factored out so the
+    * spec can pin multi-batch-ness and feed losslessness, mirroring
+    * [[boundedDisorderBatches]]. Array.groupBy preserves encounter
+    * order within each group, so each cohort stays time-sorted. */
+  private[queries] def sortedCohortBatches(
+      rows: Array[(Long, java.sql.Timestamp)])
+      : Seq[Seq[(Long, java.sql.Timestamp)]] = {
+    val bucketMs = 4L * 24 * 3600 * 1000
+    rows.groupBy(_._2.getTime / bucketMs).toSeq.sortBy(_._1).map(_._2.toSeq)
   }
 
   def all: Seq[NamedQuery] = Seq(

@@ -44,6 +44,23 @@ class Ev10ReplaySpec extends SparkSpec {
         s" batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("ev11 feed is a real multi-batch time-sorted partition: >= 6 " +
+    "batches, lossless, order-preserving") {
+    val rows = EventQueries.readEvents(spark, sf)
+      .select($"user_id", $"ts").as[(Long, Timestamp)].collect()
+      .sortBy(r => (r._2.getTime, r._1))
+    val batches = EventQueries.sortedCohortBatches(rows)
+    // ~8 at the 4-day cohort size (30-day corpus; r19 replay-cost cut)
+    assert(batches.size >= 6,
+      s"replay degraded to ${batches.size} batches — single-batch would " +
+        "leave the cross-batch session state untested")
+    // cohorts concatenated in bucket order must reproduce the sorted
+    // feed EXACTLY — mapGroupsWithState's in-order-per-key contract
+    // rests on this (no loss, no duplication, no reordering)
+    assert(batches.flatten.toSeq == rows.toSeq,
+      "feed partition lost, duplicated, or reordered events")
+  }
+
   test("ev11: stateful sessionize replay == ev02 batch twin on the " +
     "sf0.001 corpus (set identity)") {
     def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
