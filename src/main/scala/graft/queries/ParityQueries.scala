@@ -346,6 +346,69 @@ object ParityQueries {
       |         AS note_chars
       |FROM supplier""".stripMargin
 
+  /** §2 rows 1-2 through the SESSION CATALOG — the reference's actual
+    * table addressing (`select * from hive_db.hive_table where ds=...`,
+    * HiveToMysql.java:227): a ds-PARTITIONED table registered in the
+    * metastore via saveAsTable, read back with `spark.read.table`
+    * (CoreOps.scanSource's hive_db path), and filtered on the partition
+    * column. Because ds is a real partition column of a catalog table,
+    * the `ds =` predicate is resolved against the partition METADATA at
+    * planning time (PruneFileSourcePartitions → PrunedInMemoryFileIndex)
+    * — at 100 TB the scan plans exactly one partition's files and never
+    * lists the rest. CatalogScanSpec pins that plan shape; the path-based
+    * twin is PartitionedWriteSpec.
+    *
+    * The staged table is one month of lineitem (31 ds partitions,
+    * bounded at every SF) — staging the full 7-year corpus day-grained
+    * would produce the ~2500-small-directory layout that is itself an
+    * anti-pattern at this row count. */
+  def catalogScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = stageCatalogTable(spark, sfDir)
+    val scanned = CoreOps.scanSource(spark, sfDir, tbl, Some("graft_wh"))
+    CoreOps.partitionFilter(scanned, col("ds"), DS)
+      .select(col("l_orderkey").as("id"), col("l_linenumber").as("line_no"),
+        col("l_returnflag").as("flag"), col("ds"))
+  }
+
+  /** Write the ds-partitioned catalog table p14 reads; returns its name.
+    * sfDir-keyed name + overwrite mode → idempotent across passes and
+    * scale factors within a JVM (the orc/csv staging-dir pattern). The
+    * catalog stores the declared schema, so ds stays a STRING partition
+    * column (no path-style partition-type inference). */
+  private[queries] def stageCatalogTable(spark: SparkSession,
+                                         sfDir: String): String = {
+    val tbl = s"lineitem_ds_${Integer.toHexString(sfDir.hashCode)}"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_wh")
+    // the default session catalog is in-memory: a PREVIOUS JVM's table
+    // files survive under the warehouse dir while its metadata doesn't,
+    // and CTAS refuses an existing unmanaged location — drop both
+    spark.sql(s"DROP TABLE IF EXISTS graft_wh.$tbl")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_wh.db", tbl)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    CoreOps.scan(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit("1996-01-01")) &&
+        col("l_shipdate") < to_date(lit("1996-02-01")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        CoreOps.withDs(col("l_shipdate")).as("ds"))
+      .write.mode("overwrite").format("parquet").partitionBy("ds")
+      .saveAsTable(s"graft_wh.$tbl")
+    tbl
+  }
+
+  private val catalogScanOracle =
+    s"""SELECT l_orderkey AS id, l_linenumber AS line_no,
+       |       l_returnflag AS flag,
+       |       strftime(l_shipdate, '%Y%m%d') AS ds
+       |FROM lineitem
+       |WHERE strftime(l_shipdate, '%Y%m%d') = '$DS'""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
     NamedQuery("p01_flagship", flagship, Some(flagshipOracle)),
     NamedQuery("p09_orc_roundtrip", orcRoundtrip, Some(orcRoundtripOracle)),
@@ -361,5 +424,6 @@ object ParityQueries {
     NamedQuery("p06_null_normalize", nullNormalize, Some(nullNormalizeOracle)),
     NamedQuery("p07_empty_ok", emptyOk, Some(emptyOkOracle)),
     NamedQuery("p08_sqlgen_batches", sqlgenBatches, Some(sqlgenBatchesOracle)),
+    NamedQuery("p14_catalog_scan", catalogScan, Some(catalogScanOracle)),
   )
 }
