@@ -2372,7 +2372,120 @@ object TextQueries {
        |JOIN sel sb ON sb.doc_id = c.id_b AND sb.fp = sa.fp
        |GROUP BY 1, 2""".stripMargin
 
+  /** t49 — HTML/boilerplate extraction, the jusText-class pre-dedup stage
+    * every CommonCrawl-style pipeline runs FIRST (see
+    * [[graft.text.HtmlExtract]] for the block model and rules): each
+    * corpus document is wrapped into a synthetic page (nav/byline/teaser/
+    * aside/footer chrome around the real text plus an entity-bearing
+    * notes block), then extraction must recover exactly the clean
+    * content — `clean_match` pins the reconstruction per row, and the
+    * extracted text itself is hash-gated. Narrow codegen map, zero
+    * exchanges: regexp block parse + higher-order array filter/transform;
+    * at 100 TB this is a linear pass that feeds t04/t16/t40 and every
+    * dedup tier.
+    *
+    * The keep rule is integer-exact (3·link_chars ≤ total_chars AND
+    * total ≥ 25), so the oracle can never diverge on a float threshold —
+    * and mutating either threshold (the link-density kill: 1/3 → 1/2
+    * keeps the byline div; the length kill: 25 → 10 keeps the teaser)
+    * flags exactly this row. Stopword density of the extracted text is
+    * REPORTED (the t16-style quality signal) but not a keep rule: this
+    * corpus has zero-stopword documents whose content a stopword gate
+    * would destroy. */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.HtmlExtract
+    val enStops = TextOps.langStopwords.toMap.apply("en")
+    val toks = TextOps.tokens(col("extracted"))
+    scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        HtmlExtract.blocks(HtmlExtract.wrap(
+          col("doc_id"), col("source"), col("text"))).as("blks"))
+      .select(col("doc_id"), col("text"),
+        size(col("blks")).cast("int").as("n_blocks"),
+        HtmlExtract.keptBlocks(col("blks")).as("kept"))
+      .select(col("doc_id"), col("text"), col("n_blocks"),
+        size(col("kept")).cast("int").as("n_kept"),
+        HtmlExtract.extractFromBlocks(col("kept")).as("extracted"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("extracted"),
+        (col("extracted") ===
+          HtmlExtract.expectedClean(col("doc_id"), col("text")))
+          .as("clean_match"),
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(TextOps.stopwordCountIn(toks, enStops).cast("double") /
+            size(toks))
+          .cast("decimal(28,6)").cast("double").as("stop_density"))
+  }
+
+  /** The oracle rebuilds the SAME page from the shared HtmlExtract
+    * constants (interpolated — the synthesis cannot desync) and applies
+    * the same integer keep rule via unnest + FILTER aggregation. */
+  private val htmlExtractOracle: String = {
+    import graft.text.HtmlExtract._
+    val stops = TextOps.langStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH h AS (
+       |  SELECT doc_id, text,
+       |    '<html><body>$Nav<div>Posted in <a href="/s/' || source || '">'
+       |      || source || '</a> by <a href="/u/' || doc_id || '">user'
+       |      || doc_id || '</a></div><p>'
+       |      || replace(replace(replace(text, '&', '&amp;'),
+       |                         '<', '&lt;'), '>', '&gt;')
+       |      || '</p>$Teaser<p>Notes &amp; errata for document ' || doc_id
+       |      || ' &lt;rev 2&gt;</p>$Aside$Footer</body></html>' AS html
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract_all(html,
+       |      '(?s)<(?:nav|div|p|aside|footer)>(.*?)</(?:nav|div|p|aside|footer)>',
+       |      1) AS blks
+       |  FROM h),
+       |e AS (
+       |  SELECT doc_id, text, len(blks) AS n_blocks,
+       |         unnest(generate_series(1, len(blks))) AS idx,
+       |         unnest(blks) AS blk
+       |  FROM b),
+       |t AS (
+       |  SELECT doc_id, text, n_blocks, idx,
+       |    replace(replace(replace(
+       |      regexp_replace(blk, '(?s)<[^>]*>', '', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS btxt,
+       |    replace(replace(replace(
+       |      regexp_replace(regexp_replace(blk, '(?s)<a [^>]*>.*?</a>', '', 'g'),
+       |        '(?s)<[^>]*>', '', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS linkless
+       |  FROM e),
+       |k AS (
+       |  SELECT doc_id, text, n_blocks, idx, btxt,
+       |    (3 * (len(btxt) - len(linkless)) <= len(btxt)
+       |     AND len(btxt) >= $MinChars) AS keep
+       |  FROM t),
+       |d AS (
+       |  SELECT doc_id, any_value(text) AS text,
+       |    any_value(n_blocks) AS n_blocks,
+       |    count(*) FILTER (WHERE keep) AS n_kept,
+       |    COALESCE(string_agg(btxt, chr(10) ORDER BY idx)
+       |               FILTER (WHERE keep), '') AS extracted
+       |  FROM k GROUP BY doc_id),
+       |f AS (
+       |  SELECT doc_id, n_blocks, n_kept, extracted,
+       |    (extracted = text || chr(10) || 'Notes & errata for document '
+       |       || doc_id || ' <rev 2>') AS clean_match,
+       |    list_filter(string_split_regex(lower(trim(extracted)),
+       |                  '[ \\t\\n\\x0B\\f\\r]+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM d)
+       |SELECT doc_id,
+       |  CAST(n_blocks AS INTEGER) AS n_blocks,
+       |  CAST(n_kept AS INTEGER) AS n_kept,
+       |  extracted, clean_match,
+       |  CAST(CAST(CASE WHEN len(toks) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(toks, w -> w IN ($stops))) AS DOUBLE)
+       |         / len(toks) END AS DECIMAL(28,6)) AS DOUBLE) AS stop_density
+       |FROM f""".stripMargin
+  }
+
   def all: Seq[NamedQuery] = Seq(
+    NamedQuery("t49_html_extract", htmlExtract, Some(htmlExtractOracle)),
     NamedQuery("t20_jaro_neardup", jaroNearDup, Some(jaroNearDupOracle)),
     NamedQuery("t19_ingest_pipeline", ingestPipeline,
       Some(ingestPipelineOracle)),
