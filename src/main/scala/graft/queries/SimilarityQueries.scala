@@ -1511,11 +1511,20 @@ object SimilarityQueries {
     * 8 cells). s21's brute force is the recall oracle — HardNegativesIvfSpec pins recall
     * ≥ 0.9 on a clustered corpus, and the plan pin shows no crossJoin
     * with vectors pruned off the top-k exchange. */
+  /** s22's k and nprobe, interpolated into BOTH the registry call and
+    * the oracle SQL (the MixBudget pattern) — editing one without the
+    * other is impossible. */
+  private[queries] val S22K = 5
+  private[queries] val S22Nprobe = 4
+
   def hardNegativesIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = scan(spark, sfDir, "embeddings")
+    // query side: a bounded mining slice (vec_id % 97) — the broadcast
+    // contract of Similarity.hardNegativesIvf; at true corpus scale a
+    // caller pages through such slices pass by pass
     Similarity.hardNegativesIvf(
       emb.where(pmod(col("vec_id"), lit(97)) === 0), emb,
-      trainedCentroids(spark, sfDir), k = 5, nprobe = 4)
+      trainedCentroids(spark, sfDir), k = S22K, nprobe = S22Nprobe)
   }
 
   /** DuckDB twin of s22 — the s07 assignment/probe SQL (same trained
@@ -1551,7 +1560,7 @@ object SimilarityQueries {
        |    SELECT vec_id, cell,
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY dist, cell) AS rn
-       |    FROM dists WHERE vec_id % 97 = 0) WHERE rn <= 4),
+       |    FROM dists WHERE vec_id % 97 = 0) WHERE rn <= $S22Nprobe),
        |s AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id,
        |         en.label AS neighbor_label,
@@ -1568,6 +1577,6 @@ object SimilarityQueries {
        |  FROM s)
        |SELECT query_id, rank, neighbor_id, neighbor_label,
        |       round(sim, 6) AS sim
-       |FROM r WHERE rank <= 5""".stripMargin
+       |FROM r WHERE rank <= $S22K""".stripMargin
   }
 }

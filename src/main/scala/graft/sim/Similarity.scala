@@ -119,7 +119,20 @@ object Similarity {
     * to |q|·|corpus|·nprobe/|cells|. The one exchange feeds the
     * per-query top-k with narrow (query_id, neighbor_id, label, sim)
     * rows — WindowGroupLimit caps it map-side and the vector columns
-    * are pruned off it (both plan-pinned). */
+    * are pruned off it (both plan-pinned).
+    *
+    * CONTRACT — `queries` must be a BOUNDED mining slice: the query
+    * side is broadcast UNCONDITIONALLY (exploded to |q|·nprobe rows of
+    * (id, vector, label, cell)), so it must fit executor memory —
+    * ~100k queries × nprobe at 64-float vectors ≈ 100 MB is the
+    * practical ceiling. This is the DPR/contrastive-mining reality
+    * (each training pass mines negatives for one bounded batch of
+    * anchors, not corpus×corpus); a caller with more anchors pages
+    * through slices pass by pass, as the registered s22 does with its
+    * `vec_id % 97` slice — which grows with the corpus and therefore
+    * RELIES on this paging contract at true 100 TB scale.
+    * HardNegativesIvfSpec pins that the broadcast stays on the query
+    * side (corpus vectors never ride an exchange). */
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame,
                        centroids: Array[Array[Double]], k: Int,
                        nprobe: Int = 2,

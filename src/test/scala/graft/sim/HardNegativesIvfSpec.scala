@@ -105,6 +105,31 @@ class HardNegativesIvfSpec extends SparkSpec {
       s"per-query top-k must prune map-side before the exchange:\n$s")
   }
 
+  test("broadcast contract: the QUERY side is the broadcast build side; " +
+    "corpus vectors never ride any exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val plan = Registry.queries("s22_hard_negatives_ivf")(spark, sf)
+      .queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val broadcasts = root.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty, "candidate join must broadcast a side")
+    // every broadcast must be the exploded query-cell table (bounded by
+    // the mining-slice CONTRACT in Similarity.hardNegativesIvf's
+    // scaladoc), never the corpus side
+    broadcasts.foreach { b =>
+      val names = b.output.map(_.name)
+      assert(names.contains("query_id"),
+        s"broadcast side is not the query slice: ${names.mkString(",")}")
+      assert(!names.contains("neighbor_id") && !names.contains("cv"),
+        s"CORPUS side got broadcast — the contract inverted: " +
+          s"${names.mkString(",")}")
+    }
+  }
+
   test("registered s22 matches s21 exactly where the probe finds the " +
     "true negatives (sf0.001 value agreement)") {
     // On the harness corpus the two registries share the query slice; on
