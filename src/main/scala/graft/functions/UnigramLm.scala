@@ -251,7 +251,17 @@ object UnigramLm {
   private def toCosts(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
     val total = counts.iterator.map(_._2).sum.max(1L)
     counts.map { case (p, c) =>
-      (p, math.round(-math.log(c.toDouble / total.toDouble) * CostScale))
+      val cost = math.round(-math.log(c.toDouble / total.toDouble) * CostScale)
+      // unk-is-worst contract: every trained cost must sit strictly below
+      // UnkCost, or Viterbi could prefer the UNK path over a real piece.
+      // -ln(1/total)*1e6 < 3e7 holds while total < e^30 ≈ 1.1e13 counts;
+      // enforce rather than assume so a future giant sample fails loudly
+      // at train time instead of silently inverting the semantics.
+      require(cost < UnkCost,
+        s"trained piece cost $cost for '$p' (count $c of $total) reaches " +
+          s"UnkCost=$UnkCost — training sample too large for the " +
+          "unk-is-worst invariant; raise UnkCost or shrink the sample")
+      (p, cost)
     }
   }
 

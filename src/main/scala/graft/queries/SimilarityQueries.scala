@@ -120,8 +120,12 @@ object SimilarityQueries {
     * s03 pair machinery ([[Dedup.nearDupPairs]], unchanged band/verify
     * shuffles) with three small post-aggregations on the narrow
     * (id_a, id_b) pair table — no new shuffle shapes; at 100 TB the
-    * report costs what the dedup pass already paid, plus |pairs|-scale
-    * joins against a broadcast id→source map. */
+    * report costs what the dedup pass already paid, plus shuffle joins
+    * of the narrow pair table against the two-column id→source
+    * projection — |pairs|-keyed exchanges carrying two narrow columns
+    * each (the id→source side is corpus-sized, so it is NOT broadcast;
+    * AQE may still demote either join to broadcast when a side turns
+    * out small at runtime). */
   def sourceDedupReport(spark: SparkSession, sfDir: String): DataFrame = {
     HashOracles.record(spark, sfDir)
     val docs = scan(spark, sfDir, "documents")

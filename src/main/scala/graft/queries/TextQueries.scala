@@ -3214,6 +3214,19 @@ object TextQueries {
         .select(col("doc_id").cast("long").as("id"), col("text"))
         .sort(col("id")).limit(BpeMaxSample)
         .collect().map(_.getString(1)).toSeq
+      // t47's DuckDB oracle verifies Viterbi by enumerating ALL
+      // segmentations of each distinct word with a recursive CTE —
+      // O(2^|w|) per word. Safe only while words stay short; fail loudly
+      // here (the sample is a deterministic slice of the same corpus the
+      // oracle tokenizes) instead of letting a corpus change blow up
+      // oracle dump time/memory silently.
+      val maxWordLen = texts.iterator
+        .flatMap(graft.functions.Bpe.pretokenize)
+        .foldLeft(0)((m, w) => m.max(w.length))
+      require(maxWordLen <= 16,
+        s"trainedUnigram: corpus sample contains a pre-tokenized word of " +
+          s"length $maxWordLen > 16 — t47's enumeration oracle is " +
+          "exponential in word length; re-derive the bound before raising")
       graft.functions.UnigramLm.train(texts, UniVocabSize, UniRounds)
     })
     lastUni = Some(v)

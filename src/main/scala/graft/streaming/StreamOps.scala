@@ -276,14 +276,30 @@ object StreamOps {
     * the replay a no-op. What this does NOT give is mid-append atomicity:
     * a reader can observe a partially-appended batch until the replay
     * completes (the reference's batch sink shares this window — SURVEY
-    * §7.3 risk b). */
+    * §7.3 risk b).
+    *
+    * CARDINALITY CONTRACT: the distinct key set of each micro-batch is
+    * collected to the driver to build the keyed DELETEs. `keyCols` must
+    * be LOGICAL-PARTITION keys — the reference's (ds, version) overwrite
+    * semantics, cardinality ~1 per batch — not row keys. A batch whose
+    * distinct key count exceeds [[MaxDeleteKeys]] fails loudly (before
+    * any effect — the epoch guard is untouched, so a corrected replay is
+    * safe) instead of silently sizing the driver to the batch. */
+  val MaxDeleteKeys = 10000
+
   def upsertBatch(url: String, table: String, keyCols: Seq[String],
                   connect: String => java.sql.Connection)(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       epochId: Long): Unit = {
     val keys = batch
       .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-      .distinct().collect()
+      .distinct().take(MaxDeleteKeys + 1)
+    if (keys.length > MaxDeleteKeys)
+      throw new IllegalArgumentException(
+        s"upsertBatch: micro-batch epoch $epochId has > $MaxDeleteKeys " +
+          s"distinct (${keyCols.mkString(", ")}) keys — the keyed-DELETE " +
+          "sink collects the key set to the driver and is contracted to " +
+          "logical-partition keys (e.g. ds+version), not row keys")
     if (keys.isEmpty) return // empty batch: no effects, nothing to guard
     val guard = s"${table}__epochs"
     val conn = connect(url)

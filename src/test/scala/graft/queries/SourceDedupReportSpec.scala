@@ -58,6 +58,20 @@ class SourceDedupReportSpec extends SparkSpec {
     val crossSum = report.values.map(_._4).sum
     assert(crossSum % 2 == 0, "each cross pair must be counted once per side")
     assert(crossSum > 0, "planted corpus must produce cross-source overlap")
+    // CORPUS-COMPOSITION PRECONDITION for the assertion below: appending
+    // " perturbed tail" (15 chars) to a text adds at most ~19 new distinct
+    // 5-gram shingles and removes none, so jaccard(text, text + tail)
+    // = G / (G + new) ≥ 0.5 is GUARANTEED only when the original text has
+    // G ≥ 19 distinct grams (≥ ~23 normalized chars). Check it explicitly
+    // so a future testdata change with short documents fails HERE with a
+    // named cause instead of reading as a dedup regression.
+    val minGrams = corpus.where(col("source") =!= "perturbed")
+      .select(size(Dedup.shingles(col("text"), 5)).as("g"))
+      .agg(min(col("g"))).head().getInt(0)
+    assert(minGrams >= 19,
+      s"corpus min distinct-5-gram count $minGrams < 19: too short to " +
+        "guarantee jaccard(text, text + ' perturbed tail') >= 0.5 — " +
+        "update the planted-corpus expectation, the engine is not at fault")
     val (pDocs, _, pNd, _) = report("perturbed")
     assert(pNd == pDocs,
       "every perturbed copy near-dups its original by construction")

@@ -194,6 +194,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == Set(("a", 3L)))
   }
 
+  test("upsert cardinality guard: a row-keyed batch fails loudly BEFORE " +
+    "any effect; the same epoch replays clean with a partition key") {
+    val url = "jdbc:derby:memory:graftcard;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE card_t (k VARCHAR(20), v BIGINT)")
+    conn.createStatement().execute("INSERT INTO card_t VALUES ('keep', 0)")
+    conn.close()
+    val handler = StreamOps.upsertBatch(url, "card_t", Seq("k"),
+      java.sql.DriverManager.getConnection(_)) _
+    // MaxDeleteKeys + 1 distinct keys: the contract violation (row keys,
+    // not logical-partition keys) must throw the documented error
+    val big = spark.range(StreamOps.MaxDeleteKeys + 1)
+      .selectExpr("cast(id as string) as k", "id as v")
+    val e = intercept[IllegalArgumentException] { handler(big, 11L) }
+    assert(e.getMessage.contains("logical-partition keys"))
+    val after = spark.read.jdbc(url, "card_t", new java.util.Properties())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == Set(("keep", 0L)), "guard must fire before any effect")
+    // the epoch guard was never set, so a corrected (partition-keyed)
+    // replay of the SAME epoch applies normally
+    handler(Seq(("keep", 1L)).toDF("k", "v"), 11L)
+    val fixed = spark.read.jdbc(url, "card_t", new java.util.Properties())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fixed == Set(("keep", 1L)))
+  }
+
   test("streaming dedup drops re-delivered events across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
