@@ -28,6 +28,23 @@ for world in x1 grow hot; do
     SPARK_GRAFT_BENCH_RUNS=3 SPARK_GRAFT_BENCH_OUT=$OUT/${world}_median3.json \
     sbt -batch "runMain graft.Bench" 2>&1 | tail -1
 done
+# Streaming cell (r18 verdict item 5): the five replay rows are excluded
+# from the matrix above (pure harness wall at full ×100 feed volume) and
+# instead measured on a SAMPLED FEED — 1-in-10 by session key via
+# SampleStreamWorld, which preserves the ×100 world's per-key rate
+# structure (hot: every kept user at full ×100 event rate; grow: ×10 key
+# cardinality in flight) at a bounded number of replayed rows. Quoted
+# pass matches the matrix protocol: RUNS=3 per-query median in one JVM.
+STREAMQ="ev10_stream_hourly_replay,ev11_stream_sessions_replay,ev12_stream_dedup_replay,ev13_stream_click_join_replay,t41_stream_ingest_gate"
+for world in grow hot; do
+  rm -rf /tmp/x100r14_${world}_s10
+  sbt -batch "runMain graft.tools.SampleStreamWorld /tmp/x100r14_$world /tmp/x100r14_${world}_s10 10" 2>&1 | tail -3
+  SPARK_GRAFT_SF_DIR=/tmp/x100r14_${world}_s10 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_ONLY=$STREAMQ SPARK_GRAFT_BENCH_RUNS=3 \
+    SPARK_GRAFT_BENCH_OUT=$OUT/${world}_stream_s10.json \
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -1
+done
+
 echo "=== results ==="
 for f in $OUT/*.json; do
   echo "$f: $(python3 -c "import json,sys;d=json.load(open('$f'));print(d['value'],'sec, failed',d['failed'])")"
