@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   * pmod(xxhash64(key % Stride), N) == 0).
   */
 object SampleStreamWorld {
+
+  /** The sampling core: keep every row whose PRE-SHIFT key hashes into
+    * residue 0 mod `denom`. All-or-nothing per original key — the
+    * property SampleStreamWorldSpec pins, because a per-row sample would
+    * thin sessions and destroy the per-key rate structure the streaming
+    * cell exists to preserve. */
+  def sampleByKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                  denom: Int): org.apache.spark.sql.DataFrame =
+    df.where(pmod(xxhash64(pmod(col(keyCol), lit(ScaleUp.Stride))),
+      lit(denom.toLong)) === 0L)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: SampleStreamWorld <srcDir> <dstDir> [denominator]")
@@ -71,9 +82,7 @@ object SampleStreamWorld {
         sampledTables.get(t.getName) match {
           case Some(keyCol) =>
             val df = spark.read.parquet(t.getAbsolutePath)
-            val kept = df.where(
-              pmod(xxhash64(pmod(col(keyCol), lit(ScaleUp.Stride))),
-                lit(denom.toLong)) === 0L)
+            val kept = sampleByKey(df, keyCol, denom)
             kept.repartition(8).write.mode("overwrite")
               .parquet(out.getAbsolutePath)
             println(s"${t.getName}: 1-in-$denom by original-$keyCol hash " +
