@@ -29,13 +29,19 @@ object EventQueries {
     var attempt = 0
     while (attempt < 3 && java.nio.file.Files.exists(root)) {
       attempt += 1
-      try
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      try {
+        val walk = java.nio.file.Files.walk(root)
+        // Files.walk holds directory handles until closed — a leak per
+        // scrub otherwise (one per replay/staging call)
+        val snapshot =
+          try walk.iterator().asScala.toSeq finally walk.close()
+        snapshot
           .sortBy(-_.getNameCount)
           .foreach { f =>
             try java.nio.file.Files.deleteIfExists(f)
             catch { case _: java.io.IOException => () }
           }
+      }
       catch {
         // IO only (r17 advice): a Throwable catch here would swallow VM
         // errors (OOM) and the interrupt flag inside the NEVER-throws
@@ -776,17 +782,25 @@ object EventQueries {
       .toSeq.sortBy(_._1).map(_._2.toSeq)
   }
 
-  /** ev11's feed partition: the time-sorted rows sliced at 4-day cohort
+  /** ev11's feed partition: the time-sorted rows sliced at cohort
     * boundaries (no jitter — mapGroupsWithState has no watermark, so the
     * contract is in-order-per-key arrival; contiguous slices of a
-    * globally sorted array trivially satisfy it). Factored out so the
-    * spec can pin multi-batch-ness and feed losslessness, mirroring
-    * [[boundedDisorderBatches]]. Array.groupBy preserves encounter
-    * order within each group, so each cohort stays time-sorted. */
+    * globally sorted array trivially satisfy it). Cohort width is 4 days
+    * CAPPED at span/6, so a short-span corpus still replays in ≥ ~6
+    * micro-batches — a fixed width would silently collapse such a feed
+    * to ONE batch, and the row would pass its oracle without ever
+    * exercising the cross-batch session-resume path it exists to gate.
+    * Factored out so the spec can pin multi-batch-ness and feed
+    * losslessness, mirroring [[boundedDisorderBatches]]. Array.groupBy
+    * preserves encounter order within each group, so each cohort stays
+    * time-sorted. */
   private[queries] def sortedCohortBatches(
       rows: Array[(Long, java.sql.Timestamp)])
       : Seq[Seq[(Long, java.sql.Timestamp)]] = {
-    val bucketMs = 4L * 24 * 3600 * 1000
+    if (rows.isEmpty) return Seq.empty
+    val span = rows.last._2.getTime - rows.head._2.getTime
+    val bucketMs = math.max(1L,
+      math.min(4L * 24 * 3600 * 1000, span / 6 + 1))
     rows.groupBy(_._2.getTime / bucketMs).toSeq.sortBy(_._1).map(_._2.toSeq)
   }
 

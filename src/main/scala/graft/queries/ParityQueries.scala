@@ -386,12 +386,10 @@ object ParityQueries {
     val loc = java.nio.file.Paths.get(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
       "graft_wh.db", tbl)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    // best-effort scrub (closes its walk stream, tolerates per-file IO
+    // races, retries): if the stale location still can't be cleared,
+    // saveAsTable below fails with the real error rather than this walk
+    EventQueries.scrubCheckpoint(loc)
     CoreOps.scan(spark, sfDir, "lineitem")
       .where(col("l_shipdate") >= to_date(lit("1996-01-01")) &&
         col("l_shipdate") < to_date(lit("1996-02-01")))

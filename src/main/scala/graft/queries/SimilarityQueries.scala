@@ -1481,14 +1481,16 @@ object SimilarityQueries {
     * predicate pushed into the candidate join. */
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = scan(spark, sfDir, "embeddings")
+    // same slice and k as s22 (S22SliceMod/S22K): s21 is s22's recall
+    // oracle, so the two rows must mine the same anchors at the same k
     Similarity.hardNegatives(
-      emb.where(pmod(col("vec_id"), lit(97)) === 0), emb, k = 5)
+      emb.where(pmod(col("vec_id"), lit(S22SliceMod)) === 0), emb, k = S22K)
   }
 
-  private val hardNegativesOracle =
-    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+  private def hardNegativesOracle =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
       |                  label AS q_label
-      |           FROM embeddings WHERE vec_id % 97 = 0),
+      |           FROM embeddings WHERE vec_id % $S22SliceMod = 0),
       |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
       |                  label AS neighbor_label
       |           FROM embeddings),
@@ -1501,7 +1503,7 @@ object SimilarityQueries {
       |           FROM s)
       |SELECT query_id, rank, neighbor_id, neighbor_label,
       |       round(sim, 6) AS sim
-      |FROM r WHERE rank <= 5""".stripMargin
+      |FROM r WHERE rank <= $S22K""".stripMargin
 
   /** s22 — s21's mining at the corpus-scale shape (r17 verdict item 1):
     * candidate generation through s07's TRAINED IVF cells (shared
@@ -1521,13 +1523,18 @@ object SimilarityQueries {
   private[queries] val S22K = 5
   private[queries] val S22Nprobe = 4
 
+  /** The mining-slice modulus, shared with the oracle like S22K/S22Nprobe:
+    * both sides must select the SAME anchor set or the gate compares
+    * different queries. */
+  private[queries] val S22SliceMod = 97
+
   def hardNegativesIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = scan(spark, sfDir, "embeddings")
-    // query side: a bounded mining slice (vec_id % 97) — the broadcast
-    // contract of Similarity.hardNegativesIvf; at true corpus scale a
-    // caller pages through such slices pass by pass
+    // query side: a bounded mining slice (vec_id % S22SliceMod) — the
+    // broadcast contract of Similarity.hardNegativesIvf; at true corpus
+    // scale a caller pages through such slices pass by pass
     Similarity.hardNegativesIvf(
-      emb.where(pmod(col("vec_id"), lit(97)) === 0), emb,
+      emb.where(pmod(col("vec_id"), lit(S22SliceMod)) === 0), emb,
       trainedCentroids(spark, sfDir), k = S22K, nprobe = S22Nprobe)
   }
 
@@ -1564,7 +1571,7 @@ object SimilarityQueries {
        |    SELECT vec_id, cell,
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY dist, cell) AS rn
-       |    FROM dists WHERE vec_id % 97 = 0) WHERE rn <= $S22Nprobe),
+       |    FROM dists WHERE vec_id % $S22SliceMod = 0) WHERE rn <= $S22Nprobe),
        |s AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id,
        |         en.label AS neighbor_label,

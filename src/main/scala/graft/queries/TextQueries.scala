@@ -2395,7 +2395,6 @@ object TextQueries {
   def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.HtmlExtract
     val enStops = TextOps.langStopwords.toMap.apply("en")
-    val toks = TextOps.tokens(col("extracted"))
     scan(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"),
         HtmlExtract.blocks(HtmlExtract.wrap(
@@ -2406,13 +2405,21 @@ object TextQueries {
       .select(col("doc_id"), col("text"), col("n_blocks"),
         size(col("kept")).cast("int").as("n_kept"),
         HtmlExtract.extractFromBlocks(col("kept")).as("extracted"))
+      // stage the token array ONCE: the tokenizer is a lambda array op
+      // (CodegenFallback, excluded from CollapseProject when referenced
+      // more than once), so inlining it into the three stop_density
+      // usages would re-tokenize every row 3× — the t33 staging rule
       .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("extracted"),
         (col("extracted") ===
           HtmlExtract.expectedClean(col("doc_id"), col("text")))
           .as("clean_match"),
-        when(size(toks) === 0, lit(0.0))
-          .otherwise(TextOps.stopwordCountIn(toks, enStops).cast("double") /
-            size(toks))
+        TextOps.tokens(col("extracted")).as("__toks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("extracted"),
+        col("clean_match"),
+        when(size(col("__toks")) === 0, lit(0.0))
+          .otherwise(
+            TextOps.stopwordCountIn(col("__toks"), enStops).cast("double") /
+              size(col("__toks")))
           .cast("decimal(28,6)").cast("double").as("stop_density"))
   }
 
@@ -2425,8 +2432,12 @@ object TextQueries {
       .map(w => s"'$w'").mkString(", ")
     s"""WITH h AS (
        |  SELECT doc_id, text,
-       |    '<html><body>$Nav<div>Posted in <a href="/s/' || source || '">'
-       |      || source || '</a> by <a href="/u/' || doc_id || '">user'
+       |    '<html><body>$Nav<div>Posted in <a href="/s/' ||
+       |      replace(replace(replace(source, '&', '&amp;'),
+       |              '<', '&lt;'), '>', '&gt;') || '">'
+       |      || replace(replace(replace(source, '&', '&amp;'),
+       |                 '<', '&lt;'), '>', '&gt;')
+       |      || '</a> by <a href="/u/' || doc_id || '">user'
        |      || doc_id || '</a></div><p>'
        |      || replace(replace(replace(text, '&', '&amp;'),
        |                         '<', '&lt;'), '>', '&gt;')
@@ -3214,19 +3225,6 @@ object TextQueries {
         .select(col("doc_id").cast("long").as("id"), col("text"))
         .sort(col("id")).limit(BpeMaxSample)
         .collect().map(_.getString(1)).toSeq
-      // t47's DuckDB oracle verifies Viterbi by enumerating ALL
-      // segmentations of each distinct word with a recursive CTE —
-      // O(2^|w|) per word. Safe only while words stay short; fail loudly
-      // here (the sample is a deterministic slice of the same corpus the
-      // oracle tokenizes) instead of letting a corpus change blow up
-      // oracle dump time/memory silently.
-      val maxWordLen = texts.iterator
-        .flatMap(graft.functions.Bpe.pretokenize)
-        .foldLeft(0)((m, w) => m.max(w.length))
-      require(maxWordLen <= 16,
-        s"trainedUnigram: corpus sample contains a pre-tokenized word of " +
-          s"length $maxWordLen > 16 — t47's enumeration oracle is " +
-          "exponential in word length; re-derive the bound before raising")
       graft.functions.UnigramLm.train(texts, UniVocabSize, UniRounds)
     })
     lastUni = Some(v)
@@ -3283,7 +3281,15 @@ object TextQueries {
        |  FROM documents),
        |wt AS (SELECT doc_id, w, count(*) AS cnt FROM tok
        |       WHERE len(w) > 0 GROUP BY 1, 2),
-       |dw AS (SELECT DISTINCT w FROM wt),
+       |-- guard at ORACLE altitude (the engine's linear Viterbi is fine
+       |-- with long words; only this enumeration is O(2^|w|) per word):
+       |-- a corpus change with >16-char words fails THIS dump loudly
+       |-- instead of exploding DuckDB's recursion time/memory silently
+       |dw AS (SELECT CASE WHEN len(w) > 16 THEN error(
+       |         't47 oracle: word "' || w || '" exceeds 16 chars - the ' ||
+       |         'segmentation enumeration is O(2^|w|); re-derive the ' ||
+       |         'bound before raising') ELSE w END AS w
+       |       FROM (SELECT DISTINCT w FROM wt)),
        |chars AS (
        |  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece
        |  FROM dw, (SELECT unnest(generate_series(1,

@@ -67,7 +67,12 @@ object HtmlExtract {
   def wrap(docId: Column, source: Column, text: Column): Column =
     concat(
       lit("<html><body>" + Nav + "<div>Posted in <a href=\"/s/"),
-      source, lit("\">"), source,
+      // source is entity-escaped like text: a raw '<'/'>'/'&' here would
+      // break the flat well-formed-page model the extractor (and the
+      // oracle, which mirrors this synthesis) assumes — shifting block
+      // boundaries identically on both sides, so the gate could not
+      // flag the corruption
+      escapeHtml(source), lit("\">"), escapeHtml(source),
       lit("</a> by <a href=\"/u/"), docId.cast("string"),
       lit("\">user"), docId.cast("string"), lit("</a></div><p>"),
       escapeHtml(text),

@@ -87,9 +87,14 @@ object SampleDocs {
               s"original-id hash -> " +
               s"${spark.read.parquet(out.getAbsolutePath).count()} rows")
           case None =>
-            if (!out.exists())
-              java.nio.file.Files.createSymbolicLink(out.toPath,
-                t.getAbsoluteFile.toPath)
+            // always re-link (matches SampleStreamWorld): a leftover link
+            // from a prior run against a different or rebuilt srcDir
+            // would silently mix worlds; deleteIfExists removes a
+            // dangling link where exists() would read false and the
+            // create would throw FileAlreadyExistsException
+            java.nio.file.Files.deleteIfExists(out.toPath)
+            java.nio.file.Files.createSymbolicLink(out.toPath,
+              t.getAbsoluteFile.toPath)
             println(s"${t.getName}: symlinked")
         }
       }

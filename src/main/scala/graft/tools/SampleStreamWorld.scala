@@ -88,9 +88,14 @@ object SampleStreamWorld {
             println(s"${t.getName}: 1-in-$denom by original-$keyCol hash " +
               s"-> ${spark.read.parquet(out.getAbsolutePath).count()} rows")
           case None =>
-            if (!out.exists())
-              java.nio.file.Files.createSymbolicLink(out.toPath,
-                t.getAbsoluteFile.toPath)
+            // always re-link: a leftover link from a prior run against a
+            // different (or since-rebuilt) srcDir would silently mix
+            // worlds; deleteIfExists operates on the LINK, so a dangling
+            // one is removed rather than tripping exists()=false +
+            // FileAlreadyExistsException on create
+            java.nio.file.Files.deleteIfExists(out.toPath)
+            java.nio.file.Files.createSymbolicLink(out.toPath,
+              t.getAbsoluteFile.toPath)
             println(s"${t.getName}: symlinked")
         }
       }

@@ -61,6 +61,23 @@ class Ev10ReplaySpec extends SparkSpec {
       "feed partition lost, duplicated, or reordered events")
   }
 
+  test("ev11 feed: a SHORT-span corpus still replays multi-batch (the " +
+    "span/6 cap — a fixed 4-day width would collapse it to one batch " +
+    "and silently skip the cross-batch resume path)") {
+    // 2-day span, uniform minutes: far under one 4-day cohort
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val short = Array.tabulate(2 * 24 * 60) { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 60000L))
+    }
+    val batches = EventQueries.sortedCohortBatches(short)
+    assert(batches.size >= 6,
+      s"short-span feed degraded to ${batches.size} batch(es)")
+    assert(batches.flatten.toSeq == short.toSeq,
+      "short-span partition lost, duplicated, or reordered events")
+    assert(EventQueries.sortedCohortBatches(
+      Array.empty[(Long, java.sql.Timestamp)]).isEmpty)
+  }
+
   test("ev11: stateful sessionize replay == ev02 batch twin on the " +
     "sf0.001 corpus (set identity)") {
     def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -85,6 +85,27 @@ class HtmlExtractSpec extends SparkSpec {
     assert(teaser.nonEmpty, "teaser block must parse")
   }
 
+  test("markup-bearing source survives: the byline stays a flat block " +
+    "and extraction still reconstructs the clean text") {
+    // '</a><p>' raw in source would close the byline anchor early and
+    // open a stray block — with source escaped on synthesis, the page
+    // stays flat and well-formed and reconstruction is exact
+    val text = "real content words here that are long enough to keep " * 2
+    val r = Seq((9L, "x</a><p>junk & more", text))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("text"),
+        HtmlExtract.blocks(HtmlExtract.wrap(
+          col("doc_id"), col("source"), col("text"))).as("blks"))
+      .select(size(col("blks")).as("n_blocks"),
+        HtmlExtract.extractFromBlocks(
+          HtmlExtract.keptBlocks(col("blks"))).as("out"),
+        HtmlExtract.expectedClean(col("doc_id"), col("text")).as("want"))
+      .head()
+    assert(r.getInt(0) == 7, "hostile source must not shift block count")
+    assert(r.getString(1) == r.getString(2),
+      "hostile source corrupted extraction")
+  }
+
   test("extraction over the corpus reconstructs every original " +
     "(clean_match) and plans as a pure narrow map — zero exchanges") {
     val out = graft.queries.TextQueries.htmlExtract(spark, sf)
