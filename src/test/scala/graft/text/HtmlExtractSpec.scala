@@ -115,6 +115,13 @@ class HtmlExtractSpec extends SparkSpec {
     }
     assert(exchanges.isEmpty,
       s"t49 must be a narrow map; found shuffles:\n$plan")
+    // the token array must be STAGED once, not inlined into the three
+    // stop_density usages (lambda array ops are CodegenFallback; a
+    // collapsed projection re-tokenizes every row 3x)
+    val tokenizations = "split\\(lower\\(trim\\(".r
+      .findAllIn(plan.toString).length
+    assert(tokenizations == 1,
+      s"extracted text tokenized $tokenizations times; must be staged once")
     val n = out.count()
     val clean = out.where(col("clean_match")).count()
     assert(n > 0 && clean == n, s"$clean/$n docs reconstructed cleanly")
