@@ -694,8 +694,16 @@ object EventQueries {
     // trails each epoch's max by the lateness, so boundary-epoch views
     // always outlive their candidate clicks — fewer boundaries is
     // strictly safer. The 15-min jitter < 30-min lateness discipline
-    // (StreamBatchEquivalenceSpec) is untouched.
-    val bucketMs = 8L * 24 * 3600 * 1000
+    // (StreamBatchEquivalenceSpec) is untouched. Width capped at span/3
+    // (the ev11 rule, coarser here because the two sides interleave to
+    // ~2× the batch count): a short-span corpus must still replay
+    // multi-epoch or the cross-epoch join-state path goes unexercised.
+    val allTimes = (viewRows.iterator ++ clickRows.iterator).map(_._2.getTime)
+    val (tLo, tHi) = allTimes.foldLeft((Long.MaxValue, Long.MinValue)) {
+      case ((a, b), t) => (a.min(t), b.max(t))
+    }
+    val bucketMs = math.max(1L,
+      math.min(8L * 24 * 3600 * 1000, (tHi - tLo) / 3 + 1))
     def jitterMs(id: Long): Long = (id % 4) * 5 * 60 * 1000L
     def buckets(rows: Array[(Long, Timestamp, Long)]) =
       rows.groupBy(r => (r._2.getTime + jitterMs(r._1)) / bucketMs)
@@ -776,7 +784,17 @@ object EventQueries {
     // boundary-crossing arrivals at every cohort seam (half as many
     // seams; the lateness-zeroing mutant still drops them and the
     // driver gate still catches — re-killed at this size, BASELINE r18).
-    val bucketMs = 4L * 24 * 3600 * 1000
+    // width capped at span/6 (the ev11 rule): a fixed 4-day width on a
+    // short-span corpus would collapse the replay to ONE batch — the
+    // watermark would never advance mid-stream and the row would pass
+    // its oracle with the late-drop path unexercised
+    if (rows.isEmpty) return Seq.empty
+    val times = rows.iterator.map(_._2.getTime)
+    val (lo, hi) = times.foldLeft((Long.MaxValue, Long.MinValue)) {
+      case ((a, b), t) => (a.min(t), b.max(t))
+    }
+    val bucketMs = math.max(1L,
+      math.min(4L * 24 * 3600 * 1000, (hi - lo) / 6 + 1))
     def jitterMs(id: Long): Long = (id % 4) * 30 * 60 * 1000L
     rows.groupBy(r => (r._2.getTime + jitterMs(r._1)) / bucketMs)
       .toSeq.sortBy(_._1).map(_._2.toSeq)

@@ -31,6 +31,22 @@ class Ev10ReplaySpec extends SparkSpec {
       "feed partition lost or duplicated events")
   }
 
+  test("ev10 feed: a SHORT-span corpus still replays multi-batch (the " +
+    "span/6 width cap — fixed 4-day cohorts would collapse it to one " +
+    "batch with the watermark never advancing mid-stream)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val short = Array.tabulate(2 * 24 * 60) { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 60000L), "view", 1.0)
+    }
+    val batches = EventQueries.boundedDisorderBatches(short)
+    assert(batches.size >= 6,
+      s"short-span feed degraded to ${batches.size} batch(es)")
+    assert(batches.flatten.map(_._1).sorted.toSeq ==
+      short.map(_._1).sorted.toSeq, "short-span partition lost events")
+    assert(EventQueries.boundedDisorderBatches(
+      Array.empty[(Long, java.sql.Timestamp, String, Double)]).isEmpty)
+  }
+
   test("streamed replay == batch twin ev01 on the sf0.001 corpus " +
     "(set identity, row-for-row)") {
     def key(r: Row) = (r.getString(0), r.getString(1), r.getLong(2),
