@@ -400,31 +400,84 @@ object Dedup {
   def nearDupAgainst(corpus: DataFrame, batch: DataFrame,
                      textCol: String, idCol: String,
                      threshold: Double, k: Int = 5,
-                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    if (!shouldCollapse(corpus, textCol))
-      return nearDupAgainstFlat(corpus, batch, textCol, idCol,
-        threshold, k, numHashes, bands)
-    // same space-only-trim key as collapseExpand, same reason: it must
-    // match rawShingles' normalization exactly (see the note there)
-    def keyed(df: DataFrame) =
-      df.select(col(idCol).as("id"), col(textCol).as("__text"))
-        .withColumn("ek", sha2(lower(trim(col("__text"))), 256))
-    def repsOf(kd: DataFrame) = kd.groupBy(col("ek"))
+                     numHashes: Int = 32, bands: Int = 8): DataFrame =
+    nearDupAgainstIndexed(
+      indexCorpus(corpus, textCol, idCol, persist = false),
+      batch, textCol, idCol, threshold, k, numHashes, bands)
+
+  /** The space-only-trim exact key slice: it must match rawShingles'
+    * normalization exactly (see the note there). */
+  private def gateKeyed(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("ek", sha2(lower(trim(col("__text"))), 256))
+
+  private def gateRepsOf(kd: DataFrame): DataFrame =
+    kd.groupBy(col("ek"))
       .agg(min(col("id")).as("id"),
         min_by(col("__text"), col("id")).as("__text"))
-    val (kc, kb) = (keyed(corpus), keyed(batch))
+
+  /** The CORPUS-SIDE INVARIANTS of the incremental gate, computed once:
+    * the collapse-routing probe verdict and, on the collapsed route, the
+    * keyed corpus + its representative table. A STREAMING caller builds
+    * this once per stream (`persist = true`) so each micro-batch reads
+    * the corpus side from cached blocks — per-batch cost proportional to
+    * the batch, not the corpus; the one-shot batch caller
+    * ([[nearDupAgainst]]) builds it unpersisted per call, which is plan-
+    * identical to the historical inline form. `unpersist()` releases the
+    * cached blocks when the stream stops. */
+  final case class GateCorpusIndex private[dedup] (
+      collapsed: Boolean,
+      private[dedup] val flat: DataFrame,
+      private[dedup] val kc: DataFrame,
+      private[dedup] val repsC: DataFrame,
+      private val persisted: Seq[DataFrame]) {
+    def unpersist(): Unit =
+      persisted.foreach(_.unpersist(blocking = false))
+  }
+
+  def indexCorpus(corpus: DataFrame, textCol: String, idCol: String,
+                  persist: Boolean): GateCorpusIndex = {
+    def maybe(df: DataFrame): DataFrame =
+      if (persist)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    if (!shouldCollapse(corpus, textCol)) {
+      val flat = maybe(corpus.select(col(idCol), col(textCol)))
+      GateCorpusIndex(collapsed = false, flat, null, null,
+        if (persist) Seq(flat) else Seq.empty)
+    } else {
+      val kc = maybe(gateKeyed(corpus, textCol, idCol))
+      val reps = maybe(gateRepsOf(kc))
+      GateCorpusIndex(collapsed = true, null, kc, reps,
+        if (persist) Seq(kc, reps) else Seq.empty)
+    }
+  }
+
+  /** [[nearDupAgainst]] against a prebuilt [[GateCorpusIndex]] — the
+    * per-micro-batch form: no corpus probe, no corpus re-grouping. */
+  def nearDupAgainstIndexed(idx: GateCorpusIndex, batch: DataFrame,
+                            textCol: String, idCol: String,
+                            threshold: Double, k: Int = 5,
+                            numHashes: Int = 32,
+                            bands: Int = 8): DataFrame = {
+    if (!idx.collapsed)
+      return nearDupAgainstFlat(idx.flat, batch, textCol, idCol,
+        threshold, k, numHashes, bands)
+    val kb = gateKeyed(batch, textCol, idCol)
     val rp = nearDupAgainstFlat(
-      repsOf(kc).select(col("id"), col("__text")),
-      repsOf(kb).select(col("id"), col("__text")),
+      idx.repsC.select(col("id"), col("__text")),
+      gateRepsOf(kb).select(col("id"), col("__text")),
       "__text", "id", threshold, k, numHashes, bands)
     // expansion: rep pair -> every member combination. The batch-side
     // maps are broadcast (nightly-batch contract); the corpus member map
     // is id/ek only — fixed width, no text.
-    val repC = repsOf(kc).select(col("id").as("crid"), col("ek").as("cek"))
-    val repB = repsOf(kb).select(col("id").as("brid"), col("ek").as("bek"))
+    val repC = idx.repsC.select(col("id").as("crid"), col("ek").as("cek"))
+    val repB = gateRepsOf(kb).select(col("id").as("brid"),
+      col("ek").as("bek"))
     rp.join(repC, col("corpus_id") === col("crid"))
       .join(broadcast(repB), col("batch_id") === col("brid"))
-      .join(kc.select(col("id").as("cid"), col("ek").as("cek")), "cek")
+      .join(idx.kc.select(col("id").as("cid"), col("ek").as("cek")), "cek")
       .join(broadcast(kb.select(col("id").as("bid"), col("ek").as("bek"))),
         "bek")
       .select(col("bid").as("batch_id"), col("cid").as("corpus_id"),
@@ -531,10 +584,15 @@ object Dedup {
       .select(col("id"), assembled.as("simhash"))
   }
 
-  def withSimhash(df: DataFrame, textCol: String,
-                  idCol: String = "doc_id"): DataFrame =
-    df.join(simhashes(df, textCol, idCol).withColumnRenamed("id", idCol),
-      idCol)
+  /** All columns plus the SimHash — a pure narrow withColumn (the print
+    * is a function of the text alone). The earlier self-join-on-id form
+    * shuffled, multiplied rows quadratically per duplicate id, and
+    * silently dropped null-id rows; this is row-preserving by
+    * construction. */
+  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.SimHash64.register(df.sparkSession)
+    df.withColumn("simhash", expr(s"simhash64(lower(trim($textCol)))"))
+  }
 
   /** Connected components over a near-dup pair graph: every doc gets the
     * min doc-id of its component as `cluster_id`, so survivor selection
@@ -631,6 +689,14 @@ object Dedup {
     * (chunk index, chunk value) — never all-pairs. */
   def simhashCandidatesFlat(df: DataFrame, textCol: String, idCol: String,
                             maxHamming: Int = 3): DataFrame = {
+    // the 4-chunk pigeonhole only guarantees candidate generation up to
+    // Hamming 3 (4 differing bits can land one per chunk and never share
+    // an equi-join key); a larger radius would SILENTLY lose pairs that
+    // the final hamming filter means to keep — fail loudly instead
+    require(maxHamming <= 3,
+      s"simhashCandidates: maxHamming=$maxHamming exceeds the lossless " +
+        "radius of the 4x16-bit chunk join (3); use more/narrower chunks " +
+        "for a larger radius")
     val sh = simhashes(df, textCol, idCol)
       .select(col("id"), col("simhash").as("sh"))
     val chunked = sh.withColumn("chunk", explode(expr(

@@ -203,9 +203,6 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               planesPerTable: Int = 3, tables: Int = 10,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val codes = (0 until tables).map { t =>
-      hyperplanes(planesPerTable, dim, seed + t)
-    }
     // One projection computes ALL per-table codes (native fused loop —
     // the builtin per-plane aggregate/zip_with lambdas are interpreted,
     // ~tables×planes×dim boxed ops per row), then posexplode — the
@@ -288,8 +285,12 @@ object Similarity {
         graft.dedup.Dedup.CollapseDuplicationThreshold)
       return lshNearDupPairsFlat(base, threshold, planesPerTable, tables,
         dim, seed)
-    val keyed = base.withColumn("ek",
-      sha2(concat_ws(",", transform(col("vf"), _.cast("string"))), 256))
+    // to_json, NOT concat_ws: concat_ws silently SKIPS null elements, so
+    // [1, null, 5] and [1, 5] would share a key and collapse two
+    // structurally different vectors into one group (fabricating a
+    // sim-1.0 pair the flat route would reject); JSON renders nulls and
+    // brackets explicitly, so the key is collision-free for any array
+    val keyed = base.withColumn("ek", sha2(to_json(col("vf")), 256))
     val members = keyed.select(col("id"), col("ek"))
     val reps = keyed.groupBy(col("ek"))
       .agg(min(col("id")).as("id"), min_by(col("vf"), col("id")).as("vf"))
@@ -375,18 +376,44 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     graft.functions.FloatCosine.register(queries.sparkSession)
-    val c = ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("cell"))
-    val q0 = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+    // the hardNegativesIvf shape (r18 ×100 fix applied here too): on a
+    // FLOAT corpus the vectors stay float end to end — doubles exist
+    // only inside the argmin cell expressions — and the rerank is the
+    // native codegen FloatCosine instead of the INTERPRETED builtin
+    // double-fold (~dim boxed ops per candidate pair, the projection
+    // that sat >60 min at the r18 ×100-grow warmup on s22's query
+    // slice). FloatCosine runs the same double-precision accumulation
+    // order, so sims — and the DuckDB oracle — are unchanged. A caller
+    // with a genuine array<double> corpus (spec fixtures) keeps the
+    // interpreted double path: a float downcast would CHANGE its values.
+    val isFloat = Seq(corpus.schema(vecCol).dataType,
+      queries.schema(vecCol).dataType).forall {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val (c, q0) =
+      if (isFloat) (
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+          .withColumn("cell", exprCol(graft.functions.IvfCell(
+            colExpr(asDouble(col("cv"))), centroids))),
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+      else (
+        ivfAssign(corpus, centroids, idCol, vecCol)
+          .select(col(idCol).as("neighbor_id"), col("v").as("cv"),
+            col("cell")),
+        queries.select(col(idCol).as("query_id"),
+          asDouble(col(vecCol)).as("qv")))
     val qCells = q0.select(col("query_id"), col("qv"),
       explode(exprCol(graft.functions.IvfCells(
-        colExpr(col("qv")), centroids, nprobe))).as("cell"))
+        colExpr(asDouble(col("qv"))), centroids, nprobe))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(qCells), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim",
+        if (isFloat) expr("float_cosine(qv, cv)")
+        else cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -96,7 +96,16 @@ object StreamOps {
                     closed = true)
                   Some(SessionState(t, t, 1L))
                 case Some(s) =>
-                  Some(s.copy(last = t, n = s.n + 1))
+                  // monotone state under disorder: a LATE cross-batch
+                  // event (t < s.last — no watermark bounds arrival
+                  // here) merges into the open session without moving
+                  // last backwards, which would widen the next delta
+                  // and falsely split; min on start absorbs a late
+                  // event that precedes the session's first-seen time.
+                  // Both are identities on an in-order-per-key feed
+                  // (the replay contract), where t >= s.last always.
+                  Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case None =>
                   Some(SessionState(t, t, 1L))
               }
@@ -188,9 +197,21 @@ object StreamOps {
     * sink / [[upsertBatch]]). */
   def nearDupGateBatch(batch: DataFrame, corpus: DataFrame,
                        textCol: String, idCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double): DataFrame =
+    nearDupGateBatchIndexed(batch,
+      graft.dedup.Dedup.indexCorpus(corpus, textCol, idCol,
+        persist = false),
+      textCol, idCol, threshold)
+
+  /** [[nearDupGateBatch]] against a prebuilt corpus index — what
+    * [[startNearDupGate]] actually runs per micro-batch, so the corpus
+    * probe/grouping cost is paid once per STREAM, not once per batch. */
+  def nearDupGateBatchIndexed(batch: DataFrame,
+                              idx: graft.dedup.Dedup.GateCorpusIndex,
+                              textCol: String, idCol: String,
+                              threshold: Double): DataFrame = {
     val matches = graft.dedup.Dedup
-      .nearDupAgainst(corpus, batch, textCol, idCol, threshold)
+      .nearDupAgainstIndexed(idx, batch, textCol, idCol, threshold)
       .groupBy(col("batch_id"))
       .agg(min_by(col("corpus_id"), struct(-col("jaccard"), col("corpus_id")))
           .as("match_id"),
@@ -203,23 +224,40 @@ object StreamOps {
   }
 
   /** The streaming wrapper: gate each micro-batch of documents against
-    * the static corpus and append the ANNOTATED batch to a parquet dir
+    * the static corpus and land the ANNOTATED batch in a parquet dir
     * (passed and flagged rows both land, with verdict columns — a
     * downstream reader filters `passed = 1` for training and audits the
-    * rest). Append-mode foreachBatch with a checkpoint: the file sink's
-    * transaction log plus the gate's determinism give exactly-once
-    * verdicts across restarts. */
+    * rest).
+    *
+    * Exactly-once: a manual `write` inside foreachBatch has NO file-sink
+    * transaction log (that log belongs to `format("parquet")` streaming
+    * sinks, [[startParquetSink]]), so each epoch lands in its own
+    * `epoch=<id>` partition dir with OVERWRITE mode — a crash-replayed
+    * epoch rewrites its own directory instead of appending a duplicate
+    * copy of every row. Readers `spark.read.parquet(path)` as before
+    * (partition discovery adds an `epoch` column).
+    *
+    * Corpus cost: the gate's corpus side (collapse-routing probe, keyed
+    * corpus, representative table) is indexed ONCE here and persisted —
+    * per-batch work is proportional to the batch, never the corpus.
+    * `q.stop()` releases the stream; the cached corpus blocks release
+    * with the session (or call the returned index's `unpersist()` via
+    * [[graft.dedup.Dedup.indexCorpus]] if managing lifetimes manually). */
   def startNearDupGate(docs: DataFrame, corpus: DataFrame,
                        textCol: String, idCol: String, threshold: Double,
-                       path: String, checkpoint: String) =
+                       path: String, checkpoint: String) = {
+    val idx = graft.dedup.Dedup.indexCorpus(corpus, textCol, idCol,
+      persist = true)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        nearDupGateBatch(batch, corpus, textCol, idCol, threshold)
-          .write.mode("append").parquet(path): Unit
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          nearDupGateBatchIndexed(batch, idx, textCol, idCol, threshold)
+            .write.mode("overwrite").parquet(s"$path/epoch=$epochId"): Unit
       }
       .start()
+  }
 
   /** Write helper showing the intended production shape: append-mode
     * parquet sink with checkpointing (exactly-once file sink). */

@@ -141,6 +141,19 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("simhashCandidates rejects a radius beyond the 4-chunk join's " +
+    "lossless bound instead of silently losing pairs") {
+    // 4 differing bits can land one per 16-bit chunk and never share an
+    // equi-join key — maxHamming 4 would drop pairs the hamming filter
+    // means to keep, so the operator must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("lossless radius"))
+    // radius 3 (the bound itself) stays accepted
+    Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 3)
+  }
+
   test("cluster assignment labels each component with its min id") {
     // components: {1,2,3} (chain), {4,5}, {6} singleton
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

@@ -69,6 +69,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a LATE cross-batch event merges without moving the " +
+    "session clock backwards (no spurious split on the next arrival)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("update").start()
+    try {
+      mem.addData((5L, ts(8)))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE event (ts 0 < state.last = 8) — no
+      // watermark bounds arrival here. A last-regressing fold would set
+      // last = 0 and then falsely split on the 12-minute-later event
+      // (12 - 0 > gap) even though 12 - 8 = 4 min is inside the gap.
+      mem.addData((5L, ts(0)))
+      q.processAllAvailable()
+      mem.addData((5L, ts(12)))
+      q.processAllAvailable()
+      val ups = spark.table("sessions_late")
+        .select("user_id", "n_events", "closed").as[(Long, Long, Boolean)]
+        .collect().toSet
+      assert(ups.contains((5L, 3L, false)),
+        s"one live 3-event session expected, got $ups")
+      assert(!ups.exists(_._3), s"no session may close inside the gap: $ups")
+    } finally q.stop()
+  }
+
   test("end-to-end: parquet file stream -> watermarked windows -> exactly-once parquet sink") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
@@ -397,6 +425,23 @@ class StreamingSpec extends SparkSpec {
         .select("id", "passed").as[(Long, Int)].collect().toSet
       assert(rows == Set((1000000L, 0), (1000001L, 1)),
         s"both micro-batches must land with verdicts: $rows")
+      // exactly-once layout: each epoch owns an epoch=<id> partition dir
+      // written with OVERWRITE — replaying an epoch (crash before the
+      // checkpoint recorded it) rewrites its own dir instead of
+      // appending a duplicate copy of every row. Simulate the replay by
+      // re-running epoch 0's write; the row set must be unchanged.
+      val epochDirs = new java.io.File(s"$dir/out").listFiles()
+        .filter(_.getName.startsWith("epoch=")).map(_.getName).sorted
+      assert(epochDirs.length == 2, s"one dir per epoch: ${epochDirs.toSeq}")
+      val replayBatch = Seq((1000000L,
+        "the quick brown fox jumps over the lazy cat in the corpus today"))
+        .toDF("doc_id", "text")
+      StreamOps.nearDupGateBatch(replayBatch, corpus, "text", "doc_id", 0.5)
+        .write.mode("overwrite").parquet(s"$dir/out/${epochDirs.head}")
+      val replayed = spark.read.parquet(s"$dir/out")
+        .select("id", "passed").as[(Long, Int)].collect()
+      assert(replayed.toSet == rows && replayed.length == 2,
+        s"an epoch replay must not duplicate rows: ${replayed.toSeq}")
     } finally q.stop()
   }
 
