@@ -2638,8 +2638,14 @@ object TextQueries {
     val corpus = ss.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val mem = MemoryStream[(Long, String)]
-    val q = graft.streaming.StreamOps.startNearDupGate(
-      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id",
+    // caller-managed index: the persisted corpus projection registers in
+    // the session CacheManager and would silently substitute into OTHER
+    // queries' plans after this replay finishes — unpersist in the
+    // finally so the harness leaves the session as it found it
+    val idx = graft.dedup.Dedup.indexCorpus(corpus, "text", "doc_id",
+      persist = true)
+    val q = graft.streaming.StreamOps.startNearDupGateIndexed(
+      mem.toDF().toDF("doc_id", "text"), idx, "text", "doc_id",
       threshold = 0.5, path = sinkDir.toString,
       checkpoint = ckptDir.toString)
     val out =
@@ -2651,6 +2657,7 @@ object TextQueries {
           .collect()
       } finally {
         q.stop()
+        idx.unpersist()
         Seq(sinkDir, ckptDir).foreach(EventQueries.scrubCheckpoint)
       }
     spark.createDataFrame(

@@ -245,9 +245,25 @@ object StreamOps {
     * [[graft.dedup.Dedup.indexCorpus]] if managing lifetimes manually). */
   def startNearDupGate(docs: DataFrame, corpus: DataFrame,
                        textCol: String, idCol: String, threshold: Double,
-                       path: String, checkpoint: String) = {
-    val idx = graft.dedup.Dedup.indexCorpus(corpus, textCol, idCol,
-      persist = true)
+                       path: String, checkpoint: String) =
+    startNearDupGateIndexed(docs,
+      graft.dedup.Dedup.indexCorpus(corpus, textCol, idCol, persist = true),
+      textCol, idCol, threshold, path, checkpoint)
+
+  /** [[startNearDupGate]] with a CALLER-MANAGED corpus index. Lifetime
+    * matters beyond memory: a persisted index registers its corpus
+    * projection in the session's CacheManager, which substitutes an
+    * InMemoryRelation into ANY later query containing a sameResult
+    * subtree — harmless-to-helpful in production, but a replay harness
+    * that runs a gate and then other queries in one session must
+    * `idx.unpersist()` after `q.stop()` or those queries silently plan
+    * against the cache (caught by the t38 plan pin when the convenience
+    * overload persisted unconditionally). */
+  def startNearDupGateIndexed(docs: DataFrame,
+                              idx: graft.dedup.Dedup.GateCorpusIndex,
+                              textCol: String, idCol: String,
+                              threshold: Double,
+                              path: String, checkpoint: String) =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -257,7 +273,6 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$path/epoch=$epochId"): Unit
       }
       .start()
-  }
 
   /** Write helper showing the intended production shape: append-mode
     * parquet sink with checkpointing (exactly-once file sink). */
