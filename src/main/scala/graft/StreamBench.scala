@@ -115,7 +115,7 @@ object StreamBench {
       gateQuery.processAllAvailable()
     }
     val gateWall = (System.nanoTime() - gateT0) / 1e9
-    val gateDur = progressDurations(gateQuery)
+    val gateDur = progressDurations(gateQuery.query)
     gateQuery.stop()
     // the gate must have actually gated: every replayed doc is its own
     // corpus duplicate, so passed=0 everywhere — a sanity floor, not a tune

@@ -431,7 +431,7 @@ object Dedup {
       private[dedup] val flat: DataFrame,
       private[dedup] val kc: DataFrame,
       private[dedup] val repsC: DataFrame,
-      private val persisted: Seq[DataFrame]) {
+      private[graft] val persisted: Seq[DataFrame]) {
     def unpersist(): Unit =
       persisted.foreach(_.unpersist(blocking = false))
   }

@@ -26,9 +26,12 @@ import org.apache.spark.sql.SparkSession
   * A zero-norm (or empty) vector yields NULL, not NaN — NaN sorts ABOVE
   * every real similarity in a descending sort, so a zero vector in the
   * corpus would otherwise outrank all true neighbors; NULLs sort last.
-  * Length-mismatched arrays are truncated to the shorter length (the
-  * harness schema is fixed-width; a production caller validates widths at
-  * ingest).
+  * Length-mismatched arrays ALSO yield NULL — the same verdict the
+  * builtin double route (`zip_with` + `aggregate`) reaches, so a top-k
+  * that picks its rerank expression by schema (ivfTopK's float/double
+  * routing) filters a malformed vector identically on both routes
+  * instead of letting a truncated-prefix similarity sneak into the float
+  * path's candidate set.
   */
 case class FloatCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -55,7 +58,8 @@ case class FloatCosine(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -77,18 +81,22 @@ case class FloatCosine(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $nx += x * x; $ny += y * y;
-         |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |if ($denom == 0.0) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / $denom;
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = (double) $a.getFloat($i);
+         |    double y = (double) $b.getFloat($i);
+         |    $dot += x * y; $nx += x * x; $ny += y * y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  if ($denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / $denom;
+         |  }
          |}
        """.stripMargin
     })

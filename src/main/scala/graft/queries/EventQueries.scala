@@ -702,8 +702,15 @@ object EventQueries {
     val (tLo, tHi) = allTimes.foldLeft((Long.MaxValue, Long.MinValue)) {
       case ((a, b), t) => (a.min(t), b.max(t))
     }
-    val bucketMs = math.max(1L,
-      math.min(8L * 24 * 3600 * 1000, (tHi - tLo) / 3 + 1))
+    // Explicit empty guard (the boundedDisorderBatches/sortedCohortBatches
+    // rule): on two empty feeds tHi - tLo is MinValue - MaxValue, which
+    // lands on bucketMs = 1 only by two's-complement wrap — make the
+    // no-rows case a stated value, not an overflow coincidence. (The
+    // replay below is already a no-op then: no keys, empty sink.)
+    val bucketMs =
+      if (viewRows.isEmpty && clickRows.isEmpty) 1L
+      else math.max(1L,
+        math.min(8L * 24 * 3600 * 1000, (tHi - tLo) / 3 + 1))
     def jitterMs(id: Long): Long = (id % 4) * 5 * 60 * 1000L
     def buckets(rows: Array[(Long, Timestamp, Long)]) =
       rows.groupBy(r => (r._2.getTime + jitterMs(r._1)) / bucketMs)

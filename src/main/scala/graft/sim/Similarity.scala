@@ -386,6 +386,10 @@ object Similarity {
     // order, so sims — and the DuckDB oracle — are unchanged. A caller
     // with a genuine array<double> corpus (spec fixtures) keeps the
     // interpreted double path: a float downcast would CHANGE its values.
+    // The two routes also agree on MALFORMED vectors (r20): a width
+    // mismatch yields NULL on both (FloatCosine NULLs it natively; the
+    // double route's zip_with pads with NULL), so top-k membership never
+    // differs by schema route.
     val isFloat = Seq(corpus.schema(vecCol).dataType,
       queries.schema(vecCol).dataType).forall {
       case org.apache.spark.sql.types.ArrayType(

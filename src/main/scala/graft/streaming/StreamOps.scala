@@ -240,15 +240,44 @@ object StreamOps {
     * Corpus cost: the gate's corpus side (collapse-routing probe, keyed
     * corpus, representative table) is indexed ONCE here and persisted —
     * per-batch work is proportional to the batch, never the corpus.
-    * `q.stop()` releases the stream; the cached corpus blocks release
-    * with the session (or call the returned index's `unpersist()` via
-    * [[graft.dedup.Dedup.indexCorpus]] if managing lifetimes manually). */
+    * Returns a [[GateQuery]] handle owning BOTH the stream and the index
+    * this overload built: `handle.stop()` stops the stream and
+    * unpersists the cached corpus blocks, releasing their CacheManager
+    * registration (see [[startNearDupGateIndexed]] for why that
+    * registration must not outlive the gate). Callers managing the index
+    * lifetime themselves use [[startNearDupGateIndexed]] directly. */
   def startNearDupGate(docs: DataFrame, corpus: DataFrame,
                        textCol: String, idCol: String, threshold: Double,
-                       path: String, checkpoint: String) =
-    startNearDupGateIndexed(docs,
-      graft.dedup.Dedup.indexCorpus(corpus, textCol, idCol, persist = true),
-      textCol, idCol, threshold, path, checkpoint)
+                       path: String, checkpoint: String): GateQuery = {
+    val idx =
+      graft.dedup.Dedup.indexCorpus(corpus, textCol, idCol, persist = true)
+    try GateQuery(
+      startNearDupGateIndexed(docs, idx, textCol, idCol, threshold,
+        path, checkpoint),
+      idx)
+    catch {
+      // start refused (e.g. the sink-layout guard): release the blocks we
+      // just registered rather than leaking them to session end
+      case t: Throwable => idx.unpersist(); throw t
+    }
+  }
+
+  /** The running near-dup gate plus the corpus index
+    * [[startNearDupGate]] built on the caller's behalf — so the
+    * convenience overload's persisted blocks (and their CacheManager
+    * sameResult substitution scope) have a releasable lifetime instead
+    * of lasting until session end. `stop()` tears BOTH down; the raw
+    * query stays reachable for progress introspection. */
+  final case class GateQuery(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      index: graft.dedup.Dedup.GateCorpusIndex) {
+    def processAllAvailable(): Unit = query.processAllAvailable()
+    def awaitTermination(): Unit = query.awaitTermination()
+    def stop(): Unit = {
+      query.stop()
+      index.unpersist()
+    }
+  }
 
   /** [[startNearDupGate]] with a CALLER-MANAGED corpus index. Lifetime
     * matters beyond memory: a persisted index registers its corpus
@@ -263,7 +292,31 @@ object StreamOps {
                               idx: graft.dedup.Dedup.GateCorpusIndex,
                               textCol: String, idCol: String,
                               threshold: Double,
-                              path: String, checkpoint: String) =
+                              path: String, checkpoint: String) = {
+    // Layout guard: the epoch=<id> overwrite scheme cannot coexist with a
+    // sink dir written by the pre-epoch flat-append layout — partition
+    // discovery breaks on the mix, and flat rows duplicated by an old
+    // crash-replay are never healed. Fail loudly at start instead of
+    // producing an unreadable (or silently duplicated) dataset; the
+    // migration is: scrub (or archive) the old dir AND its checkpoint,
+    // then restart the gate fresh. Readers of the new layout see an
+    // `epoch` column from partition discovery.
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(out)) {
+      val stray = fs.listStatus(out).iterator
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith("epoch=") || n.startsWith("_") ||
+          n.startsWith("."))
+        .toSeq
+      require(stray.isEmpty,
+        s"near-dup gate sink $path holds non-epoch entries " +
+          s"${stray.take(3).mkString(", ")} — a pre-epoch flat-layout " +
+          "sink (or foreign files). Scrub the dir and its checkpoint " +
+          "before starting the gate; mixing layouts breaks partition " +
+          "discovery and leaves old duplicated rows unhealed.")
+    }
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -273,6 +326,7 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$path/epoch=$epochId"): Unit
       }
       .start()
+  }
 
   /** Write helper showing the intended production shape: append-mode
     * parquet sink with checkpointing (exactly-once file sink). */

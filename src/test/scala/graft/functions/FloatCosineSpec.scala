@@ -85,4 +85,22 @@ class FloatCosineSpec extends SparkSpec {
       .orderBy(col("c").desc).collect()
     assert(!ordered(0).isNullAt(0), "real similarity must outrank NULL")
   }
+
+  test("width-mismatched vectors yield NULL on BOTH rerank routes") {
+    // ivfTopK picks its rerank expression by schema (float_cosine on an
+    // array<float> corpus, the builtin double-fold otherwise). The two
+    // routes must hand a malformed (length-mismatched) vector the SAME
+    // verdict — NULL, row filtered from top-k — or candidate membership
+    // would differ by schema route (r19 advice item).
+    FloatCosine.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f, 5.0f)))
+      .toDF("a", "b")
+    val native = df.select(expr("float_cosine(a, b)").as("c")).collect()
+    assert(native(0).isNullAt(0),
+      "float route must NULL a width mismatch, not score a prefix")
+    val builtin = df.select(Similarity.cosine(
+      Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("c"))
+      .collect()
+    assert(builtin(0).isNullAt(0), "double route NULLs a width mismatch")
+  }
 }

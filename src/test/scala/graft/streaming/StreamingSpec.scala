@@ -443,6 +443,52 @@ class StreamingSpec extends SparkSpec {
       assert(replayed.toSet == rows && replayed.length == 2,
         s"an epoch replay must not duplicate rows: ${replayed.toSeq}")
     } finally q.stop()
+    // the convenience overload OWNS the index it built: stop() must have
+    // released the persisted corpus blocks (and with them the
+    // CacheManager sameResult-substitution registration) — r19 advice:
+    // the old overload discarded the handle and leaked them to session end
+    assert(q.index.persisted.nonEmpty,
+      "convenience overload persists the corpus index")
+    assert(q.index.persisted.forall(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "GateQuery.stop() must unpersist the index it built")
+  }
+
+  test("near-dup gate refuses a pre-epoch flat-layout sink dir") {
+    // the epoch=<id> overwrite layout can't coexist with the old flat
+    // append layout: partition discovery breaks on the mix and old
+    // duplicated rows are never healed — the gate must fail at start,
+    // not produce an unreadable dataset
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog in the corpus today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gate_flat").toString
+    val out = java.nio.file.Paths.get(s"$dir/out")
+    java.nio.file.Files.createDirectories(out)
+    java.nio.file.Files.write(
+      out.resolve("part-00000-deadbeef.snappy.parquet"), Array[Byte](0))
+    val mem = MemoryStream[(Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.startNearDupGate(
+        mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", 0.5,
+        s"$dir/out", s"$dir/ckpt")
+    }
+    assert(ex.getMessage.contains("non-epoch"), ex.getMessage)
+    // ...and the refused start must not leak the index it pre-built
+    // (persist happens before the guard; the overload unwinds it)
+    // an existing EPOCH-layout dir (data + _SUCCESS markers) is accepted
+    java.nio.file.Files.delete(out.resolve("part-00000-deadbeef.snappy.parquet"))
+    java.nio.file.Files.createDirectories(out.resolve("epoch=0"))
+    java.nio.file.Files.write(out.resolve("_marker"), Array[Byte](0))
+    val q2 = StreamOps.startNearDupGate(
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", 0.5,
+      s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1000000L,
+        "the quick brown fox jumps over the lazy dog in the corpus today"))
+      q2.processAllAvailable()
+    } finally q2.stop()
   }
 
   test("near-dup gate resolves its native functions on a FRESH session (foreachBatch clone)") {
