@@ -69,9 +69,20 @@ object Main {
         case None =>
           val sqlFile = conf.raw.getOrElse("dump_sql_file", "dump.sql")
           val target = conf.mysqlTarget.getOrElse("db.tbl")
-          Files.writeString(Paths.get(sqlFile),
-            SqlGenSink.script(df, target, conf.batchSize,
-              timestampMillis = System.currentTimeMillis()))
+          // Stream statements to the file partition by partition
+          // (toLocalIterator holds ONE partition's statements at a time)
+          // instead of SqlGenSink.script's coalesce(1)+collect — the
+          // script artifact is inherently a single local file (the
+          // reference's dump.sql), but building it must not buffer the
+          // whole table in driver memory or serialize the generation
+          // into one task.
+          val out = Files.newBufferedWriter(Paths.get(sqlFile))
+          try {
+            out.write(s"#data timestamp: ${System.currentTimeMillis()}")
+            val it = SqlGenSink.insertStatements(df, target, conf.batchSize)
+              .toLocalIterator()
+            while (it.hasNext) { out.write("\n\n"); out.write(it.next()) }
+          } finally out.close()
       }
     }
   }

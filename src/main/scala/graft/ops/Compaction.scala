@@ -147,8 +147,9 @@ object Compaction {
     }
     if (!fs.delete(retired, true))
       throw new java.io.IOException(
-        s"compaction succeeded but could not delete $retired; the next " +
-          "run will refuse until it is removed")
+        s"compaction succeeded but could not delete $retired; a later run " +
+          "clears it on entry via the commit marker (or refuses if the " +
+          "marker write above was degraded — then remove it manually)")
     Stats(before.length, parquetFiles(fs, dir).length, bytes, rows)
   }
 }
