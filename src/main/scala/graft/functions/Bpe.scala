@@ -367,18 +367,6 @@ object Bpe {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Whole-text sum of per-word fixpoint counts — every OCCURRENCE
-    * counts (a budget is paid per occurrence), words bounded by the same
-    * pre-tokenizer. Empty/word-free text is 0 tokens. */
-  def countDocTokens(text: String,
-                     ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
-      : Int = {
-    var total = 0
-    val it = pretokenize(text).iterator
-    while (it.hasNext) total += countTokens(it.next(), ranks)
-    total
-  }
-
   /** Strict-arity SQL builder bound to a TRAINED merge table (unlike
     * TokenStats' static stopwords, the binding is per-training — callers
     * re-register after training; registerFunction overwrites). */

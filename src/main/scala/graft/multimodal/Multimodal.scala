@@ -632,11 +632,14 @@ object Multimodal {
   def resize(assets: DataFrame, targetWidth: Int = 256): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val resized = assets
-      .select(col("asset_id"), col("payload"), col("meta.width").as("w"))
-      .as[(Long, Array[Byte], Int)]
-      .map { case (id, payload, w) =>
+    assets
+      .select(col("asset_id"), col("media_type"), col("payload"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        col("meta.format").as("f"))
+      .as[(Long, String, Array[Byte], Option[Int], Option[Int], Option[String])]
+      .map { case (id, mt, payload, wOpt, h, f) =>
         val bytes = if (payload == null) Array.empty[Byte] else payload
+        val w = wOpt.getOrElse(-1)
         // ceil ratio guarantees the new width lands <= target; the new
         // metadata width derives from the APPLIED ratio so payload and
         // meta stay consistent (w=600,target=256 -> ratio 3, width 200)
@@ -645,14 +648,12 @@ object Multimodal {
         val out =
           if (ratio == 1) bytes
           else Array.tabulate(bytes.length / ratio)(i => bytes(i * ratio))
-        (id, out, if (w <= 0) w else w / ratio)
+        (id, mt, out, wOpt.map(x => if (x <= 0) x else x / ratio), h, f)
       }
-      .toDF("asset_id", "payload2", "new_width")
-    assets.join(resized, "asset_id")
-      .select(col("asset_id"), col("media_type"),
-        col("payload2").as("payload"),
-        struct(col("new_width").as("width"), col("meta.height").as("height"),
-          col("meta.format").as("format")).as("meta"))
+      .toDF("asset_id", "media_type", "payload", "new_width", "h", "f")
+      .select(col("asset_id"), col("media_type"), col("payload"),
+        struct(col("new_width").as("width"), col("h").as("height"),
+          col("f").as("format")).as("meta"))
   }
 
   /** Frame-sampling stub: pick every `stride`-th byte window as a "frame",

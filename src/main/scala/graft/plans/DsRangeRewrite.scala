@@ -60,6 +60,11 @@ object DsRangeRewrite extends Rule[LogicalPlan] {
       case Literal(p: UTF8String, StringType) => patterns.get(p.toString)
       case _                                  => None
     }
+    // a NULL string literal never reaches here through the standard
+    // optimizer (NullPropagation folds `= NULL` first), but the rule is
+    // also installable standalone — leave the comparison alone rather
+    // than NPE on lit.value
+    if (lit.value == null) return None
     pattern.flatMap { pat =>
       val raw = lit.value.asInstanceOf[UTF8String].toString
       // round-trip check: DateTimeFormatter's default SMART resolver maps

@@ -45,6 +45,11 @@ class MultimodalSpec extends SparkSpec {
     // schema is still the asset schema (round-trips into the same table)
     assert(Multimodal.resize(assets).schema.fields.map(_.name).toSeq ==
       Multimodal.assetSchema.fields.map(_.name).toSeq)
+    // the scaladoc's narrow-map contract, pinned: one pass, no self-join
+    // shuffling payload bytes back onto their own metadata
+    val plan = Multimodal.resize(assets).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"resize must stay a narrow map:\n$plan")
   }
 
   test("encodePng round-trips through a REAL ImageIO decode") {

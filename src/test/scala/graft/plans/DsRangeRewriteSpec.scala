@@ -84,6 +84,23 @@ class DsRangeRewriteSpec extends SparkSpec {
     assert(kept == Set(1L), s"null-ts row must stay dropped, got $kept")
   }
 
+  test("a NULL string literal is left alone when the rule runs standalone") {
+    // through the normal optimizer NullPropagation folds `= NULL` before
+    // this rule ever sees it — but the rule is public and installable on
+    // its own, so apply() must not NPE on a null-valued literal
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, DateFormatClass, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val ts = AttributeReference("ts", TimestampType)()
+    val cond = EqualTo(
+      DateFormatClass(ts, Literal("yyyyMMdd"), Some("UTC")),
+      Literal(null, StringType))
+    val plan = Filter(cond, LocalRelation(ts))
+    val rewritten = DsRangeRewrite(plan)
+    assert(rewritten.fastEquals(plan),
+      s"null literal must leave the comparison untouched:\n$rewritten")
+  }
+
   test("a non-day pattern is left alone (not bijective per day)") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .where(date_format(col("l_shipdate"), "yyyyMM") === "199601")
