@@ -231,6 +231,87 @@ class CodegenParitySpec extends SparkSpec with graft.IsolatedSession {
           nprobe = 3)).as("r")))
   }
 
+  // ── shared-kernel expressions ──────────────────────────────────────
+  // These route both eval and doGenCode through one static kernel, so the
+  // arithmetic cannot diverge — but the codegen string still carries the
+  // reference-object wiring (addReferenceObj of the stopword/merge/vocab
+  // tables) and the null slot, which only a forced-codegen run exercises.
+
+  test("TokenStats: codegen == interpreted (reference-object stopwords)") {
+    assertParity("token_stats",
+      texts.select(col("id"),
+        exprCol(TokenStats(ColumnBridge.expression(col("t")),
+          TokenStats.enStopwords)).as("r")))
+  }
+
+  test("TokensOf: codegen == interpreted") {
+    assertParity("tokens_of",
+      texts.select(col("id"),
+        exprCol(TokensOf(ColumnBridge.expression(col("t")))).as("r")))
+  }
+
+  test("StopwordCounts: codegen == interpreted (multi-set reference object)") {
+    assertParity("stopword_counts",
+      texts.select(col("id"),
+        exprCol(StopwordCounts(ColumnBridge.expression(col("t")),
+          graft.text.TextOps.langStopwords.map(_._2))).as("r")))
+  }
+
+  test("WinnowPrints: codegen == interpreted (short text, empty, null)") {
+    assertParity("winnow_prints",
+      texts.select(col("id"),
+        exprCol(WinnowPrints(ColumnBridge.expression(col("t")),
+          gramLen = 5, window = 3)).as("r")))
+  }
+
+  private def tinyMerges: Seq[(String, String)] =
+    Bpe.train(Seq("the quick brown fox", "the quick lazy dog",
+      "the the the quick quick"), numMerges = 10)
+
+  test("BpeCount/BpeDocCount/BpeTokens: codegen == interpreted (BpeTable ref)") {
+    val merges = tinyMerges
+    assert(merges.nonEmpty, "degenerate merge table makes the parity weak")
+    assertParity("bpe_count",
+      texts.select(col("id"),
+        exprCol(BpeCount(ColumnBridge.expression(col("t")), merges)).as("r")))
+    assertParity("bpe_doc_count",
+      texts.select(col("id"),
+        exprCol(BpeDocCount(ColumnBridge.expression(col("t")), merges)).as("r")))
+    // bpe_tokens expects a pretokenized word; feed lowered single words
+    import spark.implicits._
+    val words = Seq((1L, Some("the")), (2L, Some("quick")),
+      (3L, Some("unseenword")), (4L, None: Option[String]), (5L, Some("")))
+      .toDF("id", "t")
+    assertParity("bpe_tokens",
+      words.select(col("id"),
+        exprCol(BpeTokens(ColumnBridge.expression(col("t")), merges)).as("r")))
+  }
+
+  test("UnigramStats/UnigramDocStats: codegen == interpreted (vocab ref)") {
+    val vocab = UnigramLm.train(Seq("the quick brown fox",
+      "the quick lazy dog", "the the quick quick"), vocabSize = 50, rounds = 1)
+    import spark.implicits._
+    val words = Seq((1L, Some("the")), (2L, Some("quick")),
+      (3L, Some("zzz")), (4L, None: Option[String]), (5L, Some("")))
+      .toDF("id", "t")
+    assertParity("unigram_stats",
+      words.select(col("id"),
+        exprCol(UnigramStats(ColumnBridge.expression(col("t")), vocab)).as("r")))
+    assertParity("unigram_doc_stats",
+      texts.select(col("id"),
+        exprCol(UnigramDocStats(ColumnBridge.expression(col("t")), vocab)).as("r")))
+  }
+
+  test("NbQualityScore: codegen == interpreted (NbTable ref)") {
+    val table = NbQuality.train(Seq(
+      ("the quick brown fox", true), ("the lazy dog sleeps", true),
+      ("zzz qqq xxx spam spam", false), ("buy now click here", false)))
+    assertParity("nb_quality_score",
+      texts.select(col("id"),
+        exprCol(NbQualityScore(ColumnBridge.expression(col("t")),
+          table)).as("r")))
+  }
+
   test("SpaceSavingTopK: whole-stage on == off (imperative aggregate)") {
     // TypedImperativeAggregate has no doGenCode, but the surrounding
     // aggregation machinery (ObjectHashAggregate vs sort-based fallback,
