@@ -329,6 +329,25 @@ object Dedup {
     intra.unionAll(cross)
   }
 
+  /** Spread a narrow candidate/pair table across the session's cores
+    * before a CPU-HEAVY verify projection (edit-distance DP, gram-array
+    * merge intersect). AQE right-sizes post-shuffle partitions by BYTES
+    * (advisoryPartitionSizeInBytes) — correct for I/O-bound stages, but a
+    * candidate table is a few MB of fixed-width ids while the work per
+    * row downstream is thousands of DP cells, so AQE coalesces the whole
+    * verify onto one or two tasks and the stage runs single-core
+    * (measured on t29 at sf0.1: verify 8.7 s coalesced vs 2.0 s spread).
+    * An explicit hash repartition on the pair key is exempt from AQE
+    * coalescing; the count scales with the session (defaultParallelism /
+    * configured shuffle partitions), never a local constant. The extra
+    * exchange carries only the fixed-width id columns. */
+  private[graft] def cpuSpread(df: DataFrame, keys: Column*): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val parts = math.max(sc.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(parts, keys: _*)
+  }
+
   /** The flat (no exact-collapse) near-dup formulation: map (signatures)
     * → one shuffle (band join) → verify against per-doc HASHED gram
     * arrays (xxhash64 per shingle: Jaccard is identical modulo 64-bit
@@ -357,7 +376,7 @@ object Dedup {
       .withColumn("n", size(col("grams")))
     // identical subtree on both sides of the two joins -> Spark reuses the
     // exchange instead of recomputing shingle hashes twice
-    cands
+    cpuSpread(cands, col("id_a"), col("id_b"))
       .join(grams.as("ga"), col("id_a") === col("ga.id"))
       .join(grams.as("gb"), col("id_b") === col("gb.id"))
       .withColumn("inter",

@@ -16,6 +16,27 @@ import graft.streaming.StreamOps
   * which agree exactly at the granularities queried (µs and coarser). */
 object EventQueries {
 
+  /** Child session for a replay harness: shares the SparkContext but
+    * isolates conf. The dominant replay cost is the per-micro-batch fixed
+    * overhead — state-store commits (one delta write per state partition
+    * per stateful operator per batch) plus incremental planning — so the
+    * state partition count is the lever: 4 instead of 32 cut it ~8× with
+    * zero semantic change (r16), and 1 cuts the residual again (r21
+    * probe, per-query mins: ev13 12.7→7.6 s, t41 6.2→4.1 s, sum of mins
+    * over the five streaming rows 44.7→34.8 s) — the replay state is a
+    * few thousand keys, so a single partition is un-skewed by
+    * construction and every stateful stage schedules one task per batch
+    * instead of four. Env-overridable (SPARK_GRAFT_STREAM_STATE_PARTS)
+    * so the harness cost can be probed without a rebuild; this tunes the
+    * REPLAY HARNESS only — a production run of the same operators sizes
+    * state partitions to the real key cardinality. */
+  private[queries] def replaySession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "1"))
+    ss
+  }
+
   /** Best-effort recursive delete of a replay's single-use checkpoint.
     * NEVER throws: the state-store maintenance thread can write into the
     * tree between the walk snapshot and the directory unlink (observed as
@@ -381,13 +402,6 @@ object EventQueries {
           org.apache.spark.sql.Encoders.scalaDouble)).collect()
     val batches = boundedDisorderBatches(rows)
 
-    // Child session for the replay: shares the SparkContext but isolates
-    // conf. The dominant replay cost is state-store commits (one delta
-    // write per state partition per micro-batch) — 4 state partitions
-    // instead of 32 cut that ~8x with zero semantic change. This tunes
-    // the REPLAY HARNESS only: a production run of the same operator
-    // sizes state partitions to the real key cardinality.
-    //
     // No-data micro-batches stay ENABLED (the default) deliberately:
     // they are what applies each batch's watermark advance mid-stream,
     // so append-mode emission and the late-drop path run live between
@@ -397,8 +411,7 @@ object EventQueries {
     // was a stream-shaped replay with inert watermark semantics. With
     // them on, lateness->0 drops the ~28 boundary-crossing sf0.01 rows
     // and the driver gate catches it (kill recorded in BASELINE r17).
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = replaySession(spark)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import ss.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
@@ -500,8 +513,7 @@ object EventQueries {
       .sortBy(r => (r._2.getTime, r._1))
     val batches = sortedCohortBatches(rows)
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = replaySession(spark)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import ss.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
@@ -590,8 +602,7 @@ object EventQueries {
           org.apache.spark.sql.Encoders.scalaDouble)).collect()
     val batches = duplicatedBatches(boundedDisorderBatches(rows))
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = replaySession(spark)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import ss.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
@@ -717,8 +728,7 @@ object EventQueries {
     val vB = buckets(viewRows); val cB = buckets(clickRows)
     val keys = (vB.keySet ++ cB.keySet).toSeq.sorted
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = replaySession(spark)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import ss.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext

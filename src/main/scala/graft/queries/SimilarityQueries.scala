@@ -138,11 +138,21 @@ object SimilarityQueries {
         threshold = 0.5)
       .select(col("id_a"), col("id_b"))
     val srcOf = corpus.select(col("doc_id"), col("source"))
+    // The annotated pair table feeds FOUR downstream branches (touched's
+    // two union arms, crossp's two) — without materialization each branch
+    // re-evaluates the whole upstream LSH band join + gram verify, and the
+    // branches prune different columns so ReuseExchange cannot unify them
+    // (the r21 before-plan: 62 Exchanges / 4 copies of the pair machinery).
+    // One eager localCheckpoint of the narrow (id_a, id_b, src_a, src_b)
+    // table pays the dedup pass exactly once; at 100 TB it is |pairs|-
+    // scale fixed-width rows — the query's own output order of magnitude,
+    // strictly cheaper than re-running the band/verify shuffles per branch.
     val ab = pairs
       .join(srcOf.select(col("doc_id").as("id_a"),
         col("source").as("src_a")), Seq("id_a"))
       .join(srcOf.select(col("doc_id").as("id_b"),
         col("source").as("src_b")), Seq("id_b"))
+      .localCheckpoint(true)
     val touched = ab.select(col("id_a").as("doc_id"),
         col("src_a").as("source"))
       .unionAll(ab.select(col("id_b"), col("src_b")))

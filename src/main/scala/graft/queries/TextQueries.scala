@@ -852,7 +852,13 @@ object TextQueries {
     // jw = 1.0 exactly — the degenerate payload the collapse injects.
     def fuzzyVerify(d: DataFrame, textCol: String, idCol: String)
         : DataFrame = {
-      val cands = Dedup.minhashCandidates(d, textCol, idCol)
+      // spread the narrow candidate table across cores before the DP:
+      // AQE's byte-based coalescing would run the whole banded-Levenshtein
+      // verify on one task (Dedup.cpuSpread scaladoc; measured 8.7->2.0 s
+      // at sf0.1)
+      val cands = Dedup.cpuSpread(
+        Dedup.minhashCandidates(d, textCol, idCol),
+        col("id_a"), col("id_b"))
       val p = d.select(col(idCol).as("id"),
         substring(col(textCol), 1, 200).as("t"))
       cands
@@ -2621,8 +2627,7 @@ object TextQueries {
     // batching cannot change them
     val feed = batchRows.groupBy(_._1 % 4).toSeq.sortBy(_._1).map(_._2.toSeq)
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = EventQueries.replaySession(spark)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import ss.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
