@@ -20,6 +20,46 @@ object CoreOps {
   def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** Scan-tail parallelization for UNDER-SPLIT inputs (guide §2: make
+    * partitioning scale-adaptive, never a constant tuned for one mode).
+    *
+    * The harness tables are single parquet files with ONE row group, so a
+    * bare scan yields exactly one non-empty task regardless of
+    * maxPartitionBytes. For most queries that is FINE — the single map
+    * task gets perfect map-side combining and skips an exchange, and the
+    * r21 A/B probe showed a blanket spread REGRESSES the tokenizer/LM
+    * tier (t19 0.60→1.31 s, t21 0.72→1.35 s, t05 0.12→0.31 s: their
+    * partial aggregation emits ~the distinct-key set once per task, so 32
+    * tasks shuffle up to 32× the bytes). But where the scan-side
+    * projection itself is the expensive stage — winnowing fingerprints,
+    * per-block HTML classification, span-window hashing — one round-robin
+    * exchange of the scanned rows buys 32-way parallelism for everything
+    * between the scan and the first keyed exchange (t38 2.58→1.29 s, t49
+    * 0.79→0.32 s, t30 1.71→1.24 s, t25 1.65→1.42 s measured min-of-5).
+    * Hence OPT-IN per operator, never inside [[scan]] itself. Filters and
+    * column pruning push THROUGH the repartition into the scan
+    * (PushPredicateThroughNonJoin), so PushedFilters/ReadSchema are
+    * unchanged.
+    *
+    * Scale story: at production split counts (a 100 TB table scans as
+    * tens of thousands of splits) the condition is false and the plan is
+    * identical to the historical one — the spread exchange exists ONLY in
+    * the degenerate small-layout case, which is also the only case where
+    * shuffling the text is free (the whole table is a few MB).
+    * Deterministic: round-robin repartition sorts its input locally first
+    * (spark.sql.execution.sortBeforeRepartition, default on), and every
+    * registered query's output is row-order-independent (keyed
+    * aggregates/joins; the driver compare sorts). Env kill-switch
+    * SPARK_GRAFT_SCAN_SPREAD=0 for A/B probes. */
+  def spreadSmallScan(df: DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SCAN_SPREAD").contains("0")) return df
+    val sc = df.sparkSession.sparkContext
+    // a bare relation's partition count: physical planning only, no job
+    val parts = df.rdd.getNumPartitions
+    if (parts * 2 <= sc.defaultParallelism) df.repartition(sc.defaultParallelism)
+    else df
+  }
+
   /** Catalog-aware scan: when `hive_db` is configured the source is read
     * through the session catalog as `hive_db.table` — the reference's
     * addressing (`select * from hive_db.hive_table`, HiveToMysql.java:227)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.ops.CoreOps.scan
+import graft.ops.CoreOps.{scan, spreadSmallScan}
 import graft.text.TextOps
 
 /** Text-analysis + deduplication queries over the `documents` table.
@@ -1079,7 +1079,10 @@ object TextQueries {
         graft.functions.GramHashes(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(
             lower(trim(c))), k = 20))
-    val docs = scan(spark, sfDir, "documents")
+    // spread the under-split scan: the k=20 gram pass is the expensive
+    // stage and runs scan-side (CoreOps.spreadSmallScan; measured
+    // 1.71 -> 1.24 s min-of-5 at sf0.1)
+    val docs = spreadSmallScan(scan(spark, sfDir, "documents"))
     val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
     val evalGrams = docs.where(isEval)
       .select(explode(gramHashes20(col("text"))).as("gh")).distinct()
@@ -1167,6 +1170,10 @@ object TextQueries {
     val B = org.apache.spark.sql.graftbridge.ColumnBridge
     val gramHashes20 = (c: org.apache.spark.sql.Column) =>
       B.column(graft.functions.GramHashes(B.expression(lower(trim(c))), k = 20))
+    // NO scan spread here, unlike t30: the sketch gate kills almost every
+    // gram in the map stage, so the scan-side work left is too light to
+    // repay the spread exchange (A/B min-of-5: 0.87 s flat vs 1.34 s
+    // spread)
     val docs = scan(spark, sfDir, "documents")
     val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
     val evalGrams = docs.where(isEval)
@@ -1669,7 +1676,10 @@ object TextQueries {
       |FROM s""".stripMargin
 
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
-    spanLayout(scan(spark, sfDir, "documents"), w = 4, dropFrac = 0.5)
+    // spread the under-split scan: window hashing is the expensive
+    // scan-side stage (CoreOps.spreadSmallScan; 1.65 -> 1.42 s min-of-5)
+    spanLayout(spreadSmallScan(scan(spark, sfDir, "documents")),
+      w = 4, dropFrac = 0.5)
 
   /** The window-count core behind [[spanDedup]], public and
     * parameterized (packLayout's pattern — the raise-W-on-natural-text
@@ -2276,7 +2286,10 @@ object TextQueries {
     * legitimately survive (WinnowSpec pins the subset/pruning/
     * exact-count algebra). */
   def winnowSubstringDedup(spark: SparkSession, sfDir: String): DataFrame =
-    winnowLayout(scan(spark, sfDir, "documents"),
+    // spread the under-split scan: the winnow_prints md5 gram pass is by
+    // far the heaviest scan-side stage in the registry
+    // (CoreOps.spreadSmallScan; measured 2.58 -> 1.29 s min-of-5 at sf0.1)
+    winnowLayout(spreadSmallScan(scan(spark, sfDir, "documents")),
       gramLen = WinnowGram, window = WinnowWindow)
 
   /** t38 geometry + ubiquity cap — shared engine/oracle constants (the
@@ -2401,7 +2414,10 @@ object TextQueries {
   def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.HtmlExtract
     val enStops = TextOps.langStopwords.toMap.apply("en")
-    scan(spark, sfDir, "documents")
+    // spread the under-split scan: block split + classification + clean
+    // extraction all run scan-side (CoreOps.spreadSmallScan; measured
+    // 0.79 -> 0.32 s min-of-5 at sf0.1)
+    spreadSmallScan(scan(spark, sfDir, "documents"))
       .select(col("doc_id"), col("text"),
         HtmlExtract.blocks(HtmlExtract.wrap(
           col("doc_id"), col("source"), col("text"))).as("blks"))
