@@ -337,15 +337,21 @@ object Dedup {
     * row downstream is thousands of DP cells, so AQE coalesces the whole
     * verify onto one or two tasks and the stage runs single-core
     * (measured on t29 at sf0.1: verify 8.7 s coalesced vs 2.0 s spread).
-    * An explicit hash repartition on the pair key is exempt from AQE
-    * coalescing; the count scales with the session (defaultParallelism /
-    * configured shuffle partitions), never a local constant. The extra
-    * exchange carries only the fixed-width id columns. */
-  private[graft] def cpuSpread(df: DataFrame, keys: Column*): DataFrame = {
+    * A KEYLESS round-robin repartition with an explicit count is the one
+    * form that survives: a keyed repartition on the pair key matches the
+    * upstream distinct's partitioning, so EnsureRequirements elides it
+    * and AQE coalesces the remaining ENSURE_REQUIREMENTS exchange right
+    * back to one task (observed on the first r21 attempt) — while a
+    * user-specified numPartitions round-robin is a hard constraint the
+    * planner neither removes nor coalesces. The count scales with the
+    * session (defaultParallelism / configured shuffle partitions), never
+    * a local constant; the extra exchange carries only the fixed-width
+    * id columns. */
+  private[graft] def cpuSpread(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val parts = math.max(sc.defaultParallelism,
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    df.repartition(parts, keys: _*)
+    df.repartition(parts)
   }
 
   /** The flat (no exact-collapse) near-dup formulation: map (signatures)
@@ -376,7 +382,7 @@ object Dedup {
       .withColumn("n", size(col("grams")))
     // identical subtree on both sides of the two joins -> Spark reuses the
     // exchange instead of recomputing shingle hashes twice
-    cpuSpread(cands, col("id_a"), col("id_b"))
+    cpuSpread(cands)
       .join(grams.as("ga"), col("id_a") === col("ga.id"))
       .join(grams.as("gb"), col("id_b") === col("gb.id"))
       .withColumn("inter",

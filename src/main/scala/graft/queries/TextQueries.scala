@@ -857,8 +857,7 @@ object TextQueries {
       // verify on one task (Dedup.cpuSpread scaladoc; measured 8.7->2.0 s
       // at sf0.1)
       val cands = Dedup.cpuSpread(
-        Dedup.minhashCandidates(d, textCol, idCol),
-        col("id_a"), col("id_b"))
+        Dedup.minhashCandidates(d, textCol, idCol))
       val p = d.select(col(idCol).as("id"),
         substring(col(textCol), 1, 200).as("t"))
       cands

@@ -274,8 +274,12 @@ object StreamOps {
     def processAllAvailable(): Unit = query.processAllAvailable()
     def awaitTermination(): Unit = query.awaitTermination()
     def stop(): Unit = {
-      query.stop()
-      index.unpersist()
+      // finally, not sequence: StreamingQuery.stop() can throw (e.g.
+      // TimeoutException past spark.sql.streaming.stopTimeout), and the
+      // index blocks leaking to session end is the exact defect this
+      // handle exists to fix; unpersist is idempotent and safe here.
+      try query.stop()
+      finally index.unpersist()
     }
   }
 

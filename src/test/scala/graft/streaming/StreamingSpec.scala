@@ -476,7 +476,14 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-epoch"), ex.getMessage)
     // ...and the refused start must not leak the index it pre-built
-    // (persist happens before the guard; the overload unwinds it)
+    // (persist happens before the guard; the overload unwinds it).
+    // ASSERTED, not narrated (r20 advice): a regression in the
+    // catch-and-unpersist would otherwise pass silently — after the
+    // refused start no cached RDD blocks may remain registered.
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "refused gate start leaked persisted corpus-index blocks: " +
+        spark.sparkContext.getPersistentRDDs.values
+          .map(_.name).mkString(", "))
     // an existing EPOCH-layout dir (data + _SUCCESS markers) is accepted
     java.nio.file.Files.delete(out.resolve("part-00000-deadbeef.snappy.parquet"))
     java.nio.file.Files.createDirectories(out.resolve("epoch=0"))
