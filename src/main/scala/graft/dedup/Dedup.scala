@@ -443,17 +443,29 @@ object Dedup {
         min_by(col("__text"), col("id")).as("__text"))
 
   /** The CORPUS-SIDE INVARIANTS of the incremental gate, computed once:
-    * the collapse-routing probe verdict and, on the collapsed route, the
-    * keyed corpus + its representative table. A STREAMING caller builds
-    * this once per stream (`persist = true`) so each micro-batch reads
-    * the corpus side from cached blocks — per-batch cost proportional to
-    * the batch, not the corpus; the one-shot batch caller
-    * ([[nearDupAgainst]]) builds it unpersisted per call, which is plan-
-    * identical to the historical inline form. `unpersist()` releases the
-    * cached blocks when the stream stops. */
+    * the collapse-routing probe verdict plus the corpus's DERIVED gate
+    * tables — its banded signatures and hashed-gram arrays (of the raw
+    * corpus on the flat route, of the representative table on the
+    * collapsed route, where the keyed member map rides along for the
+    * expansion joins). A STREAMING caller builds this once per stream
+    * (`persist = true`) so each micro-batch reads the corpus side from
+    * cached blocks — per-batch cost proportional to the batch, not the
+    * corpus. Persisting the DERIVED tables is the point (r21): the first
+    * index cached only the corpus TEXT, so every micro-batch re-ran the
+    * MinHash/gram passes over the whole corpus — measured ~0.75 s per
+    * batch at sf0.1, 4 of t41's 3.7 s — where reading the prebuilt band
+    * and gram tables is corpus-scan-free. The one-shot batch caller
+    * ([[nearDupAgainst]]) builds it unpersisted per call, which is
+    * plan-identical to the historical inline form (the same band/gram
+    * subtrees, hoisted). `unpersist()` releases the cached blocks when
+    * the stream stops. */
   final case class GateCorpusIndex private[dedup] (
       collapsed: Boolean,
-      private[dedup] val flat: DataFrame,
+      private[dedup] val k: Int,
+      private[dedup] val numHashes: Int,
+      private[dedup] val bands: Int,
+      private[dedup] val cBands: DataFrame,
+      private[dedup] val cGrams: DataFrame,
       private[dedup] val kc: DataFrame,
       private[dedup] val repsC: DataFrame,
       private[graft] val persisted: Seq[DataFrame]) {
@@ -462,45 +474,60 @@ object Dedup {
   }
 
   def indexCorpus(corpus: DataFrame, textCol: String, idCol: String,
-                  persist: Boolean): GateCorpusIndex = {
+                  persist: Boolean, k: Int = 5, numHashes: Int = 32,
+                  bands: Int = 8): GateCorpusIndex = {
+    registerGateFns(corpus.sparkSession)
     def maybe(df: DataFrame): DataFrame =
       if (persist)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
     if (!shouldCollapse(corpus, textCol)) {
-      val flat = maybe(corpus.select(col(idCol), col(textCol)))
-      GateCorpusIndex(collapsed = false, flat, null, null,
-        if (persist) Seq(flat) else Seq.empty)
+      val cb = maybe(bandsOf(corpus, textCol, idCol, "corpus_id",
+        k, numHashes, bands))
+      val cg = maybe(gramsOf(corpus, textCol, idCol, "corpus_id",
+        "gc", "nc", k))
+      GateCorpusIndex(collapsed = false, k, numHashes, bands, cb, cg,
+        null, null, if (persist) Seq(cb, cg) else Seq.empty)
     } else {
       val kc = maybe(gateKeyed(corpus, textCol, idCol))
-      val reps = maybe(gateRepsOf(kc))
-      GateCorpusIndex(collapsed = true, null, kc, reps,
-        if (persist) Seq(kc, reps) else Seq.empty)
+      val reps = gateRepsOf(kc)
+      val cb = maybe(bandsOf(reps, "__text", "id", "corpus_id",
+        k, numHashes, bands))
+      val cg = maybe(gramsOf(reps, "__text", "id", "corpus_id",
+        "gc", "nc", k))
+      val repC = maybe(reps.select(col("id").as("crid"),
+        col("ek").as("cek")))
+      GateCorpusIndex(collapsed = true, k, numHashes, bands, cb, cg,
+        kc, repC, if (persist) Seq(kc, cb, cg, repC) else Seq.empty)
     }
   }
 
   /** [[nearDupAgainst]] against a prebuilt [[GateCorpusIndex]] — the
-    * per-micro-batch form: no corpus probe, no corpus re-grouping. */
+    * per-micro-batch form: no corpus probe, no corpus re-grouping, no
+    * corpus signature/gram recomputation. */
   def nearDupAgainstIndexed(idx: GateCorpusIndex, batch: DataFrame,
                             textCol: String, idCol: String,
                             threshold: Double, k: Int = 5,
                             numHashes: Int = 32,
                             bands: Int = 8): DataFrame = {
+    require(k == idx.k && numHashes == idx.numHashes && bands == idx.bands,
+      s"gate params (k=$k, numHashes=$numHashes, bands=$bands) must match " +
+        s"the index (k=${idx.k}, numHashes=${idx.numHashes}, " +
+        s"bands=${idx.bands}) — the corpus band/gram tables were built " +
+        "with the index's parameters")
     if (!idx.collapsed)
-      return nearDupAgainstFlat(idx.flat, batch, textCol, idCol,
-        threshold, k, numHashes, bands)
+      return nearDupAgainstPrebuilt(idx.cBands, idx.cGrams, batch,
+        textCol, idCol, threshold, k, numHashes, bands)
     val kb = gateKeyed(batch, textCol, idCol)
-    val rp = nearDupAgainstFlat(
-      idx.repsC.select(col("id"), col("__text")),
+    val rp = nearDupAgainstPrebuilt(idx.cBands, idx.cGrams,
       gateRepsOf(kb).select(col("id"), col("__text")),
       "__text", "id", threshold, k, numHashes, bands)
     // expansion: rep pair -> every member combination. The batch-side
     // maps are broadcast (nightly-batch contract); the corpus member map
     // is id/ek only — fixed width, no text.
-    val repC = idx.repsC.select(col("id").as("crid"), col("ek").as("cek"))
     val repB = gateRepsOf(kb).select(col("id").as("brid"),
       col("ek").as("bek"))
-    rp.join(repC, col("corpus_id") === col("crid"))
+    rp.join(idx.repsC, col("corpus_id") === col("crid"))
       .join(broadcast(repB), col("batch_id") === col("brid"))
       .join(idx.kc.select(col("id").as("cid"), col("ek").as("cek")), "cek")
       .join(broadcast(kb.select(col("id").as("bid"), col("ek").as("bek"))),
@@ -524,44 +551,79 @@ object Dedup {
                      textCol: String, idCol: String,
                      threshold: Double, k: Int = 5,
                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    registerGateFns(corpus.sparkSession)
+    nearDupAgainstPrebuilt(
+      bandsOf(corpus, textCol, idCol, "corpus_id", k, numHashes, bands),
+      gramsOf(corpus, textCol, idCol, "corpus_id", "gc", "nc", k),
+      batch, textCol, idCol, threshold, k, numHashes, bands)
+  }
+
+  /** The native expressions every gate plan needs. Registered on BOTH the
+    * index-build session and (in [[nearDupAgainstPrebuilt]]) the batch's
+    * session: inside foreachBatch the batch DataFrame carries the
+    * stream's CLONED session — the final plan analyzes there, and a clone
+    * made before any registration (fresh JVM: StreamBench) otherwise
+    * fails with UNRESOLVED_ROUTINE on gram_hashes (r13 regression,
+    * spec-pinned in StreamingSpec). */
+  private def registerGateFns(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.SortedIntersectSize.register(s)
+    graft.functions.GramHashes.register(s)
+    graft.functions.MinHashSig.register(s)
+  }
+
+  /** Banded MinHash rows (id, band, bucket) of one side — the gate's
+    * candidate-join input, shared by the inline flat form and the
+    * prebuilt corpus index. */
+  private def bandsOf(df: DataFrame, textCol: String, idCol: String,
+                      idAs: String, k: Int, numHashes: Int,
+                      bands: Int): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val r = numHashes / bands
-    // register on BOTH sides' sessions: inside foreachBatch the batch
-    // DataFrame carries the stream's CLONED session — the final plan
-    // analyzes there, and a clone made before any registration (fresh
-    // JVM: StreamBench) otherwise fails with UNRESOLVED_ROUTINE on
-    // gram_hashes (r13 regression, spec-pinned in StreamingSpec)
-    Seq(corpus.sparkSession, batch.sparkSession).distinct.foreach { s =>
-      graft.functions.SortedIntersectSize.register(s)
-      graft.functions.GramHashes.register(s)
-    }
-    def bandsOf(df: DataFrame, idAs: String): DataFrame = {
-      val base =
-        if (k == 5 && numHashes == 32) {
-          graft.functions.MinHashSig.register(df.sparkSession)
-          df.select(col(idCol).as(idAs),
-            expr(s"minhash_sig(lower(trim($textCol)))").as("sig"))
-        } else minhashSignatures(df, textCol, idCol, k, numHashes)
-          .withColumnRenamed("id", idAs)
-      base.withColumn("bh", explode(bandHashes(col("sig"), bands, r)))
-        .select(col(idAs), col("bh.band").as("band"),
-          col("bh.bucket").as("bucket"))
-    }
-    def gramsOf(df: DataFrame, idAs: String, gAs: String,
-                nAs: String): DataFrame = {
-      val g = if (k == 5) expr(s"gram_hashes(lower(trim($textCol)))")
-      else sort_array(array_distinct(
-        transform(rawShingles(col(textCol), k), s => xxhash64(s))))
-      df.select(col(idCol).as(idAs), g.as(gAs))
-        .withColumn(nAs, size(col(gAs)))
-    }
-    val cand = bandsOf(corpus, "corpus_id")
-      .join(broadcast(bandsOf(batch, "batch_id")), Seq("band", "bucket"))
+    val base =
+      if (k == 5 && numHashes == 32) {
+        graft.functions.MinHashSig.register(df.sparkSession)
+        df.select(col(idCol).as(idAs),
+          expr(s"minhash_sig(lower(trim($textCol)))").as("sig"))
+      } else minhashSignatures(df, textCol, idCol, k, numHashes)
+        .withColumnRenamed("id", idAs)
+    base.withColumn("bh", explode(bandHashes(col("sig"), bands, r)))
+      .select(col(idAs), col("bh.band").as("band"),
+        col("bh.bucket").as("bucket"))
+  }
+
+  /** Sorted hashed-gram arrays (id, grams, n) of one side — the gate's
+    * verify input, shared like [[bandsOf]]. */
+  private def gramsOf(df: DataFrame, textCol: String, idCol: String,
+                      idAs: String, gAs: String, nAs: String,
+                      k: Int): DataFrame = {
+    val g = if (k == 5) expr(s"gram_hashes(lower(trim($textCol)))")
+    else sort_array(array_distinct(
+      transform(rawShingles(col(textCol), k), s => xxhash64(s))))
+    df.select(col(idCol).as(idAs), g.as(gAs))
+      .withColumn(nAs, size(col(gAs)))
+  }
+
+  /** The gate core against PREBUILT corpus band/gram tables: batch side
+    * banded+grammed fresh (it is new data), broadcast into the corpus's
+    * partitions — the corpus never shuffles and, with a persisted index,
+    * is never even rescanned. */
+  private def nearDupAgainstPrebuilt(corpusBands: DataFrame,
+                                     corpusGrams: DataFrame,
+                                     batch: DataFrame, textCol: String,
+                                     idCol: String, threshold: Double,
+                                     k: Int, numHashes: Int,
+                                     bands: Int): DataFrame = {
+    registerGateFns(batch.sparkSession)
+    val cand = corpusBands
+      .join(broadcast(bandsOf(batch, textCol, idCol, "batch_id",
+        k, numHashes, bands)), Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     cand
-      .join(gramsOf(corpus, "corpus_id", "gc", "nc"), "corpus_id")
-      .join(broadcast(gramsOf(batch, "batch_id", "gb", "nb")), "batch_id")
+      .join(corpusGrams, "corpus_id")
+      .join(broadcast(gramsOf(batch, textCol, idCol, "batch_id",
+        "gb", "nb", k)), "batch_id")
       .withColumn("inter", expr("intersect_size_sorted(gc, gb)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("nc") + col("nb") - col("inter")).cast("double"))
