@@ -60,6 +60,25 @@ object CoreOps {
     else df
   }
 
+  /** Keyed twin of [[spreadSmallScan]] for CPU-heavy stages that REQUIRE
+    * a clustering (WindowExec, co-grouped aggregation): a user
+    * `repartition(n, keys)` with an explicit count both satisfies the
+    * downstream required distribution and is exempt from AQE partition
+    * coalescing — whereas the planner-inserted ENSURE_REQUIREMENTS
+    * exchange gets coalesced by BYTES, and a few-MB token stream whose
+    * per-row work is an md5/DP lands on one task (the Dedup.cpuSpread
+    * finding, keyed form). ONLY place this where no upstream exchange
+    * already provides a compatible partitioning — EnsureRequirements
+    * elides a redundant user repartition, restoring the coalescible
+    * exchange (the first r21 cpuSpread attempt, documented there). The
+    * count scales with the session, never a local constant. */
+  def spreadByKeys(df: DataFrame, keys: Column*): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val parts = math.max(sc.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(parts, keys: _*)
+  }
+
   /** Catalog-aware scan: when `hive_db` is configured the source is read
     * through the session catalog as `hive_db.table` — the reference's
     * addressing (`select * from hive_db.hive_table`, HiveToMysql.java:227)

@@ -1427,8 +1427,16 @@ object TextQueries {
     graft.functions.TokensOf.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val pe = docs.select(col("doc_id"),
-      posexplode(expr("tokens_of(text)")).as(Seq("pos", "tok")))
+    // explicit doc_id-keyed spread, not the planner's ENSURE_REQUIREMENTS
+    // exchange: AQE coalesces the few-MB token stream to one task and the
+    // per-token md5 boundary hash then runs single-core
+    // (CoreOps.spreadByKeys scaladoc; the window/groupBy clustering below
+    // is satisfied by this same exchange, so the count is unchanged: one
+    // doc-keyed exchange total)
+    val pe = graft.ops.CoreOps.spreadByKeys(
+      docs.select(col("doc_id"),
+        posexplode(expr("tokens_of(text)")).as(Seq("pos", "tok"))),
+      col("doc_id"))
     val gram = concat(lit("cdc:"), concat_ws(" ",
       lag(col("tok"), 2).over(w), lag(col("tok"), 1).over(w), col("tok")))
     // pos >= 2 guards the partial grams at a doc's head (concat_ws drops
