@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST stdout
+// line as the bench's one-line JSON. sbt's `[success] Total time: ...`
+// footer has trailed the JSON since r17, so the driver's parser returned
+// null every round (PERF per-query table permanently empty — r21 verdict
+// item 2). Suppressing the success footer makes the bench JSON the last
+// stdout line; failures still log `[error]` and a nonzero exit code.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

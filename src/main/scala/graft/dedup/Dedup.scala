@@ -348,6 +348,8 @@ object Dedup {
     * a local constant; the extra exchange carries only the fixed-width
     * id columns. */
   private[graft] def cpuSpread(df: DataFrame): DataFrame = {
+    // env kill-switch for A/B probes, like CoreOps.spreadSmallScan's
+    if (sys.env.get("SPARK_GRAFT_CPU_SPREAD").contains("0")) return df
     val sc = df.sparkSession.sparkContext
     val parts = math.max(sc.defaultParallelism,
       df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -427,7 +429,7 @@ object Dedup {
                      threshold: Double, k: Int = 5,
                      numHashes: Int = 32, bands: Int = 8): DataFrame =
     nearDupAgainstIndexed(
-      indexCorpus(corpus, textCol, idCol, persist = false),
+      indexCorpus(corpus, textCol, idCol, persist = false, k, numHashes, bands),
       batch, textCol, idCol, threshold, k, numHashes, bands)
 
   /** The space-only-trim exact key slice: it must match rawShingles'

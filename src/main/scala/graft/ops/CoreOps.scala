@@ -73,6 +73,8 @@ object CoreOps {
     * exchange (the first r21 cpuSpread attempt, documented there). The
     * count scales with the session, never a local constant. */
   def spreadByKeys(df: DataFrame, keys: Column*): DataFrame = {
+    // env kill-switch for A/B probes, like [[spreadSmallScan]]'s
+    if (sys.env.get("SPARK_GRAFT_KEY_SPREAD").contains("0")) return df
     val sc = df.sparkSession.sparkContext
     val parts = math.max(sc.defaultParallelism,
       df.sparkSession.sessionState.conf.numShufflePartitions)

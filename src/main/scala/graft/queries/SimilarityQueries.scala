@@ -143,16 +143,24 @@ object SimilarityQueries {
     // re-evaluates the whole upstream LSH band join + gram verify, and the
     // branches prune different columns so ReuseExchange cannot unify them
     // (the r21 before-plan: 62 Exchanges / 4 copies of the pair machinery).
-    // One eager localCheckpoint of the narrow (id_a, id_b, src_a, src_b)
+    // One LAZY localCheckpoint of the narrow (id_a, id_b, src_a, src_b)
     // table pays the dedup pass exactly once; at 100 TB it is |pairs|-
     // scale fixed-width rows — the query's own output order of magnitude,
     // strictly cheaper than re-running the band/verify shuffles per branch.
+    // Lazy (r21 advice): eager made CONSTRUCTING the DataFrame run the
+    // whole LSH+verify pipeline, so plan-only consumers (explain, plan
+    // audits, PlanSnap) triggered real jobs; lazy truncates the plan
+    // identically but materializes on the query's own first action.
+    // Caveat carried from the advice: localCheckpoint is non-reliable —
+    // executor loss recomputes from nothing and kills the query on a real
+    // cluster; the 100 TB story accepts a query retry there (the
+    // checkpoint is |pairs|-scale, rebuilt in one pass).
     val ab = pairs
       .join(srcOf.select(col("doc_id").as("id_a"),
         col("source").as("src_a")), Seq("id_a"))
       .join(srcOf.select(col("doc_id").as("id_b"),
         col("source").as("src_b")), Seq("id_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val touched = ab.select(col("id_a").as("doc_id"),
         col("src_a").as("source"))
       .unionAll(ab.select(col("id_b"), col("src_b")))

@@ -234,6 +234,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupAgainst honors non-default k/numHashes/bands (r21 advice: " +
+      "the index was built with defaults while the require checked the " +
+      "caller's values)") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i =>
+        (i, s"corpus document number $i with a long shared scaffold of " +
+          s"words that makes gram sets rich enough to band plus salt $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1000000L, "corpus document number 7 with a long shared scaffold of " +
+        "words that makes gram sets rich enough to band plus salt 7 EDIT"))
+      .toDF("doc_id", "text")
+    // pre-fix this threw IllegalArgumentException from the index require
+    val got = Dedup.nearDupAgainst(corpus, batch, "text", "doc_id",
+        threshold = 0.4, k = 4, numHashes = 24, bands = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.nearDupAgainstFlat(corpus, batch, "text", "doc_id",
+        threshold = 0.4, k = 4, numHashes = 24, bands = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.exists(p => p._1 == 1000000L && p._2 == 7L),
+      s"planted edit must match its parent under non-default params: $got")
+  }
+
   test("nearDupAgainst collapsed == flat on a duplicate-heavy corpus + batch") {
     import spark.implicits._
     // the hot-axis world in miniature: every corpus text appears many

@@ -666,6 +666,29 @@ class PlanAuditSpec extends SparkSpec {
       assert(!e.output.exists(_.name == "text"),
         s"text rode a keyed shuffle: ${e.output.map(_.name).mkString(",")}")
     }
+    // tighten the exemption (r21 advice): every round-robin exchange that
+    // carries text must be the spreadSmallScan one — sitting directly
+    // above the scan, with no other Exchange below it. (The initial plan
+    // duplicates that subtree once per consumer before AQE's stage cache
+    // unifies them, so the COUNT is plan-shape-dependent; the POSITION is
+    // the invariant.) A future change that round-robins text mid-plan —
+    // after joins/aggregates, i.e. present even at production split
+    // counts — fails here.
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+              .RoundRobinPartitioning] &&
+            e.output.exists(_.name == "text") => e
+    }.foreach { e =>
+      assert(e.child.collect {
+        case c: org.apache.spark.sql.execution.exchange.Exchange => c
+      }.isEmpty, s"the text round-robin must sit directly above the scan " +
+        s"(no Exchange below it):\n$e")
+      assert(e.child.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.nonEmpty, s"the text round-robin must feed from the scan:\n$e")
+    }
     // the fingerprint pass must materialize ONCE for all four consumers
     // — AQE's stage cache dedupes the identical fp-keyed Exchanges AT
     // RUNTIME (the s16 pin's protocol: execute, then read the final plan)
