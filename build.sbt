@@ -19,6 +19,11 @@ run / fork := true
 // stdout line; failures still log `[error]` and a nonzero exit code.
 Global / showSuccess := false
 Global / showTiming := false
+// ...and route the forked program's own streams through UNPREFIXED: sbt's
+// default LoggedOutput re-logs subprocess stdout as `[info] <line>`, which
+// still defeats a strict JSON parse of the last line. StdoutOutput inherits
+// the subprocess's stdout/stderr directly, so the bench JSON arrives bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

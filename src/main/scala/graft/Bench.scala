@@ -301,7 +301,6 @@ object Bench {
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"best_total":$bestTotal,"regressions":$regs,"median_exceedances":$medRegs,"resampled":$resampled,"wall":$wall}"""
-    println(json)
     // also land the full JSON in a file: the driver's log-tail capture has
     // truncated the stdout line before (r4 clipped e01/e02); the file is
     // the lossless record
@@ -311,7 +310,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // stop BEFORE printing: the JSON must be the LAST stdout line for the
+    // driver's parser (r21 verdict item 2), and spark.stop() can emit late
+    // WARN log lines that would trail it in a merged stdout+stderr capture
     spark.stop()
+    println(json)
     if (failed.nonEmpty) sys.exit(2)
   }
 }
