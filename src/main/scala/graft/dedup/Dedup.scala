@@ -367,10 +367,20 @@ object Dedup {
     * first and is the operator callers should use. */
   def nearDupPairsFlat(df: DataFrame, textCol: String, idCol: String,
                        threshold: Double, k: Int = 5, numHashes: Int = 32,
-                       bands: Int = 8): DataFrame = {
+                       bands: Int = 8,
+                       spreadCands: Boolean = true): DataFrame = {
     graft.functions.SortedIntersectSize.register(df.sparkSession)
     graft.functions.GramHashes.register(df.sparkSession)
-    val cands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)
+    val rawCands = minhashCandidates(df, textCol, idCol, k, numHashes, bands)
+    // `spreadCands = false` for callers whose candidate set is small and
+    // whose OUTPUT feeds an iterative consumer (t09's clusterAssign): the
+    // spread's 32 partitions ride into every downstream join/checkpoint
+    // and the per-iteration task overhead outweighs the verify
+    // parallelism — measured r22 cold-JVM A/B, t09 medians 2.15 s flat vs
+    // 3.51 s spread (the r21 driver run agreed: 3.69 -> 4.20 s when the
+    // spread was added). Dense-candidate callers (s03, t48, t29's twin)
+    // keep the spread: s03 min 0.99 s spread vs 1.70 s flat.
+    val cands = if (spreadCands) cpuSpread(rawCands) else rawCands
     // per-doc sorted distinct hashed grams: the merge-scan intersect needs
     // sorted inputs, and |union| = na + nb - |intersect| (no union pass).
     // Default k goes through the native zero-alloc GramHashes expression
@@ -384,7 +394,7 @@ object Dedup {
       .withColumn("n", size(col("grams")))
     // identical subtree on both sides of the two joins -> Spark reuses the
     // exchange instead of recomputing shingle hashes twice
-    cpuSpread(cands)
+    cands
       .join(grams.as("ga"), col("id_a") === col("ga.id"))
       .join(grams.as("gb"), col("id_b") === col("gb.id"))
       .withColumn("inter",

@@ -240,7 +240,13 @@ object TextQueries {
     // up, so nearDupPairs' collapse pre-pass would re-group distinct
     // texts for nothing (flat == collapsed on duplicate-free input, the
     // DedupSpec-pinned equivalence)
-    val pairs = Dedup.nearDupPairsFlat(exact, "text", "doc_id", threshold = 0.5)
+    val pairs = Dedup.nearDupPairsFlat(exact, "text", "doc_id", threshold = 0.5,
+      // no candidate spread: the post-exact-dedup candidate set is small
+      // and the pairs feed clusterAssign's ITERATIVE joins — the spread's
+      // partition count multiplies per-iteration task overhead (measured
+      // r22 A/B: t09 medians 2.15 s flat vs 3.51 s spread; the r21 driver
+      // run agreed, 3.69 -> 4.20 s). See nearDupPairsFlat's scaladoc.
+      spreadCands = false)
     val clusters = Dedup.clusterAssign(
       pairs, exact.select(col("doc_id").as("id")))
     val survivors = exact
@@ -1683,10 +1689,16 @@ object TextQueries {
       |FROM s""".stripMargin
 
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
-    // spread the under-split scan: window hashing is the expensive
-    // scan-side stage (CoreOps.spreadSmallScan; 1.65 -> 1.42 s min-of-5)
-    spanLayout(spreadSmallScan(scan(spark, sfDir, "documents")),
-      w = 4, dropFrac = 0.5)
+    // NOT spread (r22, reverting the r21 spreadSmallScan here): unlike
+    // t38/t49, whose heavy work is a pure scan-side projection, t25's
+    // tokenize+window pass feeds a (id, m, w) groupBy whose partial
+    // aggregation combines map-side — a single-task scan emits each
+    // distinct key once, while a 32-way spread multiplies the shuffle
+    // rows (guide §2.3). Both the r21 driver run (spread 2.90 s vs 1.73 s
+    // r20, and 1.13 s at 8 cores) and the r22 cold-JVM A/B (min-of-6
+    // 1.12 s flat vs 1.19 s spread, medians 1.38 vs 1.52) put the flat
+    // form ahead at bench conditions.
+    spanLayout(scan(spark, sfDir, "documents"), w = 4, dropFrac = 0.5)
 
   /** The window-count core behind [[spanDedup]], public and
     * parameterized (packLayout's pattern — the raise-W-on-natural-text
