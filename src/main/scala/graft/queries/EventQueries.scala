@@ -34,6 +34,16 @@ object EventQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "1"))
+    // generic probe hook (r22, SPARK_GRAFT_STREAM_STATE_PARTS's sibling):
+    // semicolon-separated k=v conf pairs applied to the child session, so
+    // state-store/checkpoint conf candidates can be A/B'd without a
+    // rebuild. Empty by default — the recorded methodology is unchanged.
+    sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        ss.conf.set(k, v)
+      }
+    }
     ss
   }
 

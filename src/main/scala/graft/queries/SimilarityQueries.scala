@@ -171,13 +171,24 @@ object SimilarityQueries {
       .unionAll(ab.where(col("src_a") =!= col("src_b"))
         .select(col("src_b").as("source")))
       .groupBy(col("source")).agg(count(lit(1)).as("n_cross_pairs"))
+    // Two-level aggregation instead of a corpus-wide row-level WindowExec
+    // (guide §2.3 "aggregate before you shuffle"): the per-(ek, source)
+    // count partial-combines map-side, so on a duplicate-heavy corpus the
+    // ek-keyed exchange carries one row per distinct (ek, source) cell
+    // instead of one per DOC — the row-level window shipped every doc's
+    // (source, ek) to the ek partitioning with no combine. The group-size
+    // filter then runs on the collapsed cells: grp = Σ cells' counts per
+    // ek, docs in qualifying groups = Σ c per source. Output-identical.
     val ek = corpus.where(col("text").isNotNull)
       .select(col("source"), Dedup.exactKey(col("text")).as("ek"))
-    val exact = ek
-      .withColumn("grp", count(lit(1)).over(
+    val cells = ek.groupBy(col("ek"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val exact = cells
+      .withColumn("grp", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("ek"))))
       .where(col("grp") >= 2)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_exact_dup_docs"))
+      .groupBy(col("source")).agg(sum(col("c")).cast("long")
+        .as("n_exact_dup_docs"))
     corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .join(exact, Seq("source"), "left_outer")
       .join(touched, Seq("source"), "left_outer")
