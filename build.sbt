@@ -19,6 +19,10 @@ run / fork := true
 // stdout line; failures still log `[error]` and a nonzero exit code.
 Global / showSuccess := false
 Global / showTiming := false
+// the two keys above are consumed by sbt's command engine, not by other
+// settings, so the unused-key lint flags them — exclude them so every
+// sbt invocation's startup isn't prefixed with a spurious [warn] block
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // ...and route the forked program's own streams through UNPREFIXED: sbt's
 // default LoggedOutput re-logs subprocess stdout as `[info] <line>`, which
 // still defeats a strict JSON parse of the last line. StdoutOutput inherits
