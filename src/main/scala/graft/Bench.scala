@@ -312,8 +312,13 @@ object Bench {
     }
     // stop BEFORE printing: the JSON must be the LAST stdout line for the
     // driver's parser (r21 verdict item 2), and spark.stop() can emit late
-    // WARN log lines that would trail it in a merged stdout+stderr capture
-    spark.stop()
+    // WARN log lines that would trail it in a merged stdout+stderr capture.
+    // A throwing stop() must not cost the record — swallow and still print
+    // (the out-file above is the fallback either way).
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed: ${e.getMessage}")
+    }
     println(json)
     if (failed.nonEmpty) sys.exit(2)
   }

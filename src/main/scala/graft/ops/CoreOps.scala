@@ -35,7 +35,10 @@ object CoreOps {
     * per-block HTML classification, span-window hashing — one round-robin
     * exchange of the scanned rows buys 32-way parallelism for everything
     * between the scan and the first keyed exchange (t38 2.58→1.29 s, t49
-    * 0.79→0.32 s, t30 1.71→1.24 s, t25 1.65→1.42 s measured min-of-5).
+    * 0.79→0.32 s, t30 1.71→1.24 s measured min-of-5; t25 was in this list
+    * in r21 but REVERTED in r22 — the driver-condition A/B showed the
+    * spread defeating its window-count map-side combine, see
+    * OPTIMIZATION_r22.md §3 before re-adding it anywhere similar).
     * Hence OPT-IN per operator, never inside [[scan]] itself. Filters and
     * column pruning push THROUGH the repartition into the scan
     * (PushPredicateThroughNonJoin), so PushedFilters/ReadSchema are

@@ -40,8 +40,11 @@ object EventQueries {
     // rebuild. Empty by default — the recorded methodology is unchanged.
     sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach {
       _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        ss.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => ss.conf.set(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_STREAM_CONF entry '$kv' is not k=v")
+        }
       }
     }
     ss

@@ -147,10 +147,16 @@ object SimilarityQueries {
     // table pays the dedup pass exactly once; at 100 TB it is |pairs|-
     // scale fixed-width rows — the query's own output order of magnitude,
     // strictly cheaper than re-running the band/verify shuffles per branch.
-    // Lazy (r21 advice): eager made CONSTRUCTING the DataFrame run the
-    // whole LSH+verify pipeline, so plan-only consumers (explain, plan
-    // audits, PlanSnap) triggered real jobs; lazy truncates the plan
-    // identically but materializes on the query's own first action.
+    // Lazy (r21 advice): eager ran the whole pipeline INCLUDING a count
+    // action at DataFrame construction. Lazy is only a partial fix under
+    // AQE: Dataset.checkpoint still calls physicalPlan.execute() at
+    // construction, and AdaptiveSparkPlanExec.execute() materializes
+    // every non-final query stage — so plan-only consumers (explain,
+    // plan audits, PlanSnap) skip the count and the final stage but
+    // still pay the upstream exchange jobs. Accepted: the alternative
+    // (persist) cannot truncate the 4-consumer plan the same way, and
+    // the construction cost is bounded by the pair machinery that the
+    // query itself needs on first action anyway.
     // Caveat carried from the advice: localCheckpoint is non-reliable —
     // executor loss recomputes from nothing and kills the query on a real
     // cluster; the 100 TB story accepts a query retry there (the
